@@ -1,0 +1,152 @@
+"""Local replica of the driver's t2 correctness gate (SURVEY §5 layer 1).
+
+For every registered query: run the PySpark callable and the DuckDB oracle
+SQL on the same sf dir; compare row count, column names, and an
+order-insensitive value comparison (strict equality after normalization —
+stricter than any hash the driver could use).
+
+Usage:
+    python tools/verify_local.py [--sf /root/testdata/sf0.01] [key ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import sys
+import time
+from datetime import date, datetime
+from decimal import Decimal
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+from xml_processor_spark.io import TABLES  # noqa: E402
+from xml_processor_spark.registry import REGISTRY, get_oracles, get_queries  # noqa: E402
+from xml_processor_spark.session import build_session  # noqa: E402
+
+
+def _norm(v):
+    """Normalize a cell to a hashable, engine-neutral value."""
+    if v is None:
+        return None
+    if isinstance(v, Decimal):
+        return float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == 0.0:
+            return 0.0  # -0.0 == 0.0
+        return v
+    if isinstance(v, datetime):
+        return v.replace(tzinfo=None).isoformat(sep=" ", timespec="microseconds")
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm(x) for x in v)
+    if isinstance(v, bytes):
+        return v.hex()
+    if hasattr(v, "item"):  # numpy scalar
+        return _norm(v.item())
+    return v
+
+
+def _rows_to_multiset(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    out = {}
+    for r in rows:
+        key = tuple(_norm(r[i]) for i in order)
+        out[key] = out.get(key, 0) + 1
+    return out
+
+
+def _diff_sample(a: dict, b: dict, n=3):
+    only_a = [k for k in a if a.get(k, 0) != b.get(k, 0)][:n]
+    only_b = [k for k in b if b.get(k, 0) != a.get(k, 0)][:n]
+    return only_a, only_b
+
+
+def connect_duckdb(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+            )
+    return con
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("keys", nargs="*")
+    args = ap.parse_args()
+
+    queries = get_queries()
+    oracles = get_oracles()
+    keys = args.keys or sorted(queries)
+
+    spark = build_session("verify_local")
+    con = connect_duckdb(args.sf)
+
+    n_pass = n_fail = n_rows_only = 0
+    failures = []
+    for key in keys:
+        if key not in queries:
+            print(f"  ?? {key}: not registered"); continue
+        t0 = time.time()
+        try:
+            sdf = queries[key](spark, args.sf)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            n_fail += 1
+            failures.append(key)
+            print(f"FAIL {key}: spark error: {type(e).__name__}: {e}")
+            continue
+        if key not in oracles:
+            n_rows_only += 1
+            print(f"rows {key}: {len(s_rows)} rows, cols={s_cols} ({time.time()-t0:.1f}s)")
+            continue
+        try:
+            cur = con.execute(oracles[key])
+            d_cols = [d[0] for d in cur.description]
+            d_rows = cur.fetchall()
+        except Exception as e:  # noqa: BLE001
+            n_fail += 1
+            failures.append(key)
+            print(f"FAIL {key}: duckdb error: {type(e).__name__}: {e}")
+            continue
+
+        problems = []
+        if sorted(s_cols) != sorted(d_cols):
+            problems.append(f"cols spark={sorted(s_cols)} duck={sorted(d_cols)}")
+        if len(s_rows) != len(d_rows):
+            problems.append(f"rowcount spark={len(s_rows)} duck={len(d_rows)}")
+        if not problems:
+            ms_s = _rows_to_multiset(s_rows, s_cols)
+            ms_d = _rows_to_multiset(d_rows, d_cols)
+            if ms_s != ms_d:
+                oa, ob = _diff_sample(ms_s, ms_d)
+                problems.append(f"values differ; spark-side sample={oa} duck-side sample={ob}")
+        if problems:
+            n_fail += 1
+            failures.append(key)
+            print(f"FAIL {key}: " + " | ".join(problems))
+        else:
+            n_pass += 1
+            print(f"PASS {key}: {len(s_rows)} rows ({time.time()-t0:.1f}s)")
+
+    print(f"\n== {n_pass} pass, {n_rows_only} rows-only, {n_fail} fail "
+          f"(of {len(keys)}; registry={len(REGISTRY)})")
+    if failures:
+        print("failing:", " ".join(failures))
+    spark.stop()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,67 @@
+"""Determinism helpers shared by every query (SURVEY §2 preamble, §7).
+
+Cross-engine hash-equality rules encoded once:
+
+- **Sums of doubles are order-dependent** → sum in fixed-point decimal
+  (exact, associative) and cast the result back to double. Both dialects use
+  the same scale so results are bit-identical regardless of partitioning.
+- **Averages / higher moments** → round to 6 decimal places (the residual
+  error of order-permuted double addition is ~1e-10 relative; 6 dp absorbs
+  it at the magnitudes in this schema).
+- **Timestamps** → truncate to seconds (files mix ns/ms precision; Spark
+  reads µs — FIXTURES.md precision trap).
+- **Any ranked/limited output** → total order with unique-key tie-breakers,
+  appended by the caller; ``collect_list`` always inside ``sort_array``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Wide enough for sf0.1 price sums (~1e9) at scale 4 without overflow.
+_DEC = "decimal(30,4)"
+
+
+def dsum(col: Column | str) -> Column:
+    """Order-independent (exact decimal) sum of a double column, as double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(_DEC)).cast("double")
+
+
+def dsum_sql(expr: str) -> str:
+    """DuckDB oracle twin of :func:`dsum`."""
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(30,4))) AS DOUBLE)"
+
+
+def cents(col: Column | str) -> Column:
+    """A 2-dp currency/ratio double as an exact integer of hundredths.
+
+    Rounding to a whole integer is cross-engine safe (the binary double sits
+    ~1e-9 from the true 2-dp value, nowhere near a .5 tie); rounding a
+    *product* of doubles to 4 dp is NOT (Spark rounds the shortest-string
+    decimal repr, DuckDB the exact binary value — they disagree on ties).
+    All derived-price sums therefore go through integer-cents arithmetic.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * 100, 0).cast("long")
+
+
+def cents_sql(expr: str) -> str:
+    """DuckDB oracle twin of :func:`cents`."""
+    return f"CAST(round(({expr}) * 100) AS BIGINT)"
+
+
+def r6(col: Column) -> Column:
+    """Round to 6 dp — for avg/stddev/corr and similarity scores."""
+    return F.round(col, 6)
+
+
+def r2(col: Column) -> Column:
+    return F.round(col, 2)
+
+
+def ts_sec(col: Column | str) -> Column:
+    """Truncate a timestamp to whole seconds (oracle-comparable)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.date_trunc("second", c)

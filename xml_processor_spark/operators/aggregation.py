@@ -1,0 +1,308 @@
+"""Aggregation (SURVEY §2.D) — hash aggregation with partial/final split.
+
+Spark's groupBy().agg() plans a partial (map-side) + final (post-shuffle)
+HashAggregate automatically — the property that keeps a 100 TB group-by
+shuffle proportional to |groups|, not |rows|. Cross-engine float determinism
+comes from :mod:`xml_processor_spark.functions.deterministic`: exact decimal
+sums, 6 dp rounding of moments.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from xml_processor_spark.functions.deterministic import (
+    cents,
+    cents_sql,
+    dsum,
+    dsum_sql,
+    r6,
+)
+from xml_processor_spark.io import table, register_views
+from xml_processor_spark.registry import register
+
+
+@register(
+    "q_agg_global",
+    oracle=f"""
+        SELECT count(*) AS cnt,
+               {dsum_sql('l_quantity')} AS sum_qty,
+               round(avg(l_quantity), 6) AS avg_qty,
+               min(l_extendedprice) AS min_price,
+               max(l_extendedprice) AS max_price
+        FROM lineitem
+    """,
+    doc="Ungrouped sum/avg/min/max/count over lineitem.",
+)
+def q_agg_global(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        dsum("l_quantity").alias("sum_qty"),
+        r6(F.avg("l_quantity")).alias("avg_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+
+
+@register(
+    "q_agg_group",
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               {dsum_sql('l_quantity')} AS sum_qty,
+               {dsum_sql('l_extendedprice')} AS sum_base_price,
+               CAST(SUM({cents_sql('l_extendedprice')} * (100 - {cents_sql('l_discount')})) AS DOUBLE) / 1e4 AS sum_disc_price,
+               CAST(SUM({cents_sql('l_extendedprice')} * (100 - {cents_sql('l_discount')}) * (100 + {cents_sql('l_tax')})) AS DOUBLE) / 1e6 AS sum_charge,
+               round(avg(l_quantity), 6) AS avg_qty,
+               round(avg(l_extendedprice), 6) AS avg_price,
+               round(avg(l_discount), 6) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="Flagship, TPC-H Q1 shape: 8 aggregates over (returnflag, linestatus).",
+)
+def q_agg_group(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    # Exact integer-cents arithmetic → order-independent, cross-engine-exact
+    # sums of derived prices (see deterministic.cents docstring).
+    price_c = cents("l_extendedprice")
+    disc_c = 100 - cents("l_discount")
+    tax_c = 100 + cents("l_tax")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_base_price"),
+        (F.sum(price_c * disc_c).cast("double") / 1e4).alias("sum_disc_price"),
+        # price_c carries 1e2 scale, disc_c/tax_c 1e2 each → product is 1e4
+        # (disc_price) / 1e6 (charge) above true value.
+        (F.sum(price_c * disc_c * tax_c).cast("double") / 1e6).alias("sum_charge"),
+        r6(F.avg("l_quantity")).alias("avg_qty"),
+        r6(F.avg("l_extendedprice")).alias("avg_price"),
+        r6(F.avg("l_discount")).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "q_agg_having",
+    oracle="""
+        SELECT c_nationkey, count(*) AS n_cust
+        FROM customer
+        GROUP BY c_nationkey
+        HAVING count(*) > 40
+    """,
+    doc="Groups filtered post-aggregation (HAVING).",
+)
+def q_agg_having(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+        .filter(F.col("n_cust") > 40)
+    )
+
+
+@register(
+    "q_agg_count_distinct",
+    oracle="""
+        SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust
+        FROM orders GROUP BY o_orderstatus
+    """,
+    doc="COUNT(DISTINCT) per group.",
+)
+def q_agg_count_distinct(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_cust")
+    )
+
+
+@register(
+    "q_agg_multi_distinct",
+    oracle="""
+        SELECT l_returnflag,
+               count(DISTINCT l_partkey) AS n_parts,
+               count(DISTINCT l_suppkey) AS n_supps,
+               count(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Two distinct aggregates in one query (Expand-based plan).",
+)
+def q_agg_multi_distinct(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# Unique ordering value: retailprice dominates, partkey breaks ties exactly
+# (both terms exact in double at these magnitudes; identical IEEE ops in both
+# engines → identical argmin/argmax winners).
+_ORD = "p_retailprice * 1000000 + p_partkey"
+
+
+@register(
+    "q_agg_minby_maxby",
+    oracle=f"""
+        SELECT p_brand,
+               arg_min(p_name, {_ORD}) AS cheapest,
+               arg_max(p_name, {_ORD}) AS priciest,
+               min(p_retailprice) AS min_price,
+               max(p_retailprice) AS max_price
+        FROM part GROUP BY p_brand
+    """,
+    doc="arg-min/arg-max with a unique tie-broken ordering value "
+        "(min_by/max_by over ties is nondeterministic — banned by SURVEY §2).",
+)
+def q_agg_minby_maxby(spark, sf_dir):
+    p = table(spark, sf_dir, "part")
+    ordv = F.col("p_retailprice") * 1000000 + F.col("p_partkey")
+    return p.groupBy("p_brand").agg(
+        F.min_by("p_name", ordv).alias("cheapest"),
+        F.max_by("p_name", ordv).alias("priciest"),
+        F.min("p_retailprice").alias("min_price"),
+        F.max("p_retailprice").alias("max_price"),
+    )
+
+
+@register(
+    "q_agg_stats",
+    oracle="""
+        SELECT l_returnflag,
+               round(stddev_samp(l_quantity), 6) AS sd_qty,
+               round(var_samp(l_quantity), 6) AS var_qty,
+               round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+               round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qp
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Sample stddev/variance/correlation/covariance, rounded.",
+)
+def q_agg_stats(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        r6(F.stddev_samp("l_quantity")).alias("sd_qty"),
+        r6(F.var_samp("l_quantity")).alias("var_qty"),
+        r6(F.corr("l_quantity", "l_extendedprice")).alias("corr_qp"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("cov_qp"),
+    )
+
+
+@register(
+    "q_agg_percentile",
+    oracle="""
+        SELECT l_returnflag,
+               round(quantile_cont(l_quantity, 0.5), 6) AS med_qty,
+               round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Exact interpolated percentiles (both engines linear-interpolate).",
+)
+def q_agg_percentile(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        r6(F.percentile("l_quantity", 0.5)).alias("med_qty"),
+        r6(F.percentile("l_quantity", 0.9)).alias("p90_qty"),
+    )
+
+
+@register(
+    "q_agg_collect_sorted",
+    oracle="""
+        SELECT n.n_name, string_agg(s.s_name, ',' ORDER BY s.s_name) AS suppliers
+        FROM nation n JOIN supplier s ON s.s_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    """,
+    doc="Per-nation sorted list of supplier names, serialized to a string "
+        "(sort_array(collect_list) — deterministic across partitionings).",
+)
+def q_agg_collect_sorted(spark, sf_dir):
+    n = table(spark, sf_dir, "nation")
+    s = table(spark, sf_dir, "supplier")
+    return (
+        n.join(s, s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_list("s_name"))).alias("suppliers")
+        )
+    )
+
+
+@register(
+    "q_agg_rollup",
+    oracle="""
+        SELECT r.r_name, n.n_name, count(*) AS n_cust
+        FROM region r
+        JOIN nation n ON n.n_regionkey = r.r_regionkey
+        JOIN customer c ON c.c_nationkey = n.n_nationkey
+        GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+    doc="ROLLUP region→nation customer counts (NULL-marked subtotal rows).",
+)
+def q_agg_rollup(spark, sf_dir):
+    r = table(spark, sf_dir, "region")
+    n = table(spark, sf_dir, "nation")
+    c = table(spark, sf_dir, "customer")
+    j = r.join(n, n.n_regionkey == r.r_regionkey).join(
+        c, c.c_nationkey == n.n_nationkey
+    )
+    return j.rollup("r_name", "n_name").agg(F.count(F.lit(1)).alias("n_cust"))
+
+
+@register(
+    "q_agg_cube",
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               {dsum_sql('l_quantity')} AS sum_qty,
+               count(*) AS cnt
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="CUBE over (returnflag, linestatus).",
+)
+def q_agg_cube(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+@register(
+    "q_agg_grouping_sets",
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               GROUPING(l_returnflag) AS g_flag,
+               GROUPING(l_linestatus) AS g_status,
+               {dsum_sql('l_extendedprice')} AS sum_price
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    doc="Explicit GROUPING SETS with grouping() markers (via spark.sql).",
+)
+def q_agg_grouping_sets(spark, sf_dir):
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS sum_price
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@register(
+    "E-APPROX-CD",
+    oracle=None,  # HLL estimate is engine-dependent → rows-only check.
+    doc="approx_count_distinct (HyperLogLog++); unit test asserts ±5% of "
+        "exact. The 100 TB path for cardinality estimation.",
+)
+def e_approx_cd(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey").alias("approx_cust")
+    )
