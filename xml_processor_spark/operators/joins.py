@@ -1,1 +1,287 @@
-"""Placeholder — populated in a later milestone."""
+"""Joins (SURVEY §2.C) — equi, outer, semi/anti, cross, theta, range, as-of.
+
+The reference has no join operator (CDAP pipelines do lookups via joiner
+plugins outside this repo [P]); these are the CORE relational layer that
+makes "query capabilities" real. Physical strategy is Catalyst's call:
+small dims broadcast automatically, `q_join_broadcast` pins the hint, the
+theta join keeps an equi prefix so it plans as a hash/SMJ with a residual
+filter instead of a nested loop, and AQE splits skewed shuffle partitions.
+
+Determinism: outer-join null rows are projected through coalesce-free
+columns (nulls compare equal in both engines); as-of picks a unique winner
+via (ts DESC, event_id DESC) tie-break.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from xml_processor_spark.functions.deterministic import ts_sec
+from xml_processor_spark.io import table
+from xml_processor_spark.registry import register
+
+_INNER_SQL = """
+    SELECT o.o_orderkey, o.o_totalprice, c.c_custkey, c.c_name, c.c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
+@register("q_join_inner", oracle=_INNER_SQL, doc="Equi inner orders ⋈ customer.")
+def q_join_inner(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "q_join_broadcast",
+    oracle=_INNER_SQL,
+    doc="Same semantics as q_join_inner with an explicit broadcast hint — "
+        "the shuffle-free plan for fact ⋈ small-dim at 100 TB.",
+)
+def q_join_broadcast(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "q_join_multikey",
+    oracle="""
+        SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, o.o_totalprice
+        FROM lineitem l
+        JOIN orders o
+          ON l.l_orderkey = o.o_orderkey AND l.l_linestatus = o.o_orderstatus
+    """,
+    doc="Two-key equi join (orderkey + status).",
+)
+def q_join_multikey(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    return li.join(
+        o,
+        (li.l_orderkey == o.o_orderkey) & (li.l_linestatus == o.o_orderstatus),
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "o_totalprice")
+
+
+@register(
+    "q_join_left",
+    oracle="""
+        SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+        FROM customer c LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey AND o.o_totalprice > 200000
+    """,
+    doc="Left outer with an ON-clause filter on the right side (null rows "
+        "for customers whose orders all miss the predicate).",
+)
+def q_join_left(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(
+        o, (c.c_custkey == o.o_custkey) & (o.o_totalprice > 200000), "left"
+    ).select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+
+
+@register(
+    "q_join_right",
+    oracle="""
+        SELECT o.o_orderkey, o.o_orderstatus, c.c_custkey, c.c_acctbal
+        FROM orders o RIGHT JOIN customer c
+          ON o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P'
+    """,
+    doc="Right outer join.",
+)
+def q_join_right(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return o.join(
+        c, (o.o_custkey == c.c_custkey) & (o.o_orderstatus == "P"), "right"
+    ).select("o_orderkey", "o_orderstatus", "c_custkey", "c_acctbal")
+
+
+@register(
+    "q_join_full",
+    oracle="""
+        SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+        FROM customer c FULL JOIN orders o
+          ON c.c_custkey = o.o_custkey AND c.c_acctbal > 5000 AND o.o_totalprice > 150000
+    """,
+    doc="Full outer join with both-sided ON predicates (nulls both ways).",
+)
+def q_join_full(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(
+        o,
+        (c.c_custkey == o.o_custkey)
+        & (c.c_acctbal > 5000)
+        & (o.o_totalprice > 150000),
+        "full",
+    ).select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+
+
+@register(
+    "q_join_semi",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    """,
+    doc="Left-semi: customers having at least one F order.",
+)
+def q_join_semi(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "q_join_anti",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    """,
+    doc="Left-anti: customers with no F order.",
+)
+def q_join_anti(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "q_join_cross",
+    oracle="""
+        SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n
+    """,
+    doc="Cartesian product region × nation (125 rows).",
+)
+def q_join_cross(spark, sf_dir):
+    r = table(spark, sf_dir, "region")
+    n = table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@register(
+    "q_join_theta",
+    oracle="""
+        SELECT c.c_custkey, s.s_suppkey, c.c_acctbal, s.s_acctbal
+        FROM customer c JOIN supplier s
+          ON c.c_nationkey = s.s_nationkey AND c.c_acctbal > s.s_acctbal
+    """,
+    doc="Theta join with an equi prefix (nationkey) so it plans as hash/SMJ "
+        "+ residual predicate, not a nested loop.",
+)
+def q_join_theta(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    return c.join(
+        s, (c.c_nationkey == s.s_nationkey) & (c.c_acctbal > s.s_acctbal)
+    ).select("c_custkey", "s_suppkey", "c_acctbal", "s_acctbal")
+
+
+@register(
+    "q_join_range",
+    oracle="""
+        SELECT a.event_id AS signup_id, b.event_id AS follow_id,
+               date_trunc('second', a.ts) AS signup_ts,
+               date_trunc('second', b.ts) AS follow_ts, b.event_type AS follow_type
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND a.event_type = 'signup'
+         AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL 1 HOUR
+         AND b.event_id <> a.event_id
+    """,
+    doc="Interval join: every event within 1 hour after a signup by the "
+        "same user (equi key bounds the range search; AQE handles skew).",
+)
+def q_join_range(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        F.col("user_id").alias("a_user"),
+        F.col("ts").alias("a_ts"),
+    )
+    b = ev.select(
+        F.col("event_id").alias("follow_id"),
+        F.col("user_id").alias("b_user"),
+        F.col("ts").alias("b_ts"),
+        F.col("event_type").alias("follow_type"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a_user") == F.col("b_user"))
+            & (F.col("b_ts") >= F.col("a_ts"))
+            & (F.col("b_ts") < F.col("a_ts") + F.expr("INTERVAL 1 HOUR"))
+            & (F.col("follow_id") != F.col("signup_id")),
+        )
+        .select(
+            "signup_id",
+            "follow_id",
+            ts_sec("a_ts").alias("signup_ts"),
+            ts_sec("b_ts").alias("follow_ts"),
+            "follow_type",
+        )
+    )
+
+
+@register(
+    "q_join_asof",
+    oracle="""
+        SELECT purchase_id, purchase_ts, user_id, view_id, view_ts
+        FROM (
+            SELECT p.event_id AS purchase_id,
+                   date_trunc('second', p.ts) AS purchase_ts,
+                   p.user_id AS user_id,
+                   v.event_id AS view_id,
+                   date_trunc('second', v.ts) AS view_ts,
+                   row_number() OVER (PARTITION BY p.event_id
+                                      ORDER BY v.ts DESC, v.event_id DESC) AS rn
+            FROM events p JOIN events v
+              ON p.user_id = v.user_id
+             AND p.event_type = 'purchase' AND v.event_type = 'view'
+             AND v.ts <= p.ts
+        ) WHERE rn = 1
+    """,
+    doc="As-of join: latest view at-or-before each purchase per user. "
+        "Window formulation (identical on both sides) controls ties; at "
+        "scale the same plan partitions by the probe key once.",
+)
+def q_join_asof(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("user_id").alias("user_id"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+        F.col("user_id").alias("v_user"),
+    )
+    w = Window.partitionBy("purchase_id").orderBy(
+        F.col("v_ts").desc(), F.col("view_id").desc()
+    )
+    return (
+        p.join(v, (F.col("user_id") == F.col("v_user")) & (F.col("v_ts") <= F.col("p_ts")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "purchase_id",
+            ts_sec("p_ts").alias("purchase_ts"),
+            "user_id",
+            "view_id",
+            ts_sec("v_ts").alias("view_ts"),
+        )
+    )
