@@ -1,0 +1,85 @@
+"""Headline benchmark (SURVEY §6/§7 step 10).
+
+Runs the headline query set at ``$SPARK_GRAFT_SF_DIR`` (default sf0.1) on
+``local[$SPARK_GRAFT_CPUS]``; per query: 1 warmup + median of 3 timed runs,
+result fully materialized. Prints ONE JSON line:
+``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}``
+
+The headline set spans every subsystem (scan, agg, join, window, top-k, XML
+envelope, streaming-batch, text, dedup, vectors, pandas UDF) while staying
+at its 100 TB-shaped formulation — no quadratic ops (the exact-Jaccard
+ground truth is correctness-only; its scale path E-MINHASH-LSH benches
+instead).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q_scan_pruned",
+    "q_agg_group",
+    "q_agg_count_distinct",
+    "q_join_inner",
+    "q_join_broadcast",
+    "q_join_asof",
+    "q_win_rownum",
+    "q_win_running",
+    "q_limit_topn",
+    "q_topk_per_group",
+    "q_xml_parse_struct",
+    "q_xml_nested_explode",
+    "q_stream_tumbling",
+    "q_stream_session",
+    "q_text_tfidf",
+    "q_text_wordcount",
+    "q_dedup_exact",
+    "E-MINHASH-LSH",
+    "q_knn_cosine",
+    "q_udf_pandas",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from xml_processor_spark.registry import get_queries
+    from xml_processor_spark.session import build_session
+
+    spark = build_session("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = get_queries()
+
+    timings: dict[str, float] = {}
+    for key in HEADLINE:
+        fn = queries[key]
+        fn(spark, sf_dir).collect()  # warmup (JIT, file listing, broadcast)
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            runs.append(time.perf_counter() - t0)
+        timings[key] = round(statistics.median(runs), 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall_clock",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,91 @@
+"""LLM-pipeline operator properties the oracle can't see (SURVEY §5)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_MID, SF_SMALL
+
+
+def test_minhash_lsh_recall_vs_exact(spark, queries):
+    """LSH candidates must recover >= 90% of true >= 0.95-shingle-Jaccard
+    pairs (the feature space the signatures are built over)."""
+    from xml_processor_spark.functions.llm_dedup import shingles
+    from xml_processor_spark.io import table
+
+    d = table(spark, SF_SMALL, "documents")
+    dt = d.select("doc_id", F.explode(shingles(F.col("text"))).alias("s"))
+    sizes = dt.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = dt.select(F.col("doc_id").alias("id_a"), "s")
+    b = dt.select(F.col("doc_id").alias("id_b"), "s")
+    inter = (
+        a.join(b, ["s"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    truth_df = (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .filter(100 * F.col("i") >= 95 * (F.col("na") + F.col("nb") - F.col("i")))
+    )
+    truth = {(r.id_a, r.id_b) for r in truth_df.collect()}
+    cand = {
+        (r.id_a, r.id_b) for r in queries["E-MINHASH-LSH"](spark, SF_SMALL).collect()
+    }
+    assert truth, "exact truth set unexpectedly empty"
+    recall = len(truth & cand) / len(truth)
+    assert recall >= 0.90, f"LSH recall {recall:.3f} < 0.90"
+    # and LSH must actually prune: far fewer candidates than all pairs
+    n_docs = d.count()
+    assert len(cand) < 0.2 * n_docs * (n_docs - 1) / 2, "LSH did not prune"
+
+
+def test_approx_count_distinct_within_5pct(spark, queries):
+    approx = {
+        r.o_orderstatus: r.approx_cust
+        for r in queries["E-APPROX-CD"](spark, SF_MID).collect()
+    }
+    from xml_processor_spark.io import table
+
+    exact = {
+        r.o_orderstatus: r.n
+        for r in table(spark, SF_MID, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    for k, n in exact.items():
+        assert abs(approx[k] - n) / n <= 0.05, (k, approx[k], n)
+
+
+def test_knn_cosine_self_excluded_and_ranked(spark, queries):
+    rows = queries["q_knn_cosine"](spark, SF_SMALL).collect()
+    by_probe = {}
+    for r in rows:
+        assert r.vec_id != r.probe_id
+        by_probe.setdefault(r.probe_id, []).append(r)
+    for probe, rs in by_probe.items():
+        rs.sort(key=lambda r: r.rank)
+        sims = [r.sim for r in rs]
+        assert sims == sorted(sims, reverse=True), f"probe {probe} not ranked"
+        assert len(rs) == 10
+
+
+def test_emb_pipe_unit_norms(spark, queries):
+    rows = queries["E-EMB-PIPE"](spark, SF_SMALL).collect()
+    assert all(abs(r.unit_norm - 1.0) < 1e-5 for r in rows)
+    assert all(r.dim == 64 for r in rows)
+
+
+def test_dedup_exact_keeps_min_id(spark, queries):
+    rows = queries["q_dedup_exact"](spark, SF_SMALL).collect()
+    assert sum(r.n_copies for r in rows) == 500
+    assert all(r.n_copies >= 1 for r in rows)
+
+
+def test_multimodal_stub_deterministic(spark, queries):
+    a = {r.path: (r.sha, r.width, r.height) for r in queries["E-MULTIMODAL"](spark, SF_SMALL).collect()}
+    b = {r.path: (r.sha, r.width, r.height) for r in queries["E-MULTIMODAL"](spark, SF_SMALL).collect()}
+    assert a == b and len(a) == 20

@@ -1,0 +1,66 @@
+"""Physical-plan assertions (SURVEY §4): the optimizer behaviors we rely on
+at 100 TB must actually appear in the plans Catalyst produces."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_MID
+
+
+def explain(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_scan_pruned_pushes_filters_and_columns(spark, queries):
+    plan = explain(queries["q_scan_pruned"](spark, SF_MID))
+    assert "PushedFilters:" in plan
+    assert "GreaterThanOrEqual(l_quantity,30.0)" in plan or "l_quantity" in plan.split("PushedFilters:")[1].split("\n")[0]
+    # Column pruning: the read schema must not contain unprojected columns.
+    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "l_returnflag" not in read_schema
+    assert "l_shipdate" not in read_schema
+
+
+def test_broadcast_join_is_broadcast(spark, queries):
+    plan = explain(queries["q_join_broadcast"](spark, SF_MID))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topn_uses_take_ordered(spark, queries):
+    plan = explain(queries["q_limit_topn"](spark, SF_MID))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_theta_join_not_cartesian(spark, queries):
+    """Equi-prefix must make the theta join a hash/SMJ, not a nested loop."""
+    plan = explain(queries["q_join_theta"](spark, SF_MID))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_agg_uses_whole_stage_codegen_and_partial_agg(spark, queries):
+    df = queries["q_agg_group"](spark, SF_MID)
+    plan = explain(df)
+    # partial + final hash aggregation (map-side combine before the shuffle)
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan and "partial_sum" in plan
+    # codegen mode shows the fused subtrees (formatted AQE output does not)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("codegen")
+    assert "WholeStageCodegen subtrees" in buf.getvalue()
+
+
+def test_xml_path_has_no_python_udf(spark, queries):
+    """The XML envelope must stay 100% JVM-side (SURVEY §4)."""
+    for key in ("q_xml_parse_struct", "q_xml_nested_explode", "q_xml_xpath"):
+        plan = explain(queries[key](spark, SF_MID))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -1,0 +1,141 @@
+"""Streaming semantics: batch ≡ stream, late-data discipline, tracking
+(SURVEY §2.I / §5 — the checks with no SQL oracle)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+from xml_processor_spark.io import table
+
+
+def _session_key(r):
+    return (r.user_id, r.session_start, r.last_event, r.n_events)
+
+
+def test_stateful_sessions_match_batch_golden(spark, queries):
+    """Custom applyInPandasWithState sessionization ≡ batch session_window."""
+    stream_rows = {
+        _session_key(r) for r in queries["E-STATEFUL"](spark, SF_SMALL).collect()
+    }
+    batch = (
+        queries["q_stream_session"](spark, SF_SMALL)
+        .filter(F.col("user_id") < 30)
+        .collect()
+    )
+    batch_rows = {_session_key(r) for r in batch}
+    assert batch_rows, "batch golden unexpectedly empty"
+    assert stream_rows == batch_rows
+
+
+def test_watermark_drops_late_rows(spark, queries):
+    """Windowed counts over the replay exclude the late-arriving bucket.
+
+    Expected = on-time-only batch aggregation, restricted to windows the
+    final watermark has closed (append mode never emits still-open windows).
+    """
+    import datetime
+
+    got = {
+        (r.w_start, r.n) for r in queries["E-WATERMARK"](spark, SF_SMALL).collect()
+    }
+    ev = table(spark, SF_SMALL, "events").filter(F.col("user_id") < 30)
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    cutoff = lo + datetime.timedelta(days=3)
+    is_late = (F.col("event_id") % 50 == 0) & (F.col("ts") < F.lit(cutoff))
+    on_time = ev.filter(~is_late)
+    final_wm = hi - datetime.timedelta(minutes=10)
+    expected = {
+        (r.w_start, r.n)
+        for r in on_time.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("w_start"), "n")
+        .collect()
+        if r.w_start + datetime.timedelta(hours=1) <= final_wm
+    }
+    late_windows = {
+        r.w_start
+        for r in ev.filter(is_late)
+        .select(F.date_trunc("hour", "ts").alias("w_start"))
+        .collect()
+    }
+    assert expected, "expected set unexpectedly empty"
+    assert got == expected, (
+        f"diff: extra={sorted(got - expected)[:4]} missing={sorted(expected - got)[:4]}"
+    )
+    # and none of the late-only windows leaked in with inflated counts
+    ev_all = {
+        (r.w_start, r.n)
+        for r in ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("w_start"), "n")
+        .collect()
+    }
+    assert any(w in late_windows for (w, _) in expected) is not None
+    assert got != ev_all, "late rows were not dropped"
+
+
+def test_stream_join_matches_batch(spark, queries):
+    got = {
+        (r.purchase_id, r.view_id)
+        for r in queries["E-STREAM-JOIN"](spark, SF_SMALL).collect()
+    }
+    ev = table(spark, SF_SMALL, "events").filter(F.col("user_id") < 30)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    )
+    batch = p.join(
+        v,
+        F.expr("p_user = v_user AND v_ts <= p_ts AND v_ts >= p_ts - INTERVAL 1 HOUR"),
+    )
+    batch_rows = {(r.purchase_id, r.view_id) for r in batch.collect()}
+    assert got == batch_rows
+
+
+def test_file_tracking_exactly_once(spark, queries):
+    rows = {r.phase: r.n for r in queries["E-FILE-TRACK"](spark, SF_SMALL).collect()}
+    assert rows["total"] == rows["round1"] + rows["round2_new_rows"]
+    assert rows["round2_new_rows"] > 0
+    o = table(spark, SF_SMALL, "orders")
+    b1 = o.filter(F.col("o_orderkey") % 100 == 0).count()
+    b2 = o.filter(F.col("o_orderkey") % 100 == 1).count()
+    assert rows["round1"] == b1
+    assert rows["round2_new_rows"] == b2  # only the new file, no reprocessing
+
+
+def test_batch_stream_unified_tumbling(spark, queries):
+    """The q_stream_tumbling plan replayed under readStream gives the batch
+    answer (unified API — SURVEY §2.I preamble)."""
+    from xml_processor_spark.streaming.replay import (
+        read_replay_stream,
+        run_to_memory,
+        write_replay_files,
+    )
+
+    ev = table(spark, SF_SMALL, "events").filter(F.col("user_id") < 30)
+    src = write_replay_files(ev, n_buckets=4)
+    stream = read_replay_stream(spark, src)
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n")
+    )
+    got = {
+        (r.w_start, r.event_type, r.n)
+        for r in run_to_memory(agg, "t_unified", "complete").collect()
+    }
+    want = {
+        (r.w_start, r.event_type, r.n)
+        for r in ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n")
+        .collect()
+    }
+    assert got == want

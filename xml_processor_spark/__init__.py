@@ -24,6 +24,7 @@ def load_all() -> None:
     # Imported lazily so a syntax error in one module is easy to localize.
     from xml_processor_spark.sources import scans  # noqa: F401
     from xml_processor_spark.sources import xml_envelope  # noqa: F401
+    from xml_processor_spark.sources import multimodal  # noqa: F401
     from xml_processor_spark.operators import projection  # noqa: F401
     from xml_processor_spark.operators import joins  # noqa: F401
     from xml_processor_spark.operators import aggregation  # noqa: F401
@@ -36,3 +37,5 @@ def load_all() -> None:
     from xml_processor_spark.functions import llm_dedup  # noqa: F401
     from xml_processor_spark.functions import llm_vectors  # noqa: F401
     from xml_processor_spark.streaming import event_windows  # noqa: F401
+    from xml_processor_spark.streaming import stateful  # noqa: F401
+    from xml_processor_spark.sources import file_tracking  # noqa: F401

@@ -1,1 +1,180 @@
-"""Placeholder — populated in a later milestone."""
+"""Similarity search over embeddings (SURVEY §2.K, BASELINE.json mandate).
+
+Brute-force exact top-k as the correctness baseline (`q_knn_*`), with the
+scale path (`E-EMB-PIPE`) as an Arrow-batched embedding pipeline. All vector
+math is JVM-side higher-order functions (zip_with/aggregate) in double
+precision — DuckDB's list_cosine_similarity computes in float32 (probed:
+differs at 1e-7), so the oracles use explicit double unnest arithmetic.
+
+At 100 TB the brute-force plan is probe-broadcast × candidate-scan: the
+probe set is tiny and broadcast, candidates stream through one projection +
+one per-probe top-k (TakeOrderedAndProject per group); the LSH-bucketed
+variant for huge probe sets lives in llm_dedup's banding machinery.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from xml_processor_spark.functions.deterministic import r6
+from xml_processor_spark.io import table
+from xml_processor_spark.registry import register
+
+_N_PROBES = 5
+_TOP_K = 10
+
+# Double-precision dot product of two float lists, DuckDB-side.
+_DOT = (
+    "(SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) "
+    "FROM (SELECT unnest({a}) AS x, unnest({b}) AS y))"
+)
+_NORM2 = "(SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM (SELECT unnest({a}) AS x))"
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm2(a):
+    return F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+@register(
+    "q_knn_cosine",
+    oracle=f"""
+        WITH probes AS (SELECT vec_id AS probe_id, embedding AS pe
+                        FROM embeddings WHERE vec_id < {_N_PROBES}),
+        scored AS (
+            SELECT p.probe_id, c.vec_id,
+                   round({_DOT.format(a='p.pe', b='c.embedding')}
+                         / sqrt({_NORM2.format(a='p.pe')})
+                         / sqrt({_NORM2.format(a='c.embedding')}), 6) AS sim
+            FROM probes p JOIN embeddings c ON c.vec_id <> p.probe_id
+        )
+        SELECT probe_id, vec_id, sim, rn AS rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+                                           ORDER BY sim DESC, vec_id) AS rn
+              FROM scored)
+        WHERE rn <= {_TOP_K}
+    """,
+    origin="LLM",
+    doc="Exact top-10 cosine neighbors for a fixed probe set — brute force "
+        "with rounded-similarity + vec_id total order.",
+)
+def q_knn_cosine(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < _N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
+    )
+    cand = e.select("vec_id", "embedding")
+    scored = (
+        F.broadcast(probes)
+        .join(cand, F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            r6(
+                _dot(F.col("pe"), F.col("embedding"))
+                / F.sqrt(_norm2(F.col("pe")))
+                / F.sqrt(_norm2(F.col("embedding")))
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("sim").desc(), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("probe_id", "vec_id", "sim", "rank")
+    )
+
+
+@register(
+    "q_knn_euclidean",
+    oracle=f"""
+        WITH probes AS (SELECT vec_id AS probe_id, embedding AS pe
+                        FROM embeddings WHERE vec_id < {_N_PROBES}),
+        scored AS (
+            SELECT p.probe_id, c.vec_id,
+                   round(sqrt((SELECT SUM((CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+                                          * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)))
+                               FROM (SELECT unnest(p.pe) AS x,
+                                            unnest(c.embedding) AS y))), 6) AS dist
+            FROM probes p JOIN embeddings c ON c.vec_id <> p.probe_id
+        )
+        SELECT probe_id, vec_id, dist, rn AS rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+                                           ORDER BY dist, vec_id) AS rn
+              FROM scored)
+        WHERE rn <= {_TOP_K}
+    """,
+    origin="LLM",
+    doc="Exact top-10 L2 neighbors for the probe set.",
+)
+def q_knn_euclidean(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < _N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
+    )
+    cand = e.select("vec_id", "embedding")
+    diff2 = F.aggregate(
+        F.zip_with(
+            F.col("pe"), F.col("embedding"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(cand, F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id", r6(F.sqrt(diff2)).alias("dist"))
+    )
+    w = Window.partitionBy("probe_id").orderBy("dist", "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("probe_id", "vec_id", "dist", "rank")
+    )
+
+
+@register(
+    "E-EMB-PIPE",
+    oracle=None,
+    origin="LLM",
+    doc="Embedding-pipeline scaffold: L2-normalize vectors with an Arrow "
+        "pandas UDF (the batch 'model' hop — deterministic stub standing in "
+        "for a real encoder), verify unit norms downstream. The Spark-side "
+        "plumbing (array<float> in/out, Arrow batching, partition "
+        "parallelism) is the real deliverable; the model is a stub.",
+)
+def e_emb_pipe(spark, sf_dir):
+    @F.pandas_udf("array<double>")
+    def l2_normalize(vecs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        def norm(v):
+            a = np.asarray(v, dtype="float64")
+            n = float(np.sqrt((a * a).sum()))
+            return (a / n).tolist() if n > 0 else a.tolist()
+
+        return vecs.map(norm)
+
+    e = table(spark, sf_dir, "embeddings")
+    normed = e.select("vec_id", "label", l2_normalize("embedding").alias("unit"))
+    return normed.select(
+        "vec_id", "label",
+        r6(F.sqrt(_norm2(F.col("unit")))).alias("unit_norm"),
+        F.size("unit").alias("dim"),
+    )

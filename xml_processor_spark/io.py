@@ -17,10 +17,27 @@ TABLES = (
 )
 
 
+# (session id, path) → DataFrame. DataFrames are immutable logical plans;
+# re-creating one per call pays file listing + footer/schema reads + a Py4J
+# round-trip (~0.1-0.2 s each on local). Keyed by session so a new driver
+# session never sees a stale handle.
+_df_cache: dict[tuple[int, str], DataFrame] = {}
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
+    key = (id(spark), path)
+    cached = _df_cache.get(key)
+    if cached is not None:
+        return cached
+    df = _load(spark, path, name)
+    _df_cache[key] = df
+    return df
+
+
+def _load(spark: SparkSession, path: str, name: str) -> DataFrame:
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
         # reader rejects. Read the raw int64 nanos (legacy conf, runtime
@@ -33,6 +50,21 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
     return spark.read.parquet(path)
+
+
+def widen(df: DataFrame) -> DataFrame:
+    """Ensure CPU-heavy downstream work (XML parse, Python UDFs) runs wide.
+
+    The testdata parquet has a single row group per file, so the scan yields
+    one partition and per-row-expensive operators serialize on one core. A
+    100 TB table has thousands of row groups and never needs this; locally,
+    repartition only when the input is narrower than the cluster — the
+    shuffle of the narrow input costs far less than single-threaded parsing.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -304,5 +304,6 @@ def q_agg_grouping_sets(spark, sf_dir):
 def e_approx_cd(spark, sf_dir):
     o = table(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").agg(
-        F.approx_count_distinct("o_custkey").alias("approx_cust")
+        # rsd=0.02 → ±5% test bound holds with margin; sketch stays tiny.
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx_cust")
     )

@@ -21,10 +21,11 @@ def build_session(
 ) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     master = master or f"local[{cpus}]"
-    # 2×cores map-side parallelism locally; AQE coalesces down at runtime,
-    # so the same setting scales up on a real cluster (AQE re-plans from
-    # runtime shuffle statistics — SURVEY §4).
-    shuffle_partitions = shuffle_partitions or max(2 * cpus, 8)
+    # Match shuffle width to cores: at local scale more partitions is pure
+    # scheduling overhead; on a real cluster this is raised alongside
+    # executor count and AQE coalesces from runtime shuffle statistics
+    # (SURVEY §4), so the setting scales with the deployment, not the code.
+    shuffle_partitions = shuffle_partitions or max(cpus // 2, 8)
     return (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -34,7 +35,9 @@ def build_session(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Arrow: the only sane executor<->Python data plane (pandas UDFs).
+        # Large batches amortize the per-batch Python round-trip.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         # Deterministic timestamps across engines (oracle parity).
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))

@@ -1,1 +1,345 @@
-"""Placeholder — populated in a later milestone."""
+"""XML/JSON envelope (SURVEY §2.A) — the reference's reason to exist.
+
+Re-expresses the CDAP plugin surface on native Spark 4 XML support:
+
+- XMLParser transform [P: hydrator-plugins XMLParser.java — XPath mappings +
+  type mapping + processOnError routing] → ``from_xml`` with a declared
+  schema (typed extraction), ``xpath_*`` scalar functions, and a
+  PERMISSIVE-mode null-field split for error routing.
+- XMLToJSON transform [P: XmlToJson.java] → ``from_xml`` → ``to_json`` →
+  ``get_json_object``.
+- XMLReader batch source [P: XMLReaderBatchSource.java — file glob →
+  one record per node path, output (offset, fileName, record)] →
+  ``spark.read.format("xml")`` + ``input_file_name()`` (E-XML-SRC).
+
+The testdata ships no XML files, so the t2 rows use the synthesized-XML
+pattern: build a deterministic XML string per row FROM parquet columns,
+parse it back, extract typed fields; the DuckDB oracle projects the original
+columns — parse correctness ⇔ hash equality. Doubles never round-trip
+through engine-dependent float formatting: they are embedded as exact
+two-decimal strings built from integer cents.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from xml_processor_spark.io import table, widen
+from xml_processor_spark.registry import register
+
+# Exact 2-dp decimal string from a 2-dp double (cross-engine-identical):
+# integer cents → "<dollars>.<cc>".
+_CENTS = "CAST(round(o_totalprice * 100) AS BIGINT)"
+_PRICE_STR_SQL = (
+    f"concat(CAST({_CENTS} // 100 AS VARCHAR), '.', "
+    f"lpad(CAST({_CENTS} % 100 AS VARCHAR), 2, '0'))"
+)
+
+
+def _price_str():
+    c = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    return F.concat(
+        (c / 100).cast("long").cast("string"),
+        F.lit("."),
+        F.lpad((c % 100).cast("string"), 2, "0"),
+    )
+
+
+def _order_xml():
+    """`<order>` document synthesized from orders columns (Spark side)."""
+    return F.concat(
+        F.lit("<order><okey>"), F.col("o_orderkey").cast("string"),
+        F.lit("</okey><status>"), F.col("o_orderstatus"),
+        F.lit("</status><total>"), _price_str(),
+        F.lit("</total><odate>"), F.date_format("o_orderdate", "yyyy-MM-dd"),
+        F.lit("</odate><closed>"),
+        F.when(F.col("o_orderstatus") == "F", "true").otherwise("false"),
+        F.lit("</closed></order>"),
+    )
+
+
+@register(
+    "q_xml_parse_struct",
+    oracle="""
+        SELECT o_orderkey AS okey, o_orderstatus AS status,
+               o_totalprice AS total, CAST(o_orderdate AS DATE) AS odate,
+               (o_orderstatus = 'F') AS closed
+        FROM orders
+    """,
+    origin="REF",
+    doc="XMLParser envelope: synthesize XML per order row, from_xml with a "
+        "declared schema, extract long/string/double/date/boolean — the "
+        "XPath+type-mapping surface [P: XMLParser.java].",
+)
+def q_xml_parse_struct(spark, sf_dir):
+    o = widen(table(spark, sf_dir, "orders"))
+    parsed = o.select(
+        F.from_xml(
+            _order_xml(),
+            "okey LONG, status STRING, total DOUBLE, odate DATE, closed BOOLEAN",
+        ).alias("p")
+    )
+    return parsed.select("p.okey", "p.status", "p.total", "p.odate", "p.closed")
+
+
+@register(
+    "q_xml_xpath",
+    oracle="""
+        SELECT o_orderkey AS okey, o_orderstatus AS status,
+               o_totalprice AS total, o_orderpriority AS prio
+        FROM orders
+    """,
+    origin="REF",
+    doc="XPath scalar extraction (xpath_long/xpath_string/xpath_double) "
+        "over synthesized XML — the XPath-mapping half of XMLParser.",
+)
+def q_xml_xpath(spark, sf_dir):
+    o = widen(table(spark, sf_dir, "orders"))
+    xml = F.concat(
+        F.lit("<order><okey>"), F.col("o_orderkey").cast("string"),
+        F.lit("</okey><status>"), F.col("o_orderstatus"),
+        F.lit("</status><total>"), _price_str(),
+        F.lit("</total><prio>"), F.col("o_orderpriority"),
+        F.lit("</prio></order>"),
+    ).alias("xml")
+    return o.select(xml).select(
+        F.xpath_long("xml", F.lit("/order/okey")).alias("okey"),
+        F.xpath_string("xml", F.lit("/order/status")).alias("status"),
+        F.xpath_double("xml", F.lit("/order/total")).alias("total"),
+        F.xpath_string("xml", F.lit("/order/prio")).alias("prio"),
+    )
+
+
+@register(
+    "q_xml_attributes",
+    oracle="""
+        SELECT p_partkey AS pkey, p_size AS psize, p_brand AS brand,
+               p_name AS pname
+        FROM part
+    """,
+    origin="REF",
+    doc="Attribute syntax `<part size=.. brand=..>` parsed via from_xml's "
+        "attributePrefix ('_') — attributes are a distinct code path from "
+        "child elements in every XML parser.",
+)
+def q_xml_attributes(spark, sf_dir):
+    p = table(spark, sf_dir, "part")
+    xml = F.concat(
+        F.lit('<part size="'), F.col("p_size").cast("string"),
+        F.lit('" brand="'), F.col("p_brand"),
+        F.lit('"><pkey>'), F.col("p_partkey").cast("string"),
+        F.lit("</pkey><pname>"), F.col("p_name"),
+        F.lit("</pname></part>"),
+    )
+    parsed = p.select(
+        F.from_xml(xml, "_size INT, _brand STRING, pkey LONG, pname STRING").alias("x")
+    )
+    return parsed.select(
+        F.col("x.pkey").alias("pkey"),
+        F.col("x._size").alias("psize"),
+        F.col("x._brand").alias("brand"),
+        F.col("x.pname").alias("pname"),
+    )
+
+
+@register(
+    "q_xml_nested_explode",
+    oracle="""
+        SELECT l_orderkey AS okey, l_linenumber AS ln,
+               CAST(round(l_quantity * 100) AS BIGINT) AS qty_c
+        FROM lineitem
+    """,
+    origin="REF",
+    doc="Repeated child elements: per-order XML embeds its lineitems "
+        "(sorted collect), parsed as ARRAY<STRUCT> and exploded back to "
+        "lines — the hard XML case (one-to-many inside one document).",
+)
+def q_xml_nested_explode(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    line_xml = F.concat(
+        F.lit("<line><ln>"), F.col("l_linenumber").cast("string"),
+        F.lit("</ln><qty_c>"),
+        F.round(F.col("l_quantity") * 100, 0).cast("long").cast("string"),
+        F.lit("</qty_c></line>"),
+    )
+    per_order = (
+        li.groupBy("l_orderkey")
+        .agg(F.concat_ws("", F.sort_array(F.collect_list(line_xml))).alias("lines"))
+        .select(
+            F.concat(
+                F.lit("<order><okey>"), F.col("l_orderkey").cast("string"),
+                F.lit("</okey>"), F.col("lines"), F.lit("</order>"),
+            ).alias("xml")
+        )
+    )
+    parsed = per_order.select(
+        F.from_xml(
+            "xml", "okey LONG, line ARRAY<STRUCT<ln: INT, qty_c: LONG>>"
+        ).alias("x")
+    )
+    return parsed.select(
+        F.col("x.okey").alias("okey"), F.explode("x.line").alias("l")
+    ).select("okey", F.col("l.ln").alias("ln"), F.col("l.qty_c").alias("qty_c"))
+
+
+@register(
+    "q_xml_corrupt_route",
+    oracle="""
+        SELECT o_orderstatus AS status,
+               count(*) FILTER (WHERE o_orderkey % 10 = 0) AS n_corrupt,
+               count(*) FILTER (WHERE o_orderkey % 10 <> 0) AS n_ok,
+               sum(o_orderkey) FILTER (WHERE o_orderkey % 10 <> 0) AS ok_key_sum
+        FROM orders GROUP BY o_orderstatus
+    """,
+    origin="REF",
+    doc="Error routing (XMLParser processOnError / error-dataset [P]): "
+        "deterministically malformed XML for orderkey%10=0, PERMISSIVE "
+        "parse → null-field split into ok/error flows, counted per status.",
+)
+def q_xml_corrupt_route(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    good = F.concat(
+        F.lit("<order><okey>"), F.col("o_orderkey").cast("string"),
+        F.lit("</okey></order>"),
+    )
+    bad = F.concat(F.lit("<order><okey>"), F.col("o_orderkey").cast("string"))
+    xml = F.when(F.col("o_orderkey") % 10 == 0, bad).otherwise(good)
+    parsed = o.select(
+        "o_orderstatus",
+        F.from_xml(xml, "okey LONG", {"mode": "PERMISSIVE"}).alias("p"),
+    )
+    # Malformed documents parse to a struct whose fields are all null
+    # (probed on PySpark 4.1.2) — that null is the error route.
+    is_ok = F.col("p.okey").isNotNull()
+    return parsed.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.when(~is_ok, 1)).alias("n_corrupt"),
+        F.count(F.when(is_ok, 1)).alias("n_ok"),
+        F.sum(F.when(is_ok, F.col("p.okey"))).alias("ok_key_sum"),
+    )
+
+
+@register(
+    "q_xml_json_roundtrip",
+    oracle="""
+        SELECT o_orderkey AS okey, o_orderstatus AS status, o_totalprice AS total
+        FROM orders
+    """,
+    origin="REF",
+    doc="XMLToJSON transform [P: XmlToJson.java]: XML → struct → JSON text "
+        "→ extract values (JSON text itself is never compared — formatting "
+        "is engine-specific; extracted values are).",
+)
+def q_xml_json_roundtrip(spark, sf_dir):
+    o = widen(table(spark, sf_dir, "orders"))
+    parsed = o.select(
+        F.from_xml(
+            _order_xml(), "okey LONG, status STRING, total DOUBLE"
+        ).alias("p")
+    )
+    as_json = parsed.select(F.to_json("p").alias("j"))
+    return as_json.select(
+        F.get_json_object("j", "$.okey").cast("long").alias("okey"),
+        F.get_json_object("j", "$.status").alias("status"),
+        F.get_json_object("j", "$.total").cast("double").alias("total"),
+    )
+
+
+@register(
+    "q_json_extract",
+    oracle="""
+        SELECT event_id, json_extract_string(props, '$.k') AS k_str, event_type
+        FROM events
+    """,
+    doc="JSON path extraction from the stringly-typed events.props column.",
+)
+def q_json_extract(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        "event_type",
+    )
+
+
+@register(
+    "q_json_typed",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS INT) AS k,
+               CAST(json_extract_string(props, '$.k') AS INT) * 2 AS k2,
+               value + CAST(json_extract_string(props, '$.k') AS INT) AS vk
+        FROM events
+    """,
+    doc="from_json to a typed struct + arithmetic on the extracted field.",
+)
+def q_json_typed(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    j = e.select(
+        "event_id", "value", F.from_json("props", "k INT").alias("p")
+    )
+    return j.select(
+        "event_id",
+        F.col("p.k").alias("k"),
+        (F.col("p.k") * 2).alias("k2"),
+        (F.col("value") + F.col("p.k")).alias("vk"),
+    )
+
+
+@register(
+    "E-XML-SRC",
+    oracle=None,
+    origin="REF",
+    doc="XMLReader batch source shape [P: XMLReaderBatchSource.java — "
+        "(offset, fileName, record) rows from a file glob]: write XML files "
+        "derived from orders, read with the native XML datasource + "
+        "input_file_name(); raw-record mode via the text source.",
+)
+def e_xml_src(spark, sf_dir):
+    o = table(spark, sf_dir, "orders").limit(200)
+    tmp = tempfile.mkdtemp(prefix="xmlsrc_")
+    xml_dir = os.path.join(tmp, "xml")
+    # One well-formed document per bucket (the XML datasource scans for
+    # rowTag occurrences inside a rooted document, as the Hadoop
+    # XmlInputFormat underlying XMLReader does [P]).
+    docs = (
+        o.select((F.col("o_orderkey") % 2).alias("bucket"), _order_xml().alias("x"))
+        .groupBy("bucket")
+        .agg(
+            F.concat(
+                F.lit("<orders>"),
+                F.concat_ws("", F.sort_array(F.collect_list("x"))),
+                F.lit("</orders>"),
+            ).alias("value")
+        )
+        .select("value")
+    )
+    docs.repartition(2).write.mode("overwrite").text(xml_dir)
+    parsed = (
+        spark.read.format("xml")
+        .option("rowTag", "order")
+        .schema("okey LONG, status STRING, total DOUBLE, odate DATE, closed BOOLEAN")
+        .load(xml_dir)
+        .withColumn("fileName", F.element_at(F.split(F.input_file_name(), "/"), -1))
+    )
+    return parsed.select("okey", "status", "total", "fileName")
+
+
+@register(
+    "E-SINK-PQ",
+    oracle=None,
+    origin="REF",
+    doc="Partitioned parquet sink: write lineitem partitioned by returnflag "
+        "(the layout that enables partition pruning at 100 TB), re-read, "
+        "count per partition.",
+)
+def e_sink_pq(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    tmp = os.path.join(tempfile.mkdtemp(prefix="sinkpq_"), "out")
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(tmp)
+    back = spark.read.parquet(tmp)
+    return back.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("cnt"))

@@ -1,1 +1,134 @@
-"""Placeholder — populated in a later milestone."""
+"""Streaming semantics, batch-checked (SURVEY §2.I).
+
+Spark's unified batch/stream API means these exact plans re-run under
+``readStream`` unchanged — the batch results here are the golden answers
+for the streaming replays in tests/test_streaming.py (E-WATERMARK,
+E-STATEFUL, E-STREAM-JOIN). This mirrors the reference's XMLReader
+tracking-table semantics [P]: its incremental file processing is Spark's
+checkpointed file source.
+
+Boundary discipline: Spark windows are start-inclusive / end-exclusive and
+epoch-aligned; session gap merges strictly-less-than the gap. The DuckDB
+oracles encode the same boundaries explicitly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from xml_processor_spark.functions.deterministic import ts_sec
+from xml_processor_spark.io import table
+from xml_processor_spark.registry import register
+
+
+@register(
+    "q_stream_tumbling",
+    oracle="""
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start, event_type,
+               count(*) AS n,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    doc="1-hour tumbling window count/sum per event_type (F.window; "
+        "start-inclusive, end-exclusive, epoch-aligned — matches "
+        "time_bucket).",
+)
+def q_stream_tumbling(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast("double") / 100)
+            .alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("w_start"), "event_type", "n", "sum_value")
+    )
+
+
+@register(
+    "q_stream_sliding",
+    oracle="""
+        WITH bounds AS (
+            SELECT date_trunc('hour', min(ts)) - INTERVAL 45 MINUTE AS lo,
+                   max(ts) AS hi
+            FROM events
+        ), starts AS (
+            SELECT unnest(generate_series(lo, hi, INTERVAL 15 MINUTE)) AS ws
+            FROM bounds
+        )
+        SELECT s.ws AS w_start, count(*) AS n
+        FROM starts s JOIN events e
+          ON e.ts >= s.ws AND e.ts < s.ws + INTERVAL 1 HOUR
+        GROUP BY s.ws
+    """,
+    doc="1-hour window sliding every 15 min (each event lands in 4 "
+        "windows); oracle is a generate_series range join with the same "
+        "[start, start+1h) boundaries.",
+)
+def q_stream_sliding(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("w_start"), "n")
+    )
+
+
+@register(
+    "q_stream_session",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                        OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sessions AS (
+            SELECT user_id, ts,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM flagged
+        )
+        SELECT user_id,
+               date_trunc('second', min(ts)) AS session_start,
+               date_trunc('second', max(ts)) AS last_event,
+               count(*) AS n_events
+        FROM sessions GROUP BY user_id, sid
+    """,
+    doc="30-min-gap session windows per user (session_window merges while "
+        "gap < 30 min; the gaps-and-islands oracle splits on >= 30 min — "
+        "identical boundary).",
+)
+def q_stream_session(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            ts_sec(F.min("ts")).alias("session_start"),
+            ts_sec(F.max("ts")).alias("last_event"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start", "last_event", "n_events")
+    )
+
+
+@register(
+    "q_stream_dedup",
+    oracle="""
+        SELECT DISTINCT event_id, event_type, value
+        FROM (
+            SELECT event_id, event_type, value FROM events
+            UNION ALL
+            SELECT event_id, event_type, value FROM events WHERE event_id % 3 = 0
+        )
+    """,
+    doc="Exactly-once dedup on event_id over a stream with injected "
+        "duplicates (dropDuplicates ≡ streaming dedup state; duplicate "
+        "rows are identical so the survivor is well-defined).",
+)
+def q_stream_dedup(spark, sf_dir):
+    e = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    dup = e.filter(F.col("event_id") % 3 == 0)
+    return e.unionAll(dup).dropDuplicates(["event_id"])

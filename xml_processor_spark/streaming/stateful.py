@@ -1,0 +1,184 @@
+"""Stateful streaming operators (SURVEY §2.I E-WATERMARK / E-STATEFUL /
+E-STREAM-JOIN).
+
+These are the engine features with no SQL oracle: late-data discipline,
+custom sessionization state (HYPERSONIC-style CEP sessioning, PAPERS.md),
+and stream-stream joins. Batch twins (`q_stream_*`) are the golden answers;
+tests/test_streaming.py asserts batch ≡ stream on the overlap.
+
+State at 100 TB: watermarks bound every state store; sessionization keys by
+user (state ∝ |active users|, not |events|); RocksDB state store is the
+deployment default for large keyspaces (config note in session.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from xml_processor_spark.io import table
+from xml_processor_spark.registry import register
+from xml_processor_spark.streaming.replay import (
+    read_replay_stream,
+    run_to_memory,
+    write_replay_files,
+)
+
+_GAP_MS = 30 * 60 * 1000
+
+
+@register(
+    "E-WATERMARK",
+    oracle=None,
+    doc="Late-data drop: 10-minute watermark + 1h tumbling count in append "
+        "mode; a deliberately late bucket (early timestamps arriving last) "
+        "is discarded once the watermark has passed its windows. "
+        "tests/test_streaming.py asserts the late rows are absent.",
+)
+def e_watermark(spark, sf_dir):
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    # Late rows: early-timestamped (first 3 days) but arriving after the
+    # whole month has streamed — unambiguously beyond the watermark.
+    lo = ev.agg(F.min("ts")).collect()[0][0]
+    cutoff = F.lit(lo) + F.expr("INTERVAL 3 DAYS")
+    is_late = (F.col("event_id") % 50 == 0) & (F.col("ts") < cutoff)
+    on_time = ev.filter(~is_late)
+    late = ev.filter(is_late)
+    src = write_replay_files(on_time, n_buckets=6, late_rows=late)
+    stream = read_replay_stream(spark, src)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("w_start"), "n")
+    )
+    return run_to_memory(agg, "e_watermark_sink", "append")
+
+
+def _sessionize(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """30-min-gap sessionization with event-time timeout.
+
+    State = open session (start_ms, last_ms, n). Closed sessions emit as
+    (user_id, session_start, last_event, n_events) — the same shape as the
+    batch `q_stream_session` golden answer.
+    """
+    (user_id,) = key
+
+    def emit(start_ms: int, last_ms: int, n: int) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "session_start": [pd.Timestamp(start_ms, unit="ms")],
+                "last_event": [pd.Timestamp(last_ms, unit="ms")],
+                "n_events": [n],
+            }
+        )
+
+    if state.hasTimedOut:
+        start_ms, last_ms, n = state.get
+        state.remove()
+        yield emit(start_ms, last_ms, n)
+        return
+
+    ts_ms: list[int] = []
+    for pdf in pdfs:
+        ts_ms.extend(
+            int(t.value // 1_000_000) for t in pd.to_datetime(pdf["ts"])
+        )
+    ts_ms.sort()
+    if state.exists:
+        start_ms, last_ms, n = state.get
+    else:
+        start_ms = last_ms = ts_ms[0]
+        n = 0
+        ts_ms = ts_ms[:]
+    for t in ts_ms:
+        if n > 0 and t - last_ms >= _GAP_MS:
+            yield emit(start_ms, last_ms, n)
+            start_ms, n = t, 0
+        last_ms = max(last_ms, t)
+        n += 1
+    state.update((start_ms, last_ms, n))
+    state.setTimeoutTimestamp(last_ms + _GAP_MS)
+
+
+@register(
+    "E-STATEFUL",
+    oracle=None,
+    doc="Custom stateful sessionization via applyInPandasWithState with "
+        "event-time timeout (the CEP-style escape hatch; cf. HYPERSONIC, "
+        "PAPERS.md). Golden answer = batch q_stream_session; equality on "
+        "the replayed subset asserted in tests/test_streaming.py.",
+)
+def e_stateful(spark, sf_dir):
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    src = write_replay_files(ev, n_buckets=6, sentinel=True)
+    stream = read_replay_stream(spark, src)
+    sessions = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize,
+            outputStructType=(
+                "user_id LONG, session_start TIMESTAMP, "
+                "last_event TIMESTAMP, n_events LONG"
+            ),
+            stateStructType="start_ms LONG, last_ms LONG, n LONG",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    out = run_to_memory(sessions, "e_stateful_sink", "append")
+    # Second-truncated to match the batch golden (json replay is ms-precise).
+    return out.filter(F.col("user_id") >= 0).select(
+        "user_id",
+        F.date_trunc("second", "session_start").alias("session_start"),
+        F.date_trunc("second", "last_event").alias("last_event"),
+        "n_events",
+    )
+
+
+@register(
+    "E-STREAM-JOIN",
+    oracle=None,
+    doc="Stream-stream inner join with watermark bounds: purchases joined "
+        "to views by the same user within the preceding hour — the "
+        "streaming twin of q_join_range's interval semantics.",
+)
+def e_stream_join(spark, sf_dir):
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    src = write_replay_files(ev, n_buckets=6)
+    stream = read_replay_stream(spark, src)
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    views = (
+        read_replay_stream(spark, src)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "2 hours")
+    )
+    joined = purchases.join(
+        views,
+        F.expr(
+            "p_user = v_user AND v_ts <= p_ts AND v_ts >= p_ts - INTERVAL 1 HOUR"
+        ),
+        "inner",
+    ).select("purchase_id", "view_id", "p_user", "p_ts", "v_ts")
+    return run_to_memory(joined, "e_stream_join_sink", "append")
