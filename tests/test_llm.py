@@ -89,3 +89,57 @@ def test_multimodal_stub_deterministic(spark, queries):
     a = {r.path: (r.sha, r.width, r.height) for r in queries["E-MULTIMODAL"](spark, SF_SMALL).collect()}
     b = {r.path: (r.sha, r.width, r.height) for r in queries["E-MULTIMODAL"](spark, SF_SMALL).collect()}
     assert a == b and len(a) == 20
+
+
+def test_ivf_recall_and_pruning(spark, queries):
+    """IVF top-10 must recover a useful fraction of exact top-10 while
+    scanning only nprobe/nlists of the corpus."""
+    exact = {}
+    for r in queries["q_knn_cosine"](spark, SF_SMALL).collect():
+        exact.setdefault(r.probe_id, set()).add(r.vec_id)
+    approx = {}
+    for r in queries["E-KNN-IVF"](spark, SF_SMALL).collect():
+        approx.setdefault(r.probe_id, set()).add(r.vec_id)
+    recalls = [
+        len(exact[p] & approx.get(p, set())) / len(exact[p]) for p in exact
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    # Random N(0,.1) vectors are a worst case for IVF (no cluster
+    # structure); the bound asserts the machinery works, not magic.
+    assert mean_recall >= 0.3, f"IVF mean recall {mean_recall:.2f}"
+    assert all(len(v) == 10 for v in approx.values())
+
+
+def test_simhash_tokenset_dups_have_zero_hamming(spark, queries):
+    """SimHash is computed over distinct token sets, so token-set-identical
+    pairs (Jaccard = 1.0) must land at hamming 0. (The fixture has no
+    string-identical texts at sf0.001 — J=1.0 pairs are the ground truth.)"""
+    j1_pairs = {
+        (r.id_a, r.id_b)
+        for r in queries["q_dedup_near_jaccard"](spark, SF_SMALL).collect()
+        if r.jaccard == 1.0
+    }
+    sim = {
+        (r.id_a, r.id_b): r.hamming
+        for r in queries["q_dedup_simhash"](spark, SF_SMALL).collect()
+    }
+    assert j1_pairs, "no Jaccard-1.0 pairs in fixture?"
+    for p in j1_pairs:
+        assert sim.get(p) == 0, f"token-set dup {p} missing or nonzero hamming"
+
+
+def test_fingerprint_deterministic_and_discriminative(spark, queries):
+    """Fingerprints are stable across runs and (near-)unique across 500
+    distinct texts (1e9 rolling-hash space → collisions are the exception,
+    not the rule)."""
+    a = {
+        r.doc_id: (r.roll_fp, r.min_shingle_fp)
+        for r in queries["q_text_fingerprint"](spark, SF_SMALL).collect()
+    }
+    b = {
+        r.doc_id: (r.roll_fp, r.min_shingle_fp)
+        for r in queries["q_text_fingerprint"](spark, SF_SMALL).collect()
+    }
+    assert a == b and len(a) == 500
+    assert len({v[0] for v in a.values()}) >= 495
+    assert all(0 <= v[0] < 1_000_000_007 for v in a.values())

@@ -61,6 +61,21 @@ def r2(col: Column) -> Column:
     return F.round(col, 2)
 
 
+def phash60(col: Column | str) -> Column:
+    """Portable 60-bit hash: first 15 hex digits of md5, as BIGINT.
+
+    Spark's xxhash64 has no DuckDB twin; md5 is bit-identical in both
+    engines, so this is the cross-engine deterministic hash family for
+    SimHash / fingerprinting oracles (60 bits < 2^63: no sign issues).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def phash60_sql(expr: str) -> str:
+    return f"CAST(concat('0x', substring(md5({expr}), 1, 15)) AS BIGINT)"
+
+
 def ts_sec(col: Column | str) -> Column:
     """Truncate a timestamp to whole seconds (oracle-comparable)."""
     c = F.col(col) if isinstance(col, str) else col

@@ -180,3 +180,210 @@ def e_minhash_lsh(spark, sf_dir):
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Extended dedup family (BASELINE.json mandate): SimHash, n-gram Jaccard,
+# embedding-cosine near-dup. Each is a distinct rung: bit-sketch hamming,
+# set overlap on shingles, and dense-vector similarity.
+# ---------------------------------------------------------------------------
+
+from xml_processor_spark.functions.deterministic import phash60, phash60_sql  # noqa: E402
+
+_SIM_BITS = 32
+_HAM_MAX = 6
+
+
+def _simhash_oracle() -> str:
+    h = phash60_sql("tok")
+    bit_sums = ",\n               ".join(
+        f"SUM(CASE WHEN (({h}) >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(_SIM_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(_SIM_BITS)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+            FROM documents
+        ), sums AS (
+            SELECT doc_id,
+               {bit_sums}
+            FROM toks GROUP BY doc_id
+        ), fp AS (
+            SELECT doc_id, {fp} AS fp FROM sums
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.fp, b.fp)) AS hamming
+        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.fp, b.fp)) <= {_HAM_MAX}
+    """
+
+
+@register(
+    "q_dedup_simhash",
+    oracle=_simhash_oracle(),
+    origin="LLM",
+    doc=f"SimHash near-dup: {_SIM_BITS}-bit per-doc sketch from a portable "
+        "md5-derived token hash (sign-of-sum per bit), pairs at hamming "
+        f"<= {_HAM_MAX} via bit_count(xor). The constant-space sketch rung "
+        "of the dedup ladder — at 100 TB the sketch table is |docs| x 8 "
+        "bytes and pairs come from band-bucketing the sketch, not O(n^2).",
+)
+def q_dedup_simhash(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    )
+    h = phash60("tok")
+    sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1)
+            ).alias(f"s{j}")
+            for j in range(_SIM_BITS)
+        ]
+    )
+    fp_col = None
+    for j in range(_SIM_BITS):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fp_col = term if fp_col is None else fp_col + term
+    fp = sums.select("doc_id", fp_col.alias("fp"))
+    a = fp.select(F.col("doc_id").alias("id_a"), F.col("fp").alias("fp_a"))
+    b = fp.select(F.col("doc_id").alias("id_b"), F.col("fp").alias("fp_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _HAM_MAX)
+    )
+
+
+# Integer-exact shingle-Jaccard threshold: J >= 0.8  ⇔  10*i >= 8*(union)
+_NG_NUM, _NG_DEN = 8, 10
+
+
+@register(
+    "q_dedup_ngram_jaccard",
+    oracle=f"""
+        WITH sh AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       generate_series(1, greatest(len(string_split(text,' ')) - 2, 1)),
+                       i -> string_split(text,' ')[i] || ' ' ||
+                            string_split(text,' ')[i+1] || ' ' ||
+                            string_split(text,' ')[i+2]))) AS s
+            FROM documents
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               round(i / CAST(sa.n + sb.n - i AS DOUBLE), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE {_NG_DEN} * i >= {_NG_NUM} * (sa.n + sb.n - i)
+    """,
+    origin="LLM",
+    doc="n-gram (3-word shingle) Jaccard near-dup pairs at >= 0.8 — the "
+        "order-sensitive counterpart of token-set Jaccard (detects copies, "
+        "not just shared vocabulary); the exact truth E-MINHASH-LSH "
+        "approximates.",
+)
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(shingles(F.col("text"))).alias("s"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "s")
+    b = sh.select(F.col("doc_id").alias("id_b"), "s")
+    inter = (
+        a.join(b, ["s"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    union_sz = F.col("na") + F.col("nb") - F.col("i")
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .filter(_NG_DEN * F.col("i") >= _NG_NUM * union_sz)
+        .select(
+            "id_a", "id_b",
+            F.round(F.col("i") / union_sz.cast("double"), 6).alias("jaccard"),
+        )
+    )
+
+
+_COS_TAU = 0.35
+
+
+@register(
+    "q_dedup_emb_cosine",
+    oracle=f"""
+        WITH norms AS (
+            SELECT vec_id, embedding,
+                   sqrt((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+                         FROM (SELECT unnest(embedding) AS x))) AS nrm
+            FROM embeddings
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round((SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+                      FROM (SELECT unnest(a.embedding) AS x,
+                                   unnest(b.embedding) AS y))
+                     / a.nrm / b.nrm, 6) AS sim
+        FROM norms a JOIN norms b ON a.vec_id < b.vec_id
+        WHERE (SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+               FROM (SELECT unnest(a.embedding) AS x,
+                            unnest(b.embedding) AS y))
+              / a.nrm / b.nrm >= {_COS_TAU}
+    """,
+    origin="LLM",
+    doc=f"Embedding-cosine near-dup pairs (cos >= {_COS_TAU}) in double "
+        "precision — semantic-duplicate detection over the vector column; "
+        "the all-pairs form is the exact truth for bucketed variants "
+        "(E-KNN-IVF holds the scale path).",
+)
+def q_dedup_emb_cosine(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("ea"), F.col("eb"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm2 = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    a = e.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ea"),
+        F.sqrt(norm2(F.col("embedding"))).alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"),
+        F.sqrt(norm2(F.col("embedding"))).alias("nb"),
+    )
+    sim = dot / F.col("na") / F.col("nb")
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("sim_raw", sim)
+        .filter(F.col("sim_raw") >= _COS_TAU)
+        .select("id_a", "id_b", F.round("sim_raw", 6).alias("sim"))
+    )

@@ -163,3 +163,212 @@ def q_text_lang_stats(spark, sf_dir):
             "n_violations"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Extended text analysis (BASELINE.json mandate): language-ID, quality
+# scoring, token counting, document fingerprinting.
+# ---------------------------------------------------------------------------
+
+from xml_processor_spark.functions.deterministic import phash60, phash60_sql  # noqa: E402
+from pyspark.sql import Window  # noqa: E402
+
+_PROFILE_TOP = 20
+
+
+@register(
+    "q_text_langid",
+    oracle=f"""
+        WITH bg AS (
+            SELECT doc_id, lang,
+                   unnest(list_distinct(list_transform(
+                       generate_series(1, greatest(len(text) - 1, 1)),
+                       i -> substring(text, i, 2)))) AS b
+            FROM documents
+        ), prof_counts AS (
+            SELECT lang AS plang, b, count(*) AS c FROM bg GROUP BY 1, 2
+        ), prof AS (
+            SELECT plang, b FROM (
+                SELECT plang, b,
+                       row_number() OVER (PARTITION BY plang
+                                          ORDER BY c DESC, b) AS rn
+                FROM prof_counts
+            ) WHERE rn <= {_PROFILE_TOP}
+        ), scores AS (
+            SELECT g.doc_id, g.lang, p.plang, count(*) AS score
+            FROM bg g JOIN prof p ON g.b = p.b
+            GROUP BY 1, 2, 3
+        )
+        SELECT doc_id, lang, plang AS pred_lang, score
+        FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY score DESC, plang) AS rn
+              FROM scores)
+        WHERE rn = 1
+    """,
+    origin="LLM",
+    doc="n-gram-heuristic language ID: per-language character-bigram "
+        "profiles (top-20 by frequency) scored against each document's "
+        "bigram set; argmax with lexicographic tie-break. The standard "
+        "cheap lang-ID shape — profile build and scoring are two "
+        "aggregations, no Python.",
+)
+def q_text_langid(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    bigrams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length("text") - 1, F.lit(1))),
+            lambda i: F.col("text").substr(i, F.lit(2)),
+        )
+    )
+    bg = d.select("doc_id", "lang", F.explode(bigrams).alias("b"))
+    prof_counts = bg.groupBy(F.col("lang").alias("plang"), "b").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_prof = Window.partitionBy("plang").orderBy(F.col("c").desc(), "b")
+    prof = (
+        prof_counts.withColumn("rn", F.row_number().over(w_prof))
+        .filter(F.col("rn") <= _PROFILE_TOP)
+        .select("plang", "b")
+    )
+    scores = (
+        bg.join(F.broadcast(prof), "b")
+        .groupBy("doc_id", "lang", "plang")
+        .agg(F.count(F.lit(1)).alias("score"))
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "plang")
+    return (
+        scores.withColumn("rn", F.row_number().over(w_doc))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", F.col("plang").alias("pred_lang"), "score")
+    )
+
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in")
+_SW_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+
+@register(
+    "q_text_quality",
+    oracle=f"""
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               round(len(list_distinct(string_split(text, ' ')))
+                     / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS uniq_ratio,
+               round((length(text) - len(string_split(text, ' ')) + 1)
+                     / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS avg_tok_len,
+               round(len(list_filter(string_split(text, ' '),
+                                     t -> t IN ({_SW_SQL})))
+                     / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS stop_ratio,
+               (length(text) <> n_chars) AS meta_mismatch
+        FROM documents
+    """,
+    origin="LLM",
+    doc="Quality scoring: token count, type/token ratio, mean token length "
+        "(exact integer arithmetic: chars minus separators), stopword "
+        "ratio, metadata-consistency flag — the filter features of a "
+        "training-data quality gate, all JVM-side.",
+)
+def q_text_quality(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        r6(F.size(F.array_distinct(toks)) / n.cast("double")).alias("uniq_ratio"),
+        r6((F.length("text") - n + 1) / n.cast("double")).alias("avg_tok_len"),
+        r6(n_stop / n.cast("double")).alias("stop_ratio"),
+        (F.length("text") != F.col("n_chars")).alias("meta_mismatch"),
+    )
+
+
+@register(
+    "q_text_token_stats",
+    oracle="""
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_ws_tokens,
+               len(regexp_extract_all(text, '[a-z]+')) AS n_alpha_runs,
+               len(regexp_extract_all(text, '[a-z]{1,4}')) AS n_bpe_pieces,
+               length(replace(text, ' ', '')) AS n_chars_nospace
+        FROM documents
+    """,
+    origin="LLM",
+    doc="Token counting: whitespace tokens, alphabetic runs, and a BPE-ish "
+        "greedy <=4-char piece count via regex — the cheap token-budget "
+        "estimators a data pipeline runs before the real tokenizer.",
+)
+def q_text_token_stats(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+"), F.lit(0))).alias(
+            "n_alpha_runs"
+        ),
+        F.size(
+            F.regexp_extract_all("text", F.lit("[a-z]{1,4}"), F.lit(0))
+        ).alias("n_bpe_pieces"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).alias(
+            "n_chars_nospace"
+        ),
+    )
+
+
+_ROLL_MOD = 1_000_000_007
+_FP_SHINGLE = 4
+
+
+@register(
+    "q_text_fingerprint",
+    oracle=f"""
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(generate_series(1, len(text)),
+                                      i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
+                   (a, c) -> (a * 31 + c) % {_ROLL_MOD}) AS roll_fp,
+               list_aggregate(
+                   list_transform(
+                       list_distinct(list_transform(
+                           generate_series(1, greatest(len(string_split(text,' ')) - {_FP_SHINGLE - 1}, 1)),
+                           i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+                                || ' ' || string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3])),
+                       s -> {phash60_sql('s')}),
+                   'min') AS min_shingle_fp
+        FROM documents
+    """,
+    origin="LLM",
+    doc="Document fingerprinting: (1) polynomial rolling hash over the "
+        "character stream (base 31 mod 1e9+7, left fold — identical "
+        "sequential fold in both engines); (2) winnowing-style minimum "
+        "4-word-shingle fingerprint from the portable md5-derived hash. "
+        "Both are content-defined IDs for incremental dedup.",
+)
+def q_text_fingerprint(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length("text")),
+        lambda i: F.ascii(F.col("text").substr(i, F.lit(1))).cast("long"),
+    )
+    roll = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda a, c: (a * 31 + c) % _ROLL_MOD,
+    )
+    toks = F.split("text", " ")
+    sh4 = F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.size(toks) - (_FP_SHINGLE - 1), F.lit(1))
+            ),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + off) for off in range(_FP_SHINGLE)]
+            ),
+        )
+    )
+    min_fp = F.array_min(F.transform(sh4, lambda s: phash60(s)))
+    return d.select(
+        "doc_id", roll.alias("roll_fp"), min_fp.alias("min_shingle_fp")
+    )

@@ -178,3 +178,79 @@ def e_emb_pipe(spark, sf_dir):
         r6(F.sqrt(_norm2(F.col("unit")))).alias("unit_norm"),
         F.size("unit").alias("dim"),
     )
+
+
+_IVF_CENTROID_MOD = 31  # vec_id % 31 == 0 → deterministic coarse centroids
+_IVF_NPROBE = 4
+
+
+@register(
+    "E-KNN-IVF",
+    oracle=None,
+    origin="LLM",
+    doc="IVF approximate nearest neighbor — the similarity-search scale "
+        "path: a deterministic coarse quantizer (centroid set = sampled "
+        "vectors) partitions candidates into inverted lists; each probe "
+        f"scans only its {_IVF_NPROBE} nearest lists, then exact cosine "
+        "top-10 within them. Scan cost drops from |all vectors| to "
+        "|nprobe/nlists| of it; recall vs exact brute force asserted in "
+        "tests/test_llm.py. At 100 TB: lists are hash-partitioned, probes "
+        "broadcast, and each probe touches nprobe partitions only.",
+)
+def e_knn_ivf(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") % _IVF_CENTROID_MOD == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+
+    def cos(a, b):
+        d = _dot(F.col(a), F.col(b))
+        return d / F.sqrt(_norm2(F.col(a))) / F.sqrt(_norm2(F.col(b)))
+
+    # Assign every vector to its nearest centroid (inverted lists).
+    va = (
+        e.select("vec_id", "embedding")
+        .join(F.broadcast(cents), F.lit(True))
+        .select(
+            "vec_id", "embedding", "cid",
+            cos("embedding", "ce").alias("csim"),
+        )
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), "cid")
+    lists = (
+        va.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cid")
+    )
+    # Probes pick their nprobe nearest lists.
+    probes = e.filter(F.col("vec_id") < _N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
+    )
+    pa = (
+        probes.join(F.broadcast(cents), F.lit(True))
+        .select("probe_id", "pe", "cid", cos("pe", "ce").alias("csim"))
+    )
+    w_probe = Window.partitionBy("probe_id").orderBy(F.col("csim").desc(), "cid")
+    probe_lists = (
+        pa.withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= _IVF_NPROBE)
+        .select("probe_id", "pe", "cid")
+    )
+    # Exact cosine only within the probed lists.
+    cand = probe_lists.join(lists, "cid").filter(
+        F.col("vec_id") != F.col("probe_id")
+    )
+    scored = cand.select(
+        "probe_id", "vec_id",
+        r6(
+            _dot(F.col("pe"), F.col("embedding"))
+            / F.sqrt(_norm2(F.col("pe")))
+            / F.sqrt(_norm2(F.col("embedding")))
+        ).alias("sim"),
+    )
+    w_top = Window.partitionBy("probe_id").orderBy(F.col("sim").desc(), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w_top))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("probe_id", "vec_id", "sim", "rank")
+    )
