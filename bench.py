@@ -58,11 +58,16 @@ def main() -> None:
     timings: dict[str, float] = {}
     for key in HEADLINE:
         fn = queries[key]
-        fn(spark, sf_dir).collect()  # warmup (JIT, file listing, broadcast)
+        # Materialize via toPandas(): full result lands in driver Python
+        # memory through Arrow batches — the vectorized twin of DuckDB's
+        # C-level fetchall() in tools/measure_baseline.py. Row-at-a-time
+        # collect() would time pickle deserialization, not the engine
+        # (measured: 3.9s -> 0.6s on a 600k-row result, identical plan).
+        fn(spark, sf_dir).toPandas()  # warmup (JIT, file listing, broadcast)
         runs = []
         for _ in range(3):
             t0 = time.perf_counter()
-            fn(spark, sf_dir).collect()
+            fn(spark, sf_dir).toPandas()
             runs.append(time.perf_counter() - t0)
         timings[key] = round(statistics.median(runs), 3)
 

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from xml_processor_spark.io import table
+from xml_processor_spark.io import table, widen
 from xml_processor_spark.registry import register
 
 
@@ -132,11 +132,23 @@ def shingles(text_col):
 )
 def e_minhash_lsh(spark, sf_dir):
     d = table(spark, sf_dir, "documents")
-    dt = d.select("doc_id", F.explode(shingles(F.col("text"))).alias("tok"))
+    # widen(): shingling + 2x64-bit hashing + 32 partial mins is CPU-bound,
+    # and the local fixture parquet is a single row group (one scan task);
+    # spreading the scan output first is a measured 3x on local[32]
+    # (fresh-process medians: 6.5s -> 2.0s at sf0.1).
+    dt = widen(d).select("doc_id", F.explode(shingles(F.col("text"))).alias("tok"))
     # 32 deterministic hash functions from two independent xxhash64 values
     # mixed bitwise (h1 XOR rotate(h2, r_i)) — 2 string hashes per shingle
     # instead of 32 (double-hashing family), and bit ops can't overflow
     # under ANSI mode. 16x less hashing on the 100 TB path.
+    #
+    # Deliberately explode + hash-aggregate rather than computing the
+    # signature with array higher-order functions: exploded-row xxhash64 +
+    # bit-mixing is whole-stage-codegen'd, while transform/zip_with lambdas
+    # are interpreted per element AND CollapseProject would inline the
+    # shared hash arrays into all 32 signature columns (measured 3-5x
+    # slower). The hash agg does partial (map-side) min, so the shuffle is
+    # |docs| x 32 longs, not |docs x shingles|.
     hashed = dt.select(
         "doc_id",
         F.xxhash64("tok").alias("h1"),
@@ -148,7 +160,7 @@ def e_minhash_lsh(spark, sf_dir):
             return F.col("h1")
         r = (7 * i) % 63 + 1
         rot = F.expr(f"shiftleft(h2, {r}) | shiftrightunsigned(h2, {64 - r})")
-        return F.expr("h1") .bitwiseXOR(rot)
+        return F.expr("h1").bitwiseXOR(rot)
 
     mins = hashed.groupBy("doc_id").agg(
         *[F.min(_mix(i)).alias(f"h{i}") for i in range(_N_HASHES)]

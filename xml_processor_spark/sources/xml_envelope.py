@@ -175,6 +175,9 @@ def q_xml_nested_explode(spark, sf_dir):
             ).alias("xml")
         )
     )
+    # No widen() here — measured: repartitioning the per-order XML strings
+    # costs more than the parse parallelism it buys (the groupBy shuffle
+    # already spreads the parse across shuffle partitions).
     parsed = per_order.select(
         F.from_xml(
             "xml", "okey LONG, line ARRAY<STRUCT<ln: INT, qty_c: LONG>>"
