@@ -64,3 +64,25 @@ def test_xml_path_has_no_python_udf(spark, queries):
     for key in ("q_xml_parse_struct", "q_xml_nested_explode", "q_xml_xpath"):
         plan = explain(queries[key](spark, SF_MID))
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_minhash_band_join_is_equi(spark, queries):
+    """LSH candidate generation must be an equi bucket-join — the whole
+    point of banding is that no all-pairs operator ever appears."""
+    plan = explain(queries["E-MINHASH-LSH"](spark, SF_MID))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ngram_jaccard_blocked_join_is_equi(spark, queries):
+    """Shingle-blocked candidate pairs join on the shingle (equi), never
+    all-pairs; only the tiny size lookups broadcast."""
+    plan = explain(queries["q_dedup_ngram_jaccard"](spark, SF_MID))
+    assert "CartesianProduct" not in plan
+
+
+def test_langid_profile_join_is_broadcast(spark, queries):
+    """The per-language bigram profile (|langs| x 20 rows) must broadcast;
+    shuffling the document bigrams against it would be a scale bug."""
+    plan = explain(queries["q_text_langid"](spark, SF_MID))
+    assert "BroadcastHashJoin" in plan
