@@ -110,22 +110,28 @@ def test_ivf_recall_and_pruning(spark, queries):
     assert all(len(v) == 10 for v in approx.values())
 
 
-def test_simhash_tokenset_dups_have_zero_hamming(spark, queries):
-    """SimHash is computed over distinct token sets, so token-set-identical
-    pairs (Jaccard = 1.0) must land at hamming 0. (The fixture has no
-    string-identical texts at sf0.001 — J=1.0 pairs are the ground truth.)"""
-    j1_pairs = {
+def test_simhash_recall_precision_vs_exact_jaccard(spark, queries):
+    """The 32-bit shingle SimHash at hamming <= 3 must behave like a real
+    near-dup detector against the exact shingle-Jaccard >= 0.8 truth:
+    high recall, high precision, and a selective pair list (not the
+    all-pairs collapse a unigram sketch shows on this small-vocabulary
+    corpus). Measured at seed-42 sf0.001: 23 pairs, recall 0.82,
+    precision 1.0."""
+    truth = {
         (r.id_a, r.id_b)
-        for r in queries["q_dedup_near_jaccard"](spark, SF_SMALL).collect()
-        if r.jaccard == 1.0
+        for r in queries["q_dedup_ngram_jaccard"](spark, SF_SMALL).collect()
     }
-    sim = {
-        (r.id_a, r.id_b): r.hamming
-        for r in queries["q_dedup_simhash"](spark, SF_SMALL).collect()
-    }
-    assert j1_pairs, "no Jaccard-1.0 pairs in fixture?"
-    for p in j1_pairs:
-        assert sim.get(p) == 0, f"token-set dup {p} missing or nonzero hamming"
+    rows = queries["q_dedup_simhash"](spark, SF_SMALL).collect()
+    found = {(r.id_a, r.id_b) for r in rows}
+    assert truth, "no shingle-Jaccard >= 0.8 pairs in fixture?"
+    recall = len(truth & found) / len(truth)
+    precision = len(truth & found) / len(found) if found else 0.0
+    assert recall >= 0.7, f"simhash recall {recall:.2f}"
+    assert precision >= 0.9, f"simhash precision {precision:.2f}"
+    n_docs = 500
+    assert len(rows) < n_docs * (n_docs - 1) // 2 * 0.01, (
+        f"simhash pair list not selective: {len(rows)} pairs"
+    )
 
 
 def test_fingerprint_deterministic_and_discriminative(spark, queries):

@@ -203,7 +203,7 @@ def e_minhash_lsh(spark, sf_dir):
 from xml_processor_spark.functions.deterministic import phash60, phash60_sql  # noqa: E402
 
 _SIM_BITS = 32
-_HAM_MAX = 6
+_HAM_MAX = 3
 
 
 def _simhash_oracle() -> str:
@@ -216,9 +216,20 @@ def _simhash_oracle() -> str:
         f"(CASE WHEN s{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
         for j in range(_SIM_BITS)
     )
+    # Sketch over distinct 3-word shingles, not unigram tokens: the fixture
+    # corpus has a ~30-word vocabulary, so unigram token sets are near-equal
+    # across ALL documents and a token SimHash collapses — measured 6.1M of
+    # 12.5M possible pairs within hamming 6 at sf0.1, i.e. no signal. Over
+    # shingles, hamming <= 3 isolates genuinely near-duplicate pairs (same
+    # feature-space lesson as the MinHash shingle choice above).
     return f"""
         WITH toks AS (
-            SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       generate_series(1, greatest(len(string_split(text,' ')) - 2, 1)),
+                       i -> string_split(text,' ')[i] || ' ' ||
+                            string_split(text,' ')[i+1] || ' ' ||
+                            string_split(text,' ')[i+2]))) AS tok
             FROM documents
         ), sums AS (
             SELECT doc_id,
@@ -239,16 +250,16 @@ def _simhash_oracle() -> str:
     oracle=_simhash_oracle(),
     origin="LLM",
     doc=f"SimHash near-dup: {_SIM_BITS}-bit per-doc sketch from a portable "
-        "md5-derived token hash (sign-of-sum per bit), pairs at hamming "
-        f"<= {_HAM_MAX} via bit_count(xor). The constant-space sketch rung "
-        "of the dedup ladder — at 100 TB the sketch table is |docs| x 8 "
-        "bytes and pairs come from band-bucketing the sketch, not O(n^2).",
+        "md5-derived 3-word-shingle hash (sign-of-sum per bit), pairs at "
+        f"hamming <= {_HAM_MAX} via bit_count(xor). The constant-space "
+        "sketch rung of the dedup ladder — at 100 TB the sketch table is "
+        "|docs| x 8 bytes and pairs come from band-bucketing the sketch, "
+        "not O(n^2). Shingles, not unigrams: on this ~30-word vocabulary a "
+        "token sketch collapses (6.1M/12.5M pairs within hamming 6).",
 )
 def q_dedup_simhash(spark, sf_dir):
-    d = table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
-    )
+    d = widen(table(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", F.explode(shingles(F.col("text"))).alias("tok"))
     h = phash60("tok")
     sums = toks.groupBy("doc_id").agg(
         *[
@@ -313,7 +324,10 @@ _NG_NUM, _NG_DEN = 8, 10
         "approximates.",
 )
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    d = table(spark, sf_dir, "documents")
+    # widen(): shingle building is CPU-heavy per row; the candidate join
+    # below re-shuffles on the shingle anyway, so this only parallelizes
+    # the map side.
+    d = widen(table(spark, sf_dir, "documents"))
     sh = d.select("doc_id", F.explode(shingles(F.col("text"))).alias("s"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("id_a"), "s")
@@ -368,7 +382,11 @@ _COS_TAU = 0.35
         "(E-KNN-IVF holds the scale path).",
 )
 def q_dedup_emb_cosine(spark, sf_dir):
-    e = table(spark, sf_dir, "embeddings")
+    # widen(): the per-pair dot product is an interpreted zip_with over
+    # 64-dim arrays and the all-pairs nested loop streams from the scan —
+    # one row group locally = one core without the repartition (measured
+    # 24.5s -> ~1s at sf0.1).
+    e = widen(table(spark, sf_dir, "embeddings"))
     dot = F.aggregate(
         F.zip_with(
             F.col("ea"), F.col("eb"),

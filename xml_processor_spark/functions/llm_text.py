@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from xml_processor_spark.functions.deterministic import r6
-from xml_processor_spark.io import table
+from xml_processor_spark.io import table, widen
 from xml_processor_spark.registry import register
 
 _TOP_WORDS = 50
@@ -213,7 +213,9 @@ _PROFILE_TOP = 20
         "aggregations, no Python.",
 )
 def q_text_langid(spark, sf_dir):
-    d = table(spark, sf_dir, "documents")
+    # widen(): char-bigram extraction is an interpreted higher-order
+    # transform per document; spread the one-row-group local scan first.
+    d = widen(table(spark, sf_dir, "documents"))
     bigrams = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.length("text") - 1, F.lit(1))),
@@ -347,7 +349,9 @@ _FP_SHINGLE = 4
         "Both are content-defined IDs for incremental dedup.",
 )
 def q_text_fingerprint(spark, sf_dir):
-    d = table(spark, sf_dir, "documents")
+    # widen(): the rolling-hash left fold is interpreted per character and
+    # inherently sequential per document — parallelism must come from rows.
+    d = widen(table(spark, sf_dir, "documents"))
     codes = F.transform(
         F.sequence(F.lit(1), F.length("text")),
         lambda i: F.ascii(F.col("text").substr(i, F.lit(1))).cast("long"),

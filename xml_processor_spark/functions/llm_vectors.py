@@ -20,7 +20,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from xml_processor_spark.functions.deterministic import r6
-from xml_processor_spark.io import table
+from xml_processor_spark.io import table, widen
 from xml_processor_spark.registry import register
 
 _N_PROBES = 5
@@ -198,7 +198,9 @@ _IVF_NPROBE = 4
         "broadcast, and each probe touches nprobe partitions only.",
 )
 def e_knn_ivf(spark, sf_dir):
-    e = table(spark, sf_dir, "embeddings")
+    # widen(): the per-(vector, centroid) cosine is an interpreted
+    # aggregate over 64-dim arrays; spread the one-row-group scan first.
+    e = widen(table(spark, sf_dir, "embeddings"))
     cents = e.filter(F.col("vec_id") % _IVF_CENTROID_MOD == 0).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
     )
