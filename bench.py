@@ -43,6 +43,16 @@ HEADLINE = [
     "E-MINHASH-LSH",
     "q_knn_cosine",
     "q_udf_pandas",
+    # Training-data-pipeline operators (BASELINE.json mandate) — each has a
+    # DuckDB twin in measure_baseline except E-KNN-IVF (rows-only).
+    "q_text_quality",
+    "q_text_langid",
+    "q_text_token_stats",
+    "q_text_fingerprint",
+    "q_dedup_simhash",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_emb_cosine",
+    "E-KNN-IVF",
 ]
 
 
