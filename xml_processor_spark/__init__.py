@@ -31,11 +31,13 @@ def load_all() -> None:
     from xml_processor_spark.operators import windows  # noqa: F401
     from xml_processor_spark.operators import sort_limit  # noqa: F401
     from xml_processor_spark.operators import setops  # noqa: F401
+    from xml_processor_spark.operators import analytics  # noqa: F401
     from xml_processor_spark.functions import scalars  # noqa: F401
     from xml_processor_spark.functions import udfs  # noqa: F401
     from xml_processor_spark.functions import llm_text  # noqa: F401
     from xml_processor_spark.functions import llm_dedup  # noqa: F401
     from xml_processor_spark.functions import llm_vectors  # noqa: F401
+    from xml_processor_spark.functions import llm_pipeline  # noqa: F401
     from xml_processor_spark.streaming import event_windows  # noqa: F401
     from xml_processor_spark.streaming import stateful  # noqa: F401
     from xml_processor_spark.sources import file_tracking  # noqa: F401

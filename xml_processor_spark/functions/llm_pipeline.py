@@ -1,0 +1,228 @@
+"""Training-data preparation operators (SURVEY §2.K extension) — document
+chunking, PII-style redaction, repetition scoring, embedding normalization
+and per-class centroids.
+
+These are the per-document / per-vector transforms an LLM-corpus pipeline
+runs between dedup and tokenization. Everything is native JVM expressions
+(array HOFs over short documents, regexp, fixed-point sums) — no Python on
+any hot path; per-row work is O(|doc|), so the operators scale linearly and
+shuffle only where a cross-row reduction is semantically required
+(repetition's token counts, centroid's per-dimension sum).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from xml_processor_spark.functions.deterministic import r6
+from xml_processor_spark.io import table, widen
+from xml_processor_spark.registry import register
+
+_CHUNK = 32  # tokens per chunk
+_STRIDE = 24  # chunk start step → 8-token overlap
+
+
+@register(
+    "q_text_chunk",
+    oracle=f"""
+        SELECT doc_id, s AS chunk_start,
+               len(list_slice(toks, s, s + {_CHUNK - 1})) AS n_chunk_tokens,
+               array_to_string(list_slice(toks, s, s + {_CHUNK - 1}), ' ') AS chunk_text
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) d,
+             LATERAL (SELECT unnest(generate_series(
+                 1, greatest(len(d.toks) - {_CHUNK - 1}, 1), {_STRIDE})) AS s) u
+    """,
+    origin="LLM",
+    doc=f"Sliding-window document chunking for LLM training: {_CHUNK}-token "
+        f"chunks every {_STRIDE} tokens ({_CHUNK - _STRIDE}-token overlap), "
+        "short docs yield one short chunk. Pure per-row array slicing — "
+        "embarrassingly parallel, no shuffle; chunk_start is the stable "
+        "chunk key for downstream joins.",
+)
+def q_text_chunk(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size(toks) - (_CHUNK - 1), F.lit(1)),
+        F.lit(_STRIDE),
+    )
+    return (
+        d.select("doc_id", toks.alias("toks"), F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            F.col("s").alias("chunk_start"),
+            F.size(F.slice("toks", F.col("s"), F.lit(_CHUNK))).alias(
+                "n_chunk_tokens"
+            ),
+            F.concat_ws(" ", F.slice("toks", F.col("s"), F.lit(_CHUNK))).alias(
+                "chunk_text"
+            ),
+        )
+    )
+
+
+# Number-literal redaction pattern — RE2 (DuckDB) and Java regex (Spark)
+# agree on this subset (no backrefs, no lookaround).
+_NUM_RE = "[0-9]+(\\.[0-9]+)?"
+
+
+@register(
+    "q_text_redact",
+    oracle=f"""
+        SELECT event_id,
+               regexp_replace(props, '{_NUM_RE}', '<num>', 'g') AS redacted,
+               len(regexp_extract_all(props, '{_NUM_RE}')) AS n_redactions
+        FROM events
+    """,
+    origin="LLM",
+    doc="PII-style scrubbing: replace every numeric literal in the raw "
+        "event payload with a placeholder and count the redactions — the "
+        "shape of a redaction pass (numbers / emails / URLs are the same "
+        "operator with different patterns). Pure per-row regexp, "
+        "scan-parallel, no shuffle.",
+)
+def q_text_redact(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.regexp_replace("props", _NUM_RE, "<num>").alias("redacted"),
+        F.size(F.regexp_extract_all("props", F.lit(_NUM_RE), F.lit(0))).alias(
+            "n_redactions"
+        ),
+    )
+
+
+@register(
+    "q_text_repetition",
+    oracle="""
+        WITH tok_max AS (
+            SELECT doc_id, max(c) AS max_tok, CAST(sum(c) AS BIGINT) AS n_toks
+            FROM (SELECT doc_id, count(*) AS c
+                  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                        FROM documents)
+                  GROUP BY doc_id, tok)
+            GROUP BY doc_id
+        ),
+        big AS (
+            SELECT doc_id,
+                   greatest(len(string_split(text, ' ')) - 1, 1) AS n_bigrams,
+                   len(list_distinct(list_transform(
+                       generate_series(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+                       i -> string_split(text, ' ')[i] || ' '
+                            || string_split(text, ' ')[i + 1]))) AS n_dist_bigrams
+            FROM documents
+        )
+        SELECT t.doc_id,
+               round(t.max_tok / CAST(t.n_toks AS DOUBLE), 6) AS top_tok_ratio,
+               round(1 - b.n_dist_bigrams / CAST(b.n_bigrams AS DOUBLE), 6)
+                   AS dup_bigram_ratio
+        FROM tok_max t JOIN big b ON t.doc_id = b.doc_id
+    """,
+    origin="LLM",
+    doc="Repetition quality signals: most-frequent-token share and "
+        "duplicate-bigram share per document — the standard boilerplate/"
+        "loop detectors of a corpus quality gate. Token counts reduce "
+        "map-side (partial hash agg) before the per-doc max; bigram "
+        "distinctness is per-row array math with no shuffle.",
+)
+def q_text_repetition(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    tok_max = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max_tok"), F.sum("c").alias("n_toks"))
+    )
+    toks = F.split("text", " ")
+    n_big = F.greatest(F.size(toks) - 1, F.lit(1))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n_big),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+        ),
+    )
+    big = d.select(
+        "doc_id",
+        n_big.alias("n_bigrams"),
+        F.size(F.array_distinct(bigrams)).alias("n_dist_bigrams"),
+    )
+    return tok_max.join(big, "doc_id").select(
+        "doc_id",
+        r6(F.col("max_tok") / F.col("n_toks").cast("double")).alias(
+            "top_tok_ratio"
+        ),
+        r6(1 - F.col("n_dist_bigrams") / F.col("n_bigrams").cast("double")).alias(
+            "dup_bigram_ratio"
+        ),
+    )
+
+
+@register(
+    "q_emb_normalize",
+    oracle="""
+        SELECT vec_id,
+               round(sqrt(list_aggregate(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 6) AS norm,
+               list_transform(embedding, x -> round(CAST(x AS DOUBLE)
+                   / sqrt(list_aggregate(list_transform(embedding,
+                         y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum')), 6))
+                   AS unit
+        FROM embeddings
+    """,
+    origin="LLM",
+    doc="L2 normalization of the embedding column, JVM-side (the native "
+        "twin of E-EMB-PIPE's Arrow pandas-UDF path): per-vector norm and "
+        "the unit vector, both rounded for cross-engine equality. Per-row "
+        "array math, scan-parallel; the left-fold sum order is identical "
+        "in both engines, so doubles match exactly before rounding.",
+)
+def q_emb_normalize(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    sq = F.transform("embedding", lambda x: x.cast("double") * x.cast("double"))
+    norm = F.sqrt(F.aggregate(sq, F.lit(0.0), lambda a, x: a + x))
+    return e.select(
+        "vec_id",
+        r6(norm).alias("norm"),
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") / norm, 6)
+        ).alias("unit"),
+    )
+
+
+_CENT_SCALE = 1_000_000  # fixed-point 1e-6 units → order-independent sums
+
+
+@register(
+    "q_emb_centroid",
+    oracle=f"""
+        SELECT label, gs AS pos,
+               round(CAST(sum(CAST(round(CAST(e.embedding[u.gs] AS DOUBLE)
+                                         * {_CENT_SCALE}) AS BIGINT)) AS DOUBLE)
+                     / {_CENT_SCALE} / count(*), 6) AS centroid
+        FROM embeddings e,
+             LATERAL (SELECT unnest(generate_series(1, len(e.embedding))) AS gs) u
+        GROUP BY label, gs
+    """,
+    origin="LLM",
+    doc="Per-label embedding centroid, dimension-wise: posexplode to "
+        "(label, dim, value), fixed-point integer sums (order-independent "
+        "across any partitioning — the float-sum determinism rule of "
+        "deterministic.py applied to vectors), then mean. The shuffle "
+        "carries |labels|×dim partial sums, not vectors — at 100 TB the "
+        "map-side partial aggregation does all the data reduction.",
+)
+def q_emb_centroid(spark, sf_dir):
+    e = widen(table(spark, sf_dir, "embeddings"))
+    ex = e.select("label", F.posexplode("embedding").alias("pos0", "x"))
+    fx = F.round(F.col("x").cast("double") * _CENT_SCALE, 0).cast("long")
+    return (
+        ex.select("label", (F.col("pos0") + 1).alias("pos"), fx.alias("fx"))
+        .groupBy("label", "pos")
+        .agg(
+            r6(
+                F.sum("fx").cast("double") / _CENT_SCALE / F.count(F.lit(1))
+            ).alias("centroid")
+        )
+    )

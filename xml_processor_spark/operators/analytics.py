@@ -1,0 +1,214 @@
+"""Reshaping & behavioral analytics (SURVEY §2.L) — pivot/unpivot,
+deterministic sampling, funnel and cohort-retention analysis.
+
+Pivot compiles to a single hash aggregation with one conditional-aggregate
+column per pinned pivot value (no per-value pass); unpivot is a zero-shuffle
+Expand node. Sampling is content-hash-based (md5 threshold), never
+``rand()`` — reproducible across engines, partitionings, and reruns, which
+is what a 100 TB training-data pipeline needs for held-out splits. Funnel
+and retention each resolve to two hash aggregations over `events` with the
+per-user reduction done map-side first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from xml_processor_spark.functions.deterministic import dsum, dsum_sql, r6
+from xml_processor_spark.io import table
+from xml_processor_spark.registry import register
+
+# Pinned pivot domain (FIXTURES.md: o_orderstatus ∈ {F,O,P}). Pinning the
+# values keeps the plan a single aggregation — letting Spark discover them
+# would add a distinct-collect driver round-trip, pointless at 100 TB.
+_STATUSES = ("F", "O", "P")
+
+
+def _pivot_cols_sql() -> str:
+    cols = []
+    for s in _STATUSES:
+        rev = dsum_sql(
+            f"CASE WHEN o_orderstatus = '{s}' THEN o_totalprice ELSE 0 END"
+        )
+        cols.append(
+            f"count(*) FILTER (WHERE o_orderstatus = '{s}') AS n_{s.lower()}, "
+            f"{rev} AS rev_{s.lower()}"
+        )
+    return ", ".join(cols)
+
+
+@register(
+    "q_pivot_status",
+    oracle=f"""
+        SELECT o_orderpriority, {_pivot_cols_sql()}
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    doc="Pivot orders to wide form: per priority, one (count, exact revenue "
+        "sum) column pair per order status — single hash aggregation with "
+        "pinned pivot values.",
+)
+def q_pivot_status(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    aggs = []
+    for s in _STATUSES:
+        hit = F.col("o_orderstatus") == s
+        aggs.append(F.count(F.when(hit, 1)).alias(f"n_{s.lower()}"))
+        aggs.append(
+            dsum(F.when(hit, F.col("o_totalprice")).otherwise(0.0)).alias(
+                f"rev_{s.lower()}"
+            )
+        )
+    return o.groupBy("o_orderpriority").agg(*aggs)
+
+
+@register(
+    "q_unpivot_status",
+    oracle=f"""
+        WITH wide AS (
+            SELECT o_orderpriority,
+                   {", ".join(
+                       f"count(*) FILTER (WHERE o_orderstatus = '{s}') AS n_{s.lower()}"
+                       for s in _STATUSES)}
+            FROM orders GROUP BY o_orderpriority
+        )
+        {" UNION ALL ".join(
+            f"SELECT o_orderpriority, '{s.lower()}' AS status, n_{s.lower()} AS n FROM wide"
+            for s in _STATUSES)}
+    """,
+    doc="Unpivot the wide status counts back to long (priority, status, n) "
+        "triples — Spark's native unpivot/melt, a zero-shuffle Expand.",
+)
+def q_unpivot_status(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderpriority").agg(
+        *[
+            F.count(F.when(F.col("o_orderstatus") == s, 1)).alias(f"n_{s.lower()}")
+            for s in _STATUSES
+        ]
+    )
+    return wide.unpivot(
+        ["o_orderpriority"],
+        [f"n_{s.lower()}" for s in _STATUSES],
+        "status",
+        "n",
+    ).withColumn("status", F.expr("substring(status, 3)"))
+
+
+@register(
+    "q_sample_hash",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        FROM lineitem
+        WHERE substring(md5(CAST(l_orderkey AS VARCHAR) || '-'
+                            || CAST(l_linenumber AS VARCHAR)), 1, 1) = 'a'
+    """,
+    doc="Deterministic ~1/16 sample keyed on content hash (md5 of the "
+        "unique key), not rand(): the same rows are sampled on any engine, "
+        "partitioning, or rerun — reproducible train/held-out splits at "
+        "100 TB. The predicate is a cheap scan-side filter.",
+)
+def q_sample_hash(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    key = F.concat_ws(
+        "-",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+    )
+    return li.filter(F.substring(F.md5(key), 1, 1) == "a").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+
+
+@register(
+    "q_events_funnel",
+    oracle="""
+        WITH v AS (
+            SELECT user_id, min(ts) AS first_view
+            FROM events WHERE event_type = 'view' GROUP BY user_id
+        ),
+        conv AS (
+            SELECT DISTINCT v.user_id
+            FROM v JOIN events e
+              ON e.user_id = v.user_id
+             AND e.event_type = 'purchase'
+             AND e.ts >= v.first_view
+             AND e.ts < v.first_view + INTERVAL 1 HOUR
+        )
+        SELECT (SELECT count(*) FROM v) AS n_view_users,
+               (SELECT count(*) FROM conv) AS n_converted,
+               round((SELECT count(*) FROM conv)
+                     / CAST((SELECT count(*) FROM v) AS DOUBLE), 6) AS conv_rate
+    """,
+    doc="Two-stage funnel over the event stream: users whose first 'view' "
+        "is followed by a 'purchase' within one hour. Per-user min(ts) "
+        "reduces map-side before the range self-join; the conversion join "
+        "is left-semi so each user counts once.",
+)
+def q_events_funnel(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    conv = v.join(
+        p,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("p_ts") >= F.col("first_view"))
+        & (F.col("p_ts") < F.col("first_view") + F.expr("INTERVAL 1 HOUR")),
+        "left_semi",
+    )
+    counts = v.agg(F.count(F.lit(1)).alias("n_view_users")).crossJoin(
+        conv.agg(F.count(F.lit(1)).alias("n_converted"))
+    )
+    return counts.select(
+        "n_view_users",
+        "n_converted",
+        r6(F.col("n_converted") / F.col("n_view_users").cast("double")).alias(
+            "conv_rate"
+        ),
+    )
+
+
+@register(
+    "q_events_retention",
+    oracle="""
+        WITH cohort AS (
+            SELECT user_id, CAST(min(date_trunc('day', ts)) AS DATE) AS cohort_day
+            FROM events GROUP BY user_id
+        )
+        SELECT c.cohort_day,
+               date_diff('day', c.cohort_day,
+                         CAST(date_trunc('day', e.ts) AS DATE)) AS day_offset,
+               count(DISTINCT e.user_id) AS n_active
+        FROM events e JOIN cohort c ON e.user_id = c.user_id
+        WHERE date_diff('day', c.cohort_day,
+                        CAST(date_trunc('day', e.ts) AS DATE)) <= 7
+        GROUP BY 1, 2
+    """,
+    doc="Cohort retention: cohort = each user's first active day; count "
+        "distinct users active at day offsets 0..7. The cohort table is a "
+        "per-user aggregate (small — |users|, not |events|) broadcast back "
+        "onto the event scan; one shuffle for the final distinct-count.",
+)
+def q_events_retention(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    cohort = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).cast("date").alias("cohort_day")
+    )
+    joined = ev.join(F.broadcast(cohort), "user_id").select(
+        "cohort_day",
+        F.datediff(F.date_trunc("day", "ts").cast("date"), F.col("cohort_day")).alias(
+            "day_offset"
+        ),
+        "user_id",
+    )
+    return (
+        joined.filter(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
