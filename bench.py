@@ -53,6 +53,9 @@ HEADLINE = [
     "q_dedup_ngram_jaccard",
     "q_dedup_emb_cosine",
     "E-KNN-IVF",
+    "q_text_chunk",
+    "q_text_repetition",
+    "q_sample_hash",
 ]
 
 

@@ -127,7 +127,9 @@ def q_text_redact(spark, sf_dir):
         "distinctness is per-row array math with no shuffle.",
 )
 def q_text_repetition(spark, sf_dir):
-    d = table(spark, sf_dir, "documents")
+    # widen(): the bigram distinctness is an interpreted per-row array
+    # transform; spread the one-row-group local scan first (io.widen note).
+    d = widen(table(spark, sf_dir, "documents"))
     tok_max = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
         .groupBy("doc_id", "tok")
@@ -179,7 +181,8 @@ def q_text_repetition(spark, sf_dir):
         "in both engines, so doubles match exactly before rounding.",
 )
 def q_emb_normalize(spark, sf_dir):
-    e = table(spark, sf_dir, "embeddings")
+    # widen(): 64-dim interpreted HOF math per row on a one-row-group scan.
+    e = widen(table(spark, sf_dir, "embeddings"))
     sq = F.transform("embedding", lambda x: x.cast("double") * x.cast("double"))
     norm = F.sqrt(F.aggregate(sq, F.lit(0.0), lambda a, x: a + x))
     return e.select(
