@@ -86,3 +86,57 @@ def test_langid_profile_join_is_broadcast(spark, queries):
     shuffling the document bigrams against it would be a scale bug."""
     plan = explain(queries["q_text_langid"](spark, SF_MID))
     assert "BroadcastHashJoin" in plan
+
+
+def n_exchanges(plan: str) -> int:
+    """Count Exchange nodes once (formatted output lists each node in the
+    tree header AND the detail section)."""
+    import re
+
+    return len(re.findall(r"Exchange \(\d+\)", plan))
+
+
+def test_pivot_is_single_aggregation(spark, queries):
+    """Pinned pivot values compile to ONE hash aggregation over the scan —
+    no per-value pass, no distinct-collect of the pivot column."""
+    plan = explain(queries["q_pivot_status"](spark, SF_MID))
+    assert n_exchanges(plan) <= 1  # one shuffle: partial -> final agg
+    assert "CartesianProduct" not in plan
+
+
+def test_unpivot_has_no_shuffle_after_agg(spark, queries):
+    """Unpivot is an Expand node over the aggregated (tiny) input — the
+    long-form explosion must not introduce an extra shuffle."""
+    plan = explain(queries["q_unpivot_status"](spark, SF_MID))
+    assert "Expand" in plan
+    assert n_exchanges(plan) <= 1
+
+
+def test_sample_hash_no_shuffle(spark, queries):
+    """Content-hash sampling is a scan-side filter: zero shuffles."""
+    plan = explain(queries["q_sample_hash"](spark, SF_MID))
+    assert "Exchange" not in plan
+
+
+def test_retention_cohort_is_broadcast(spark, queries):
+    """The per-user cohort table (|users| rows) broadcasts back onto the
+    event scan; shuffling |events| against it would be the scale bug."""
+    plan = explain(queries["q_events_retention"](spark, SF_MID))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_chunk_and_redact_are_scan_parallel(spark, queries):
+    """Per-document chunking and redaction are pure per-row transforms —
+    no shuffle, no Python in the plan."""
+    for key in ("q_text_chunk", "q_text_redact"):
+        plan = explain(queries[key](spark, SF_MID))
+        assert "Exchange" not in plan, key
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, key
+
+
+def test_centroid_reduces_map_side(spark, queries):
+    """The centroid shuffle must carry per-partition partial sums
+    (|labels| x dim rows), not the exploded vectors."""
+    plan = explain(queries["q_emb_centroid"](spark, SF_MID))
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan
