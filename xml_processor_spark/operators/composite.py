@@ -1,0 +1,126 @@
+"""Subqueries & composite analytical queries (SURVEY §2.M).
+
+Subqueries run through ``spark.sql`` over the registered views — the SQL
+entry point of SURVEY §3 — and lean on Catalyst's decorrelation rules
+(``RewriteCorrelatedScalarSubquery``): a correlated scalar subquery becomes
+an aggregate + join, never a per-row re-execution. The TPC-H-shaped
+composites exercise multi-join pipelines end-to-end: dimension broadcast,
+join ordering under AQE, and partial aggregation above the join.
+
+Revenue sums follow the integer-cents discipline of
+:mod:`xml_processor_spark.functions.deterministic`: exact, associative,
+order-independent across any partitioning — the property that makes a
+100 TB shuffle-reduced sum reproducible.
+"""
+
+from __future__ import annotations
+
+from xml_processor_spark.io import register_views
+from xml_processor_spark.registry import register
+
+# Exact revenue in 1e-4 units: price cents × discount-complement cents.
+_REV_SQL = (
+    "CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)"
+    " * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 1e4"
+)
+
+_SUBQ_SCALAR_SQL = """
+    SELECT p_partkey, p_name, round(p_retailprice, 2) AS retail
+    FROM part
+    WHERE p_retailprice > (SELECT avg(p_retailprice) * 1.04 FROM part)
+"""
+
+_SUBQ_IN_SQL = """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+"""
+
+_SUBQ_CORR_SQL = """
+    SELECT s.s_suppkey, s.s_name, round(s.s_acctbal, 2) AS acctbal
+    FROM supplier s
+    WHERE s.s_acctbal > (SELECT avg(s2.s_acctbal) FROM supplier s2
+                         WHERE s2.s_nationkey = s.s_nationkey)
+"""
+
+_Q3_SQL = f"""
+    SELECT l_orderkey,
+           {_REV_SQL} AS revenue,
+           min(o_orderdate) AS orderdate,
+           min(o_orderpriority) AS priority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND l_shipdate > TIMESTAMP '1997-01-01'
+    GROUP BY l_orderkey
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+"""
+
+_Q5_SQL = f"""
+    SELECT n_name, {_REV_SQL} AS revenue
+    FROM region
+    JOIN nation ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+"""
+
+
+def _sql_query(name: str, sql: str, doc: str):
+    """Register a dialect-shared SQL string: the SAME text runs on Spark
+    (engine under test) and DuckDB (oracle) — dual-dialect by construction."""
+
+    @register(name, oracle=sql, doc=doc)
+    def _run(spark, sf_dir, _sql=sql):
+        register_views(spark, sf_dir)
+        return spark.sql(_sql)
+
+    return _run
+
+
+_sql_query(
+    "q_subq_scalar",
+    _SUBQ_SCALAR_SQL,
+    "Uncorrelated scalar subquery: parts priced >1.04x the global average. "
+    "Catalyst plans the subquery once (broadcast scalar), not per row.",
+)
+
+_sql_query(
+    "q_subq_in",
+    _SUBQ_IN_SQL,
+    "IN-subquery: customers with a pending order — rewritten to a "
+    "left-semi hash join by Catalyst (same plan as q_join_semi).",
+)
+
+_sql_query(
+    "q_subq_corr",
+    _SUBQ_CORR_SQL,
+    "Correlated scalar subquery: suppliers above their nation's average "
+    "balance. Decorrelated into (aggregate ⋈ supplier) — one pass over "
+    "supplier, no per-row re-execution (RewriteCorrelatedScalarSubquery).",
+)
+
+_sql_query(
+    "q_tpch_q3",
+    _Q3_SQL,
+    "TPC-H Q3 shape: segment-filtered customer ⋈ orders ⋈ lineitem, "
+    "exact-cents revenue per order, global top-10 (TakeOrderedAndProject "
+    "— no full sort). Dimension side broadcasts under AQE.",
+)
+
+_sql_query(
+    "q_tpch_q5",
+    _Q5_SQL,
+    "TPC-H Q5 shape: six-table join (region→nation→customer→orders→"
+    "lineitem→supplier with the colocated-nation condition), exact-cents "
+    "revenue per nation. The join tree is declared flat; AQE + CBO pick "
+    "broadcast vs shuffle per edge.",
+)
