@@ -110,14 +110,24 @@ def shingles(text_col):
     vocabulary. This is the standard MinHash formulation for text.
     """
     toks = F.split(text_col, " ")
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - _SHINGLE_K + 1, F.lit(1))),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + off) for off in range(_SHINGLE_K)]
-            ),
-        )
-    )
+    # Docs shorter than the shingle width yield NO shingles (empty array).
+    # The when() guard matters under ANSI mode (Spark 4 default):
+    # element_at past the array end throws INVALID_ARRAY_INDEX, and
+    # sequence(1, 0) counts DOWN to [1, 0] — so the bound must stay >= 1
+    # and the empty case must be picked before the transform evaluates.
+    # Oracles mirror this with generate_series(1, len - k + 1), which is
+    # empty in DuckDB when the bound is < 1.
+    return F.when(
+        F.size(toks) >= _SHINGLE_K,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - _SHINGLE_K + 1),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + off) for off in range(_SHINGLE_K)]
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 @register(
@@ -226,7 +236,7 @@ def _simhash_oracle() -> str:
         WITH toks AS (
             SELECT doc_id,
                    unnest(list_distinct(list_transform(
-                       generate_series(1, greatest(len(string_split(text,' ')) - 2, 1)),
+                       generate_series(1, len(string_split(text,' ')) - 2),
                        i -> string_split(text,' ')[i] || ' ' ||
                             string_split(text,' ')[i+1] || ' ' ||
                             string_split(text,' ')[i+2]))) AS tok
@@ -239,7 +249,7 @@ def _simhash_oracle() -> str:
             SELECT doc_id, {fp} AS fp FROM sums
         )
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               bit_count(xor(a.fp, b.fp)) AS hamming
+               CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
         FROM fp a JOIN fp b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.fp, b.fp)) <= {_HAM_MAX}
     """
@@ -251,11 +261,14 @@ def _simhash_oracle() -> str:
     origin="LLM",
     doc=f"SimHash near-dup: {_SIM_BITS}-bit per-doc sketch from a portable "
         "md5-derived 3-word-shingle hash (sign-of-sum per bit), pairs at "
-        f"hamming <= {_HAM_MAX} via bit_count(xor). The constant-space "
-        "sketch rung of the dedup ladder — at 100 TB the sketch table is "
-        "|docs| x 8 bytes and pairs come from band-bucketing the sketch, "
-        "not O(n^2). Shingles, not unigrams: on this ~30-word vocabulary a "
-        "token sketch collapses (6.1M/12.5M pairs within hamming 6).",
+        f"hamming <= {_HAM_MAX} via bit_count(xor). Pair generation is an "
+        f"EXACT banded equi-join: {_HAM_MAX + 1} bands of "
+        f"{_SIM_BITS // (_HAM_MAX + 1)} bits — a pair within hamming "
+        f"{_HAM_MAX} must match on >= 1 band (pigeonhole), so bucketing on "
+        "(band, bits) + exact hamming rescore returns the identical result "
+        "with shuffle |docs| x bands, never O(n^2). Shingles, not unigrams: "
+        "on this ~30-word vocabulary a token sketch collapses (6.1M/12.5M "
+        "pairs within hamming 6).",
 )
 def q_dedup_simhash(spark, sf_dir):
     d = widen(table(spark, sf_dir, "documents"))
@@ -276,15 +289,44 @@ def q_dedup_simhash(spark, sf_dir):
         )
         fp_col = term if fp_col is None else fp_col + term
     fp = sums.select("doc_id", fp_col.alias("fp"))
-    a = fp.select(F.col("doc_id").alias("id_a"), F.col("fp").alias("fp_a"))
-    b = fp.select(F.col("doc_id").alias("id_b"), F.col("fp").alias("fp_b"))
+    # Banded candidate generation (VERDICT r1 #3): any pair with hamming
+    # <= _HAM_MAX differs in at most _HAM_MAX of the _HAM_MAX+1 bands, so
+    # it agrees exactly on >= 1 band. An equi join on (band, bits) plus an
+    # exact hamming rescore is therefore IDENTICAL to the all-pairs theta
+    # join — same oracle — but shuffles |docs| x bands rows instead of
+    # building an O(n^2) BroadcastNestedLoopJoin.
+    n_bands = _HAM_MAX + 1
+    band_w = _SIM_BITS // n_bands
+    banded = fp.select(
+        "doc_id", "fp",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(bnd).alias("band"),
+                    F.shiftrightunsigned(F.col("fp"), bnd * band_w)
+                    .bitwiseAND(F.lit((1 << band_w) - 1))
+                    .alias("bits"),
+                )
+                for bnd in range(n_bands)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", "fp", "bb.band", "bb.bits")
+    a = banded.select(
+        F.col("doc_id").alias("id_a"), F.col("fp").alias("fp_a"), "band", "bits"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("id_b"), F.col("fp").alias("fp_b"), "band", "bits"
+    )
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
+        a.join(b, ["band", "bits"])
+        .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a", "id_b",
-            F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).alias("hamming"),
+            F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+            .cast("long").alias("hamming"),
         )
         .filter(F.col("hamming") <= _HAM_MAX)
+        .distinct()  # a pair may collide on several bands
     )
 
 
@@ -298,7 +340,7 @@ _NG_NUM, _NG_DEN = 8, 10
         WITH sh AS (
             SELECT doc_id,
                    unnest(list_distinct(list_transform(
-                       generate_series(1, greatest(len(string_split(text,' ')) - 2, 1)),
+                       generate_series(1, len(string_split(text,' ')) - 2),
                        i -> string_split(text,' ')[i] || ' ' ||
                             string_split(text,' ')[i+1] || ' ' ||
                             string_split(text,' ')[i+2]))) AS s

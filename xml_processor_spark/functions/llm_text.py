@@ -123,7 +123,7 @@ def q_text_ngrams(spark, sf_dir):
             SELECT doc_id, unnest(string_split(text, ' ')) AS tok
             FROM documents
         )
-        SELECT t.doc_id, SUM(COALESCE(l.wt, 0)) AS score
+        SELECT t.doc_id, CAST(SUM(COALESCE(l.wt, 0)) AS BIGINT) AS score
         FROM toks t LEFT JOIN lex l ON t.tok = l.word
         GROUP BY t.doc_id
     """,

@@ -184,7 +184,7 @@ def q_date_arith(spark, sf_dir):
                round(ln(l_extendedprice), 6) AS ln_price,
                round(log10(l_extendedprice), 6) AS log10_price,
                mod(l_linenumber, 3) AS mod3,
-               sign(l_discount - 0.05) AS sgn,
+               CAST(sign(l_discount - 0.05) AS DOUBLE) AS sgn,
                greatest(l_quantity, l_extendedprice / 1000) AS gr,
                least(l_quantity, l_extendedprice / 1000) AS le
         FROM lineitem

@@ -40,7 +40,7 @@ def q_win_rownum(spark, sf_dir):
     o = table(spark, sf_dir, "orders")
     return o.select(
         "o_custkey", "o_orderkey", "o_orderdate",
-        F.row_number().over(_w()).alias("rn"),
+        F.row_number().over(_w()).cast("long").alias("rn"),
     )
 
 
@@ -65,8 +65,8 @@ def q_win_rank_dense(spark, sf_dir):
     w = Window.partitionBy("o_orderstatus").orderBy(F.col("price_k").desc())
     return o.select(
         "o_orderkey", "o_orderstatus", "price_k",
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
     )
 
 
@@ -88,7 +88,7 @@ def q_win_ntile_pct(spark, sf_dir):
     w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
     return c.select(
         "c_custkey", "c_mktsegment",
-        F.ntile(4).over(w).alias("quartile"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cdist"),
     )
@@ -171,9 +171,9 @@ def q_win_moving(spark, sf_dir):
     "q_win_range_frame",
     oracle="""
         SELECT o_custkey, o_orderkey, o_totalprice,
-               SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
                    OVER (PARTITION BY o_custkey ORDER BY o_totalprice
-                         RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW) AS near_cents
+                         RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW) AS BIGINT) AS near_cents
         FROM orders
     """,
     doc="Value-range frame: cents of all same-customer orders within "

@@ -198,7 +198,8 @@ def q_xml_nested_explode(spark, sf_dir):
         SELECT o_orderstatus AS status,
                count(*) FILTER (WHERE o_orderkey % 10 = 0) AS n_corrupt,
                count(*) FILTER (WHERE o_orderkey % 10 <> 0) AS n_ok,
-               sum(o_orderkey) FILTER (WHERE o_orderkey % 10 <> 0) AS ok_key_sum
+               CAST(sum(o_orderkey) FILTER (WHERE o_orderkey % 10 <> 0)
+                    AS BIGINT) AS ok_key_sum
         FROM orders GROUP BY o_orderstatus
     """,
     origin="REF",
