@@ -47,3 +47,24 @@ def test_queries_have_aliased_columns(spark):
         cols = fn(spark, SF_SMALL).columns
         for c in cols:
             assert not any(b in c for b in bad_fragments), f"{key}: bad col {c!r}"
+
+
+def test_driver_order_covers_registry_exactly():
+    """_DRIVER_ORDER is a rotation schedule over the driver's 50-key
+    correctness cap: no duplicates, no dangling names, and every
+    registered key either listed or appended (get_queries drops none).
+    The first 50 emitted keys must be oracle-bearing (hash-checkable) —
+    rows-only E-keys would waste a driver hash slot."""
+    import __spark_entry__ as entrypoint
+    from xml_processor_spark import load_all
+    from xml_processor_spark.registry import _DRIVER_ORDER, REGISTRY
+
+    load_all()
+    assert len(_DRIVER_ORDER) == len(set(_DRIVER_ORDER)), "duplicate keys"
+    dangling = set(_DRIVER_ORDER) - set(REGISTRY)
+    assert not dangling, f"listed but unregistered: {dangling}"
+
+    qs, osql = entrypoint.queries(), entrypoint.oracle_sql()
+    assert set(qs) == set(REGISTRY)
+    first50 = list(qs)[:50]
+    assert all(k in osql for k in first50), [k for k in first50 if k not in osql]
