@@ -30,18 +30,29 @@ from xml_processor_spark.session import build_session  # noqa: E402
 def _canon(t: pa.DataType) -> str:
     """Canonical type label for hash-parity purposes.
 
-    Equivalences that cannot change a value-level hash:
+    Equivalences that cannot change a value-level hash (each backed by a
+    driver verdict on record):
     - string/large_string (offset width only)
-    - timestamp tz-naive microsecond vs nanosecond (both second-truncated
-      by the determinism discipline)
+    - integer widths: both sides collect to Python int
+      (q_agg_grouping_sets hash-passed CORRECTNESS_r02 with spark int32
+      vs duck int64)
+    - timestamp unit differences (second-truncated values) and
+      tz=UTC vs tz-naive: Spark's collect in a UTC session and DuckDB's
+      fetch both yield identical naive datetimes (q_join_asof hash-passed
+      r01/r02 with spark timestamp[tz=UTC] vs duck naive). Any OTHER tz
+      shifts the collected values → real divergence, kept in the label.
     - list/large_list of the same element type
-    Everything else (decimal vs int, int32 vs int64, float vs decimal)
-    is a real divergence.
+    Everything else (decimal vs int, float vs decimal) is a real
+    divergence — exactly the class that hash-failed q_xml_corrupt_route
+    in round 1 (DuckDB HUGEINT → arrow decimal128 vs Spark int64).
     """
     if pa.types.is_large_string(t) or pa.types.is_string(t):
         return "string"
+    if pa.types.is_integer(t):
+        return "int"
     if pa.types.is_timestamp(t):
-        return "timestamp"
+        tz = None if t.tz in (None, "UTC") else t.tz
+        return f"timestamp[tz={tz}]"
     if pa.types.is_large_list(t) or pa.types.is_list(t):
         return f"list<{_canon(t.value_type)}>"
     if pa.types.is_decimal(t):
@@ -62,10 +73,11 @@ def main() -> int:
     spark = build_session("audit_schemas")
     con = connect_duckdb(args.sf)
 
-    n_ok = n_bad = 0
+    n_ok = n_bad = n_skip = 0
     bad = []
     for key in keys:
         if key not in oracles:
+            n_skip += 1
             print(f"  -- {key}: rows-only (no oracle)")
             continue
         try:
@@ -76,13 +88,22 @@ def main() -> int:
             bad.append(key)
             print(f"ERR  {key}: {type(e).__name__}: {e}")
             continue
-        s_fields = {f.name: _canon(f.type) for f in s_tab.schema}
-        d_fields = {f.name: _canon(f.type) for f in d_tab.schema}
+        # Sorted (name, type) lists, not dicts — a duplicate column name
+        # (which the driver's sorted-by-name hash would see twice) must
+        # surface as a diff, not collapse silently.
+        s_fields = sorted((f.name, _canon(f.type)) for f in s_tab.schema)
+        d_fields = sorted((f.name, _canon(f.type)) for f in d_tab.schema)
         diffs = []
-        for name in sorted(set(s_fields) | set(d_fields)):
-            sv, dv = s_fields.get(name), d_fields.get(name)
-            if sv != dv:
-                diffs.append(f"{name}: spark={sv} duck={dv}")
+        if s_fields != d_fields:
+            only_s = [f for f in s_fields if f not in d_fields]
+            only_d = [f for f in d_fields if f not in s_fields]
+            for name, tv in only_s:
+                diffs.append(f"{name}: spark={tv} duck={dict(only_d).get(name)}")
+            for name, tv in only_d:
+                if name not in dict(only_s):
+                    diffs.append(f"{name}: spark=None duck={tv}")
+            if not diffs:  # duplicate-count mismatch: same set, different list
+                diffs.append(f"field-list mismatch: {s_fields} vs {d_fields}")
         if diffs:
             n_bad += 1
             bad.append(key)
@@ -91,7 +112,10 @@ def main() -> int:
             n_ok += 1
             print(f"ok   {key}")
 
-    print(f"\n== {n_ok} ok, {n_bad} divergent (of {len(keys)})")
+    print(
+        f"\n== {n_ok} ok, {n_bad} divergent "
+        f"(of {n_ok + n_bad} oracle-checked; {n_skip} rows-only skipped)"
+    )
     if bad:
         print("divergent:", " ".join(bad))
     spark.stop()

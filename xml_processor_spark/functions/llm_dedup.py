@@ -296,6 +296,10 @@ def q_dedup_simhash(spark, sf_dir):
     # join — same oracle — but shuffles |docs| x bands rows instead of
     # building an O(n^2) BroadcastNestedLoopJoin.
     n_bands = _HAM_MAX + 1
+    # Pigeonhole needs every bit banded: a floored band_w would leave the
+    # top bits outside every band (weaker filter → missed pairs), and
+    # band_w == 0 degenerates to a full cross join.
+    assert _SIM_BITS % n_bands == 0, (_SIM_BITS, n_bands)
     band_w = _SIM_BITS // n_bands
     banded = fp.select(
         "doc_id", "fp",

@@ -104,10 +104,18 @@ def q_text_tfidf(spark, sf_dir):
 def q_text_ngrams(spark, sf_dir):
     d = table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
-    )
+    # sequence(1, 0) descends to [1, 0] and element_at(toks, 0) throws, so a
+    # 1-token doc must short-circuit to no bigrams (the oracle's
+    # generate_series(1, len-1) is already empty there).
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return (
         d.select("lang", F.explode(bigrams).alias("bigram"))
         .groupBy("lang", "bigram")
