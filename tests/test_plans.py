@@ -140,3 +140,21 @@ def test_centroid_reduces_map_side(spark, queries):
     plan = explain(queries["q_emb_centroid"](spark, SF_MID))
     assert plan.count("HashAggregate") >= 2
     assert "partial_sum" in plan
+
+
+def test_simhash_band_join_is_equi(spark, queries):
+    """Banded fingerprint pair-gen (pigeonhole over 8-bit bands) must be
+    an equi join — the round-1 all-pairs BroadcastNestedLoopJoin is the
+    canonical 100 TB scale-killer."""
+    plan = explain(queries["q_dedup_simhash"](spark, SF_MID))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_emb_lsh_band_join_is_equi(spark, queries):
+    """Sign-band embedding near-dup: candidates come from an equi join on
+    (band, code) and the rescore joins on vec_id — no all-pairs operator
+    anywhere in the plan."""
+    plan = explain(queries["E-EMB-LSH"](spark, SF_MID))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -14,6 +14,8 @@ Three rungs of the dedup ladder a training-data pipeline needs:
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import functions as F
 
 from xml_processor_spark.io import table, widen
@@ -460,6 +462,104 @@ def q_dedup_emb_cosine(spark, sf_dir):
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn("sim_raw", sim)
+        .filter(F.col("sim_raw") >= _COS_TAU)
+        .select("id_a", "id_b", F.round("sim_raw", 6).alias("sim"))
+    )
+
+
+# Sign-LSH family for embedding near-dup candidate generation.
+# Tuned by simulation on the real embeddings (tools note, round 3): at the
+# q_dedup_emb_cosine threshold 0.35 the truth-pair mass sits right at the
+# threshold (p_agree = 1 - acos(0.35)/pi ~= 0.61 per hyperplane), so
+# 6-bit x 48-band gives measured recall 0.946 with a 0.53 candidate
+# fraction — the best recall/pruning tradeoff among (3,12)..(6,48).
+# At realistic near-dup thresholds (cos >= 0.8) the identical machinery
+# prunes ~6x harder; the structural win either way is replacing the O(n^2)
+# BroadcastNestedLoopJoin with |vecs| x bands shuffled rows + equi joins.
+_EMB_BANDS = 48
+_EMB_BAND_BITS = 6
+_EMB_SEED = 1234
+
+
+def _emb_lsh_candidates(spark, sf_dir):
+    """Candidate (id_a, id_b) pairs colliding in >= 1 sign-LSH band.
+
+    The 288 hyperplane projections are one Arrow-batched numpy matmul per
+    batch (288 interpreted zip_with/aggregate folds per row would be the
+    slow path); banding, the equi join, and dedup stay JVM-side.
+    """
+    e = widen(table(spark, sf_dir, "embeddings"))
+
+    @F.pandas_udf("array<int>")
+    def band_codes(vecs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        # Deterministic plane family — same on every executor, every run.
+        rng = np.random.RandomState(_EMB_SEED)
+        planes = rng.standard_normal((64, _EMB_BANDS * _EMB_BAND_BITS))
+        mat = np.stack([np.asarray(v, dtype="float64") for v in vecs])
+        bits = (mat @ planes) > 0
+        weights = 1 << np.arange(_EMB_BAND_BITS - 1, -1, -1)
+        codes = bits.reshape(len(mat), _EMB_BANDS, _EMB_BAND_BITS) @ weights
+        return pd.Series([row.astype("int32").tolist() for row in codes])
+
+    banded = e.select(
+        "vec_id", F.posexplode(band_codes("embedding")).alias("band", "code")
+    )
+    a = banded.select(F.col("vec_id").alias("id_a"), "band", "code")
+    b = banded.select(F.col("vec_id").alias("id_b"), "band", "code")
+    return (
+        a.join(b, ["band", "code"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()  # a pair may collide in several bands
+    )
+
+
+@register(
+    "E-EMB-LSH",
+    oracle=None,
+    origin="LLM",
+    doc="Bucketed embedding near-dup — the scale path for "
+        "q_dedup_emb_cosine: random-hyperplane sign-band candidates "
+        f"({_EMB_BAND_BITS}-bit x {_EMB_BANDS} bands, equi join, no "
+        "cartesian) + exact double-precision cosine rescore at the same "
+        "0.35 threshold. Precision 1.0 by construction (every emitted pair "
+        "is exactly rescored); recall >= 0.9 vs the all-pairs truth "
+        "asserted in tests/test_llm.py.",
+)
+def e_emb_lsh(spark, sf_dir):
+    e = widen(table(spark, sf_dir, "embeddings"))
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("ea"), F.col("eb"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm2 = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    va = e.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ea"),
+        F.sqrt(norm2(F.col("embedding"))).alias("na"),
+    )
+    vb = e.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"),
+        F.sqrt(norm2(F.col("embedding"))).alias("nb"),
+    )
+    return (
+        _emb_lsh_candidates(spark, sf_dir)
+        .join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("sim_raw", dot / F.col("na") / F.col("nb"))
         .filter(F.col("sim_raw") >= _COS_TAU)
         .select("id_a", "id_b", F.round("sim_raw", 6).alias("sim"))
     )

@@ -98,7 +98,7 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "q_date_arith", "q_math_funcs", "q_hash_md5", "q_array_funcs",
     "q_array_lambda", "q_explode", "q_map_funcs",
     # -- rows-only E-keys without driver verdicts (pytest-covered)
-    "E-MINHASH-LSH", "E-EMB-PIPE", "E-KNN-IVF",
+    "E-MINHASH-LSH", "E-EMB-PIPE", "E-KNN-IVF", "E-EMB-LSH",
     "E-WATERMARK", "E-STATEFUL", "E-STREAM-JOIN", "E-FILE-TRACK",
     # -- hash-verified in CORRECTNESS_r01/r02 (driver verdicts on record)
     "q_scan_parquet", "q_scan_pruned", "q_xml_parse_struct", "q_xml_xpath",
