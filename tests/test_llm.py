@@ -92,8 +92,13 @@ def test_multimodal_stub_deterministic(spark, queries):
 
 
 def test_ivf_recall_and_pruning(spark, queries):
-    """IVF top-10 must recover a useful fraction of exact top-10 while
-    scanning only nprobe/nlists of the corpus."""
+    """IVF top-10 must be genuinely useful (mean recall >= 0.8 vs exact
+    brute force) AND genuinely pruned (< 50% of the brute-force candidate
+    scan) — on unclustered N(0,.1) vectors, IVF's worst case. Tuned
+    config (50 lists, nprobe=13, assign=2) measures recall 0.86 at a
+    0.44 scanned fraction."""
+    from xml_processor_spark.functions.llm_vectors import _ivf_candidates
+
     exact = {}
     for r in queries["q_knn_cosine"](spark, SF_SMALL).collect():
         exact.setdefault(r.probe_id, set()).add(r.vec_id)
@@ -104,10 +109,13 @@ def test_ivf_recall_and_pruning(spark, queries):
         len(exact[p] & approx.get(p, set())) / len(exact[p]) for p in exact
     ]
     mean_recall = sum(recalls) / len(recalls)
-    # Random N(0,.1) vectors are a worst case for IVF (no cluster
-    # structure); the bound asserts the machinery works, not magic.
-    assert mean_recall >= 0.3, f"IVF mean recall {mean_recall:.2f}"
+    assert mean_recall >= 0.8, f"IVF mean recall {mean_recall:.2f}"
     assert all(len(v) == 10 for v in approx.values())
+
+    n_vecs, n_probes = 500, len(exact)
+    brute_force = n_probes * (n_vecs - 1)
+    scanned = _ivf_candidates(spark, SF_SMALL).count()
+    assert scanned < 0.5 * brute_force, f"not pruning: {scanned}/{brute_force}"
 
 
 def test_simhash_recall_precision_vs_exact_jaccard(spark, queries):

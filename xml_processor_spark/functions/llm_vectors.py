@@ -180,24 +180,26 @@ def e_emb_pipe(spark, sf_dir):
     )
 
 
-_IVF_CENTROID_MOD = 31  # vec_id % 31 == 0 → deterministic coarse centroids
-_IVF_NPROBE = 4
+_IVF_CENTROID_MOD = 10  # vec_id % 10 == 0 → deterministic coarse centroids
+_IVF_NPROBE = 13
+_IVF_ASSIGN = 2  # each vector is replicated into its 2 nearest lists
+
+# (mod, nprobe, assign) tuned by simulation on the real embeddings (round
+# 3): unclustered N(0,.1) vectors are IVF's worst case, and single-assign
+# configs plateau near recall 0.66-0.82 before the scanned fraction hits
+# 50%. Replicating each vector into its 2 nearest lists fixes the
+# cell-boundary misses: measured mean recall 0.86 at a 0.44 scanned
+# fraction (bars: >= 0.8 recall, < 0.5 scanned, tests/test_llm.py).
+# Replication multiplies list storage by `assign` (map-side, no extra
+# shuffle rounds); nprobe only scales the broadcast probe fan-out.
 
 
-@register(
-    "E-KNN-IVF",
-    oracle=None,
-    origin="LLM",
-    doc="IVF approximate nearest neighbor — the similarity-search scale "
-        "path: a deterministic coarse quantizer (centroid set = sampled "
-        "vectors) partitions candidates into inverted lists; each probe "
-        f"scans only its {_IVF_NPROBE} nearest lists, then exact cosine "
-        "top-10 within them. Scan cost drops from |all vectors| to "
-        "|nprobe/nlists| of it; recall vs exact brute force asserted in "
-        "tests/test_llm.py. At 100 TB: lists are hash-partitioned, probes "
-        "broadcast, and each probe touches nprobe partitions only.",
-)
-def e_knn_ivf(spark, sf_dir):
+def _ivf_candidates(spark, sf_dir):
+    """(probe_id, pe, vec_id, embedding) pairs within the probed lists.
+
+    Factored out so the recall test can measure the scanned-candidate
+    count directly (the pruning claim, not just the recall claim).
+    """
     # widen(): the per-(vector, centroid) cosine is an interpreted
     # aggregate over 64-dim arrays; spread the one-row-group scan first.
     e = widen(table(spark, sf_dir, "embeddings"))
@@ -209,7 +211,7 @@ def e_knn_ivf(spark, sf_dir):
         d = _dot(F.col(a), F.col(b))
         return d / F.sqrt(_norm2(F.col(a))) / F.sqrt(_norm2(F.col(b)))
 
-    # Assign every vector to its nearest centroid (inverted lists).
+    # Build the inverted lists: each vector lands in its `assign` nearest.
     va = (
         e.select("vec_id", "embedding")
         .join(F.broadcast(cents), F.lit(True))
@@ -221,7 +223,7 @@ def e_knn_ivf(spark, sf_dir):
     w_assign = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), "cid")
     lists = (
         va.withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
+        .filter(F.col("rn") <= _IVF_ASSIGN)
         .select("vec_id", "embedding", "cid")
     )
     # Probes pick their nprobe nearest lists.
@@ -238,11 +240,30 @@ def e_knn_ivf(spark, sf_dir):
         .filter(F.col("rn") <= _IVF_NPROBE)
         .select("probe_id", "pe", "cid")
     )
-    # Exact cosine only within the probed lists.
-    cand = probe_lists.join(lists, "cid").filter(
-        F.col("vec_id") != F.col("probe_id")
+    # A vector replicated into two probed lists must score once, not twice
+    # (duplicate rows would double-count in the top-k window).
+    return (
+        probe_lists.join(lists, "cid")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .dropDuplicates(["probe_id", "vec_id"])
     )
-    scored = cand.select(
+
+
+@register(
+    "E-KNN-IVF",
+    oracle=None,
+    origin="LLM",
+    doc="IVF approximate nearest neighbor — the similarity-search scale "
+        "path: a deterministic coarse quantizer (centroid set = sampled "
+        f"vectors) replicates candidates into their {_IVF_ASSIGN} nearest "
+        f"inverted lists; each probe scans only its {_IVF_NPROBE} nearest "
+        "lists, then exact cosine top-10 within them. Mean recall >= 0.8 "
+        "while scanning < 50% of brute force, both asserted in "
+        "tests/test_llm.py. At 100 TB: lists are hash-partitioned, probes "
+        "broadcast, and each probe touches nprobe partitions only.",
+)
+def e_knn_ivf(spark, sf_dir):
+    scored = _ivf_candidates(spark, sf_dir).select(
         "probe_id", "vec_id",
         r6(
             _dot(F.col("pe"), F.col("embedding"))
