@@ -139,3 +139,56 @@ def test_batch_stream_unified_tumbling(spark, queries):
         .collect()
     }
     assert got == want
+
+
+def test_file_tracking_archives_processed_files(spark):
+    """XMLReader's actionAfterProcess=archive [P: XMLReaderBatchSource]:
+    with cleanSource=archive + sourceArchiveDir, processed source files
+    must move into the archive tree. Spark archives lazily — the final
+    batch's file moves during the NEXT run — so two rounds prove it:
+    after round 2, both round-1 files are archived and gone from src."""
+    import glob
+    import os
+    import tempfile
+    import time
+
+    base = tempfile.mkdtemp(prefix="arch_track_")
+    src, ckpt, out, arch = (os.path.join(base, d) for d in ("src", "ckpt", "out", "arch"))
+    os.makedirs(src)
+
+    def land(name, payload):
+        with open(os.path.join(src, name), "w") as f:
+            f.write(payload)
+
+    def ingest():
+        (
+            spark.readStream.schema("x LONG")
+            .option("maxFilesPerTrigger", "1")
+            .option("cleanSource", "archive")
+            .option("sourceArchiveDir", arch)
+            .json(src)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(120)
+        )
+
+    def archived():
+        return {os.path.basename(p) for p in glob.glob(arch + "/**/*.json", recursive=True)}
+
+    land("a0.json", '{"x": 1}\n')
+    land("a1.json", '{"x": 2}\n')
+    ingest()
+    land("c0.json", '{"x": 3}\n')
+    ingest()
+    # The archive move runs on a background cleaner thread — poll briefly.
+    for _ in range(30):
+        if archived() >= {"a0.json", "a1.json"}:
+            break
+        time.sleep(1)
+    assert archived() >= {"a0.json", "a1.json"}
+    assert "a0.json" not in os.listdir(src) and "a1.json" not in os.listdir(src)
+    # ...and every landed row reached the sink exactly once.
+    assert spark.read.parquet(out).count() == 3

@@ -54,3 +54,34 @@ def test_from_xml_all_null_group(spark):
     parsed = bad.select(F.from_xml("xml", "k LONG", {"mode": "PERMISSIVE"}).alias("p"))
     rows = parsed.select("p.k").collect()
     assert [r.k for r in rows] == [None, None]
+
+
+def test_failfast_raises_on_malformed(spark):
+    """XMLParser's exit-on-error policy [P: processOnError='exit']: under
+    mode=FAILFAST the job must abort on the first malformed document —
+    completing the trio with PERMISSIVE routing (q_xml_corrupt_route) and
+    null-field ignore. A clean subset must still parse under FAILFAST."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from xml_processor_spark.io import table
+
+    o = table(spark, SF_SMALL, "orders").limit(100)
+    good = F.concat(
+        F.lit("<order><okey>"), F.col("o_orderkey").cast("string"),
+        F.lit("</okey></order>"),
+    )
+    bad = F.concat(F.lit("<order><okey>"), F.col("o_orderkey").cast("string"))
+    xml = F.when(F.col("o_orderkey") % 10 == 0, bad).otherwise(good)
+
+    with pytest.raises(Exception, match="MALFORMED_RECORD_IN_PARSING|Malformed"):
+        o.select(
+            F.from_xml(xml, "okey LONG", {"mode": "FAILFAST"}).alias("p")
+        ).collect()
+
+    ok_rows = (
+        o.filter(F.col("o_orderkey") % 10 != 0)
+        .select(F.from_xml(good, "okey LONG", {"mode": "FAILFAST"}).alias("p"))
+        .collect()
+    )
+    assert all(r.p.okey is not None for r in ok_rows)

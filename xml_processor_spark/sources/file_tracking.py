@@ -6,7 +6,8 @@ reprocessingRequired]. The idiomatic Spark equivalent IS the checkpointed
 Structured Streaming file source: the checkpoint's file log is the tracking
 table, `Trigger.AvailableNow` is the batch re-run, and exactly-once sinks
 give the same at-most-once-per-file guarantee. `cleanSource` covers the
-reference's post-actions (archive/delete).
+reference's post-actions (archive/delete) — demonstrated by
+tests/test_streaming.py::test_file_tracking_archives_processed_files.
 """
 
 from __future__ import annotations
