@@ -185,3 +185,34 @@ def test_emb_lsh_recall_and_pruning_vs_exact(spark, queries):
     all_pairs = n_vecs * (n_vecs - 1) // 2
     n_cand = _emb_lsh_candidates(spark, SF_SMALL).count()
     assert n_cand < 0.65 * all_pairs, f"not pruning: {n_cand}/{all_pairs}"
+
+
+def test_dedup_cluster_matches_union_find(spark, queries):
+    """Connected components via iterative label propagation must equal an
+    independent union-find over the same pair graph, and every root must
+    be its component's minimum id."""
+    pairs = [
+        (r.id_a, r.id_b)
+        for r in queries["q_dedup_ngram_jaccard"](spark, SF_SMALL).collect()
+    ]
+    assert pairs, "no near-dup pairs in fixture?"
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    got = {r.doc_id: r.root for r in queries["q_dedup_cluster"](spark, SF_SMALL).collect()}
+    assert len(got) == 500
+    for doc, root in got.items():
+        expected = find(doc) if doc in parent else doc
+        assert root == expected, (doc, root, expected)
+        assert got[root] == root, f"root {root} is not its own root"

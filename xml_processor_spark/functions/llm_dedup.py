@@ -339,10 +339,9 @@ def q_dedup_simhash(spark, sf_dir):
 # Integer-exact shingle-Jaccard threshold: J >= 0.8  ⇔  10*i >= 8*(union)
 _NG_NUM, _NG_DEN = 8, 10
 
-
-@register(
-    "q_dedup_ngram_jaccard",
-    oracle=f"""
+# Shared by q_dedup_ngram_jaccard (as its whole oracle) and
+# q_dedup_cluster (as the edge set of its recursive-CTE oracle).
+_NGRAM_PAIRS_SQL = f"""
         WITH sh AS (
             SELECT doc_id,
                    unnest(list_distinct(list_transform(
@@ -364,7 +363,12 @@ _NG_NUM, _NG_DEN = 8, 10
         JOIN sizes sa ON sa.doc_id = id_a
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE {_NG_DEN} * i >= {_NG_NUM} * (sa.n + sb.n - i)
-    """,
+"""
+
+
+@register(
+    "q_dedup_ngram_jaccard",
+    oracle=_NGRAM_PAIRS_SQL,
     origin="LLM",
     doc="n-gram (3-word shingle) Jaccard near-dup pairs at >= 0.8 — the "
         "order-sensitive counterpart of token-set Jaccard (detects copies, "
@@ -562,4 +566,79 @@ def e_emb_lsh(spark, sf_dir):
         .withColumn("sim_raw", dot / F.col("na") / F.col("nb"))
         .filter(F.col("sim_raw") >= _COS_TAU)
         .select("id_a", "id_b", F.round("sim_raw", 6).alias("sim"))
+    )
+
+
+_CC_MAX_ROUNDS = 20
+
+
+@register(
+    "q_dedup_cluster",
+    oracle=f"""
+        WITH RECURSIVE pairs AS ({_NGRAM_PAIRS_SQL}),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION ALL
+            SELECT id_b, id_a FROM pairs
+        ),
+        reach(id, r) AS (
+            SELECT DISTINCT src, src FROM edges
+            UNION
+            SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+        )
+        SELECT d.doc_id, COALESCE(m.root, d.doc_id) AS root
+        FROM documents d
+        LEFT JOIN (SELECT id, min(r) AS root FROM reach GROUP BY id) m
+          ON m.id = d.doc_id
+    """,
+    origin="LLM",
+    doc="Duplicate-cluster resolution — the step after pair generation in "
+        "a dedup pipeline: connected components over the shingle-Jaccard "
+        "pair graph, every document labeled with its cluster root "
+        "(= min doc_id in the component, the canonical keeper). Spark side "
+        "is iterative min-label propagation: each round one equi-join "
+        "shuffle + map-side-combined min; rounds bounded by component "
+        "diameter (near-dup clusters are shallow — converges in 2-3 here; "
+        "an alternating large-star/small-star variant bounds rounds at "
+        "O(log n) for adversarial graphs). The driver loop is control "
+        "flow only — per-round data never leaves the cluster; the "
+        "convergence probe is a 1-row sum.",
+)
+def q_dedup_cluster(spark, sf_dir):
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    edges = pairs.union(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).localCheckpoint()  # materialize once; reused every round
+    labels = (
+        edges.select(F.col("id_a").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("root"))
+        .localCheckpoint()
+    )
+    # Roots only ever decrease, so sum(root) is a monotone convergence
+    # witness: unchanged sum ⇔ fixpoint.
+    prev_sum = labels.agg(F.sum("root")).collect()[0][0]
+    for _ in range(_CC_MAX_ROUNDS):
+        nbr = (
+            edges.join(labels, edges.id_a == labels.id)
+            .groupBy(F.col("id_b").alias("nid"))
+            .agg(F.min("root").alias("nbr_root"))
+        )
+        labels = (
+            labels.join(nbr, labels.id == nbr.nid, "left")
+            .select(
+                "id",
+                F.least(F.col("root"), F.coalesce("nbr_root", "root")).alias("root"),
+            )
+            .localCheckpoint()  # truncate per-round lineage growth
+        )
+        cur_sum = labels.agg(F.sum("root")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:
+        raise RuntimeError(f"label propagation not converged in {_CC_MAX_ROUNDS}")
+    d = table(spark, sf_dir, "documents")
+    return d.join(labels, d.doc_id == labels.id, "left").select(
+        "doc_id", F.coalesce("root", "doc_id").alias("root")
     )

@@ -71,7 +71,7 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "q_text_lang_stats", "q_text_langid", "q_text_quality",
     "q_text_token_stats", "q_text_fingerprint",
     "q_dedup_exact", "q_dedup_near_jaccard", "q_dedup_simhash",
-    "q_dedup_ngram_jaccard", "q_dedup_emb_cosine",
+    "q_dedup_ngram_jaccard", "q_dedup_emb_cosine", "q_dedup_cluster",
     "q_knn_cosine", "q_knn_euclidean",
     "q_text_chunk", "q_text_redact", "q_text_repetition",
     "q_emb_normalize", "q_emb_centroid",
@@ -90,10 +90,10 @@ _DRIVER_ORDER: tuple[str, ...] = (
     # -- §2.G set ops (5)
     "q_union_all", "q_union_distinct", "q_intersect", "q_except",
     "q_except_all",
-    # -- §2.J UDF surface (5) — slot 50 ends here
+    # -- §2.J UDF surface — slot 50 ends inside this group
     "q_udf_python", "q_udf_pandas", "q_udaf_pandas", "q_udf_grouped_map",
+    # -- deferred to the round-4 rotation: q_udtf + §2.H scalar functions
     "q_udtf",
-    # -- deferred to the round-4 rotation: §2.H scalar functions (11)
     "q_str_funcs", "q_str_regex", "q_str_levenshtein", "q_date_parts",
     "q_date_arith", "q_math_funcs", "q_hash_md5", "q_array_funcs",
     "q_array_lambda", "q_explode", "q_map_funcs",
