@@ -158,3 +158,18 @@ def test_emb_lsh_band_join_is_equi(spark, queries):
     plan = explain(queries["E-EMB-LSH"](spark, SF_MID))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_stratified_sample_is_scan_side(spark, queries):
+    """Stratified sampling is a deterministic filter — no shuffle, no
+    Python; the whole mixture decision rides the scan."""
+    plan = explain(queries["q_sample_stratified"](spark, SF_MID))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_decontaminate_probe_set_broadcasts(spark, queries):
+    """The benchmark shingle set must broadcast; shuffling the corpus
+    shingle stream against a tiny probe set would be a scale bug."""
+    plan = explain(queries["q_decontaminate"](spark, SF_MID))
+    assert "BroadcastHashJoin" in plan

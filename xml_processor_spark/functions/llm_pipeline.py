@@ -229,3 +229,93 @@ def q_emb_centroid(spark, sf_dir):
             ).alias("centroid")
         )
     )
+
+
+# Per-language keep rates in 16ths for the training mixture: downsample the
+# English majority, keep the low-resource tail whole. rate k/16 ⇔ first md5
+# hex digit <= _HEX[k-1] — digits sort before letters in both engines, so
+# the same rows survive on Spark, DuckDB, or any future engine.
+_STRATA_16THS = {"en": 6, "zh": 16}
+_STRATA_DEFAULT_16THS = 12
+_HEX = "0123456789abcdef"
+
+
+@register(
+    "q_sample_stratified",
+    oracle=f"""
+        SELECT doc_id, lang
+        FROM documents
+        WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <=
+              CASE lang
+                  {" ".join(f"WHEN '{lang}' THEN '{_HEX[k - 1]}'" for lang, k in sorted(_STRATA_16THS.items()))}
+                  ELSE '{_HEX[_STRATA_DEFAULT_16THS - 1]}'
+              END
+    """,
+    origin="LLM",
+    doc="Stratified deterministic sampling — training-mixture reweighting: "
+        "per-language keep rates (downsample the majority language, keep "
+        "low-resource strata whole) decided by a content-hash digit, never "
+        "rand(). Scan-side filter, zero shuffle, reproducible across "
+        "engines, reruns, and repartitioning.",
+)
+def q_sample_stratified(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    expr = None
+    for lang, k in sorted(_STRATA_16THS.items()):
+        lit = F.lit(_HEX[k - 1])
+        expr = (
+            F.when(F.col("lang") == lang, lit)
+            if expr is None
+            else expr.when(F.col("lang") == lang, lit)
+        )
+    threshold = expr.otherwise(F.lit(_HEX[_STRATA_DEFAULT_16THS - 1]))
+    digit = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return d.filter(digit <= threshold).select("doc_id", "lang")
+
+
+# Benchmark probe set for decontamination: a deterministic slice standing in
+# for an eval benchmark (at 100 TB this is a real benchmark file, tiny
+# either way — always the broadcast side).
+_DECON_MOD = 97
+
+
+@register(
+    "q_decontaminate",
+    oracle=f"""
+        WITH sh AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       generate_series(1, len(string_split(text,' ')) - 2),
+                       i -> string_split(text,' ')[i] || ' ' ||
+                            string_split(text,' ')[i+1] || ' ' ||
+                            string_split(text,' ')[i+2]))) AS s
+            FROM documents
+        ),
+        bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % {_DECON_MOD} = 0)
+        SELECT sh.doc_id, count(*) AS n_shared
+        FROM sh JOIN bench ON sh.s = bench.s
+        WHERE sh.doc_id % {_DECON_MOD} <> 0
+        GROUP BY sh.doc_id
+    """,
+    origin="LLM",
+    doc="Benchmark decontamination — flag training documents sharing any "
+        "3-word shingle with the eval probe set, with the shared-shingle "
+        "count as evidence. The probe shingle set broadcasts (benchmarks "
+        "are tiny); candidate matching is a broadcast hash semi-join "
+        "against the corpus shingle stream — no shuffle of the corpus "
+        "side. Downstream: anti-join survivors continue to training.",
+)
+def q_decontaminate(spark, sf_dir):
+    from xml_processor_spark.functions.llm_dedup import shingles
+
+    d = widen(table(spark, sf_dir, "documents"))
+    sh = d.select("doc_id", F.explode(shingles(F.col("text"))).alias("s"))
+    bench = (
+        sh.filter(F.col("doc_id") % _DECON_MOD == 0).select("s").distinct()
+    )
+    return (
+        sh.filter(F.col("doc_id") % _DECON_MOD != 0)
+        .join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )

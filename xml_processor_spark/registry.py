@@ -75,6 +75,7 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "q_knn_cosine", "q_knn_euclidean",
     "q_text_chunk", "q_text_redact", "q_text_repetition",
     "q_emb_normalize", "q_emb_centroid",
+    "q_sample_stratified", "q_decontaminate",
     # -- §2.M subqueries / composites (5)
     "q_subq_scalar", "q_subq_in", "q_subq_corr", "q_tpch_q3", "q_tpch_q5",
     # -- §2.L reshaping / behavioral (5)
@@ -91,9 +92,9 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "q_union_all", "q_union_distinct", "q_intersect", "q_except",
     "q_except_all",
     # -- §2.J UDF surface — slot 50 ends inside this group
-    "q_udf_python", "q_udf_pandas", "q_udaf_pandas", "q_udf_grouped_map",
-    # -- deferred to the round-4 rotation: q_udtf + §2.H scalar functions
-    "q_udtf",
+    "q_udf_python", "q_udf_pandas",
+    # -- deferred to the round-4 rotation: rest of §2.J + §2.H scalars
+    "q_udaf_pandas", "q_udf_grouped_map", "q_udtf",
     "q_str_funcs", "q_str_regex", "q_str_levenshtein", "q_date_parts",
     "q_date_arith", "q_math_funcs", "q_hash_md5", "q_array_funcs",
     "q_array_lambda", "q_explode", "q_map_funcs",
