@@ -49,25 +49,40 @@ def test_queries_have_aliased_columns(spark):
             assert not any(b in c for b in bad_fragments), f"{key}: bad col {c!r}"
 
 
-def test_driver_order_covers_registry_exactly():
-    """_DRIVER_ORDER is a rotation schedule over the driver's 50-key
-    correctness cap: no duplicates, no dangling names, and every
-    registered key either listed or appended (get_queries drops none).
-    The first 50 emitted keys must be oracle-bearing (hash-checkable) —
-    rows-only E-keys would waste a driver hash slot."""
+def test_driver_order_is_canonical_alphabetical():
+    """The driver-facing key order is plain lexicographic — canonical and
+    content-independent, so no curation/rotation can steer which keys a
+    capped driver run verifies (ADVICE r3). Every registered key is
+    emitted exactly once."""
     import __spark_entry__ as entrypoint
     from xml_processor_spark import load_all
-    from xml_processor_spark.registry import _DRIVER_ORDER, REGISTRY
+    from xml_processor_spark.registry import REGISTRY
 
     load_all()
-    assert len(_DRIVER_ORDER) == len(set(_DRIVER_ORDER)), "duplicate keys"
-    dangling = set(_DRIVER_ORDER) - set(REGISTRY)
-    assert not dangling, f"listed but unregistered: {dangling}"
-
-    qs, osql = entrypoint.queries(), entrypoint.oracle_sql()
+    qs = entrypoint.queries()
     assert set(qs) == set(REGISTRY)
-    first50 = list(qs)[:50]
-    assert all(k in osql for k in first50), [k for k in first50 if k not in osql]
+    assert list(qs) == sorted(REGISTRY)
+
+
+def test_oracle_outputs_are_hashable_scalars(spark):
+    """The driver canonicalizes results with pandas sort_values over all
+    columns, which factorizes object columns — list/dict cells raise
+    `unhashable type` (q_emb_normalize, CORRECTNESS_r03). Every
+    oracle-bearing query must therefore emit only scalar-typed columns;
+    arrays belong in digests or exploded rows."""
+    import __spark_entry__ as entrypoint
+
+    osql = entrypoint.oracle_sql()
+    for key, fn in entrypoint.queries().items():
+        if key not in osql:
+            continue
+        df = fn(spark, SF_SMALL)
+        bad = [
+            f"{f.name}:{f.dataType.simpleString()}"
+            for f in df.schema.fields
+            if f.dataType.typeName() in ("array", "map", "struct")
+        ]
+        assert not bad, f"{key}: non-scalar output columns {bad}"
 
 
 def test_survey_section2_matches_registry_key_for_key():

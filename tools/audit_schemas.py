@@ -28,36 +28,56 @@ from xml_processor_spark.session import build_session  # noqa: E402
 
 
 def _canon(t: pa.DataType) -> str:
-    """Canonical type label for hash-parity purposes.
-
-    Equivalences that cannot change a value-level hash (each backed by a
-    driver verdict on record):
-    - string/large_string (offset width only)
-    - integer widths: both sides collect to Python int
-      (q_agg_grouping_sets hash-passed CORRECTNESS_r02 with spark int32
-      vs duck int64)
-    - timestamp unit differences (second-truncated values) and
-      tz=UTC vs tz-naive: Spark's collect in a UTC session and DuckDB's
-      fetch both yield identical naive datetimes (q_join_asof hash-passed
-      r01/r02 with spark timestamp[tz=UTC] vs duck naive). Any OTHER tz
-      shifts the collected values → real divergence, kept in the label.
-    - list/large_list of the same element type
-    Everything else (decimal vs int, float vs decimal) is a real
-    divergence — exactly the class that hash-failed q_xml_corrupt_route
-    in round 1 (DuckDB HUGEINT → arrow decimal128 vs Spark int64).
-    """
-    if pa.types.is_large_string(t) or pa.types.is_string(t):
-        return "string"
-    if pa.types.is_integer(t):
-        return "int"
+    """Precise type label — width and unit are KEPT (ADVICE r3): the audit
+    reports exactly what each engine produced, and only the explicitly
+    verified pairs in ``_VERIFIED_EQUIV`` are allowed to differ."""
     if pa.types.is_timestamp(t):
-        tz = None if t.tz in (None, "UTC") else t.tz
-        return f"timestamp[tz={tz}]"
+        return f"timestamp[{t.unit},tz={t.tz}]"
     if pa.types.is_large_list(t) or pa.types.is_list(t):
         return f"list<{_canon(t.value_type)}>"
     if pa.types.is_decimal(t):
         return f"decimal({t.precision},{t.scale})"
     return str(t)
+
+
+# Cross-engine label pairs verified equal at the VALUE level by a driver
+# hash verdict on record (unordered). Anything not listed here — e.g.
+# decimal-vs-int (the r1 q_xml_corrupt_route HUGEINT fail), float32 vs
+# float64, a non-UTC tz — surfaces as DIFF.
+_VERIFIED_EQUIV: frozenset[frozenset[str]] = frozenset(
+    {
+        # offset width only — identical bytes
+        frozenset({"large_string", "string"}),
+        # both sides collect to exact Python ints (q_agg_grouping_sets
+        # hash-passed CORRECTNESS_r02 with spark int32 vs duck int64)
+        frozenset({"int32", "int64"}),
+        # Spark collects tz=UTC, DuckDB naive — identical naive datetimes
+        # ONLY while the Spark session runs in UTC; _assert_preconditions
+        # enforces that before this pair is honored (q_join_asof
+        # hash-passed r01/r02). Unit differences are NOT whitelisted.
+        frozenset({"timestamp[us,tz=UTC]", "timestamp[us,tz=None]"}),
+    }
+)
+
+
+def _equiv(a: str, b: str) -> bool:
+    if a == b:
+        return True
+    if a.startswith("list<") and b.startswith("list<"):
+        return _equiv(a[5:-1], b[5:-1])
+    return frozenset({a, b}) in _VERIFIED_EQUIV
+
+
+def _assert_preconditions(spark) -> None:
+    """The timestamp tz equivalence is only sound in a UTC session — a
+    regression here would let a real value-level shift pass silently
+    (ADVICE r3), so it is asserted, not assumed."""
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    assert tz == "UTC", (
+        f"session tz is {tz!r}, not UTC — the timestamp[tz=UTC]≡naive "
+        "equivalence in _VERIFIED_EQUIV is unsound; fix the session "
+        "config before trusting this audit"
+    )
 
 
 def main() -> int:
@@ -71,6 +91,7 @@ def main() -> int:
     keys = args.keys or sorted(oracles)
 
     spark = build_session("audit_schemas")
+    _assert_preconditions(spark)
     con = connect_duckdb(args.sf)
 
     n_ok = n_bad = n_skip = 0
@@ -90,20 +111,20 @@ def main() -> int:
             continue
         # Sorted (name, type) lists, not dicts — a duplicate column name
         # (which the driver's sorted-by-name hash would see twice) must
-        # surface as a diff, not collapse silently.
+        # surface as a diff, not collapse silently. Pairwise compare with
+        # the verified-equivalence whitelist; any non-whitelisted pair,
+        # name mismatch, or arity mismatch is a DIFF.
         s_fields = sorted((f.name, _canon(f.type)) for f in s_tab.schema)
         d_fields = sorted((f.name, _canon(f.type)) for f in d_tab.schema)
         diffs = []
-        if s_fields != d_fields:
-            only_s = [f for f in s_fields if f not in d_fields]
-            only_d = [f for f in d_fields if f not in s_fields]
-            for name, tv in only_s:
-                diffs.append(f"{name}: spark={tv} duck={dict(only_d).get(name)}")
-            for name, tv in only_d:
-                if name not in dict(only_s):
-                    diffs.append(f"{name}: spark=None duck={tv}")
-            if not diffs:  # duplicate-count mismatch: same set, different list
-                diffs.append(f"field-list mismatch: {s_fields} vs {d_fields}")
+        if len(s_fields) != len(d_fields):
+            diffs.append(f"field counts: {s_fields} vs {d_fields}")
+        else:
+            for (sn, st), (dn, dt) in zip(s_fields, d_fields):
+                if sn != dn:
+                    diffs.append(f"name: spark={sn} duck={dn}")
+                elif not _equiv(st, dt):
+                    diffs.append(f"{sn}: spark={st} duck={dt}")
         if diffs:
             n_bad += 1
             bad.append(key)

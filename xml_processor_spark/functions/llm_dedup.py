@@ -500,10 +500,13 @@ def _emb_lsh_candidates(spark, sf_dir):
 
         if len(vecs) == 0:
             return pd.Series([], dtype=object)
-        # Deterministic plane family — same on every executor, every run.
-        rng = np.random.RandomState(_EMB_SEED)
-        planes = rng.standard_normal((64, _EMB_BANDS * _EMB_BAND_BITS))
         mat = np.stack([np.asarray(v, dtype="float64") for v in vecs])
+        # Deterministic plane family — same on every executor, every run.
+        # Row count follows the incoming dimensionality (seeded draws are
+        # dim-prefix-stable only in shape, but every batch draws the same
+        # (dim, planes) matrix, which is all determinism requires).
+        rng = np.random.RandomState(_EMB_SEED)
+        planes = rng.standard_normal((mat.shape[1], _EMB_BANDS * _EMB_BAND_BITS))
         bits = (mat @ planes) > 0
         weights = 1 << np.arange(_EMB_BAND_BITS - 1, -1, -1)
         codes = bits.reshape(len(mat), _EMB_BANDS, _EMB_BAND_BITS) @ weights
@@ -601,43 +604,53 @@ _CC_MAX_ROUNDS = 20
         "diameter (near-dup clusters are shallow — converges in 2-3 here; "
         "an alternating large-star/small-star variant bounds rounds at "
         "O(log n) for adversarial graphs). The driver loop is control "
-        "flow only — per-round data never leaves the cluster; the "
-        "convergence probe is a 1-row sum.",
+        "flow only — per-round data never leaves the cluster. Fault "
+        "story (ADVICE r3): edges persist WITH lineage (a lost executor "
+        "recomputes its blocks), per-round labels use RELIABLE "
+        "checkpoints (checkpoint dir = durable storage on a cluster) — "
+        "localCheckpoint would make prior rounds unrecomputable on any "
+        "executor loss. Convergence witness is a changed-row count, not "
+        "sum(root), so no ANSI int64-overflow exposure on wide id spaces.",
 )
 def q_dedup_cluster(spark, sf_dir):
+    sc = spark.sparkContext
+    if sc.getCheckpointDir() is None:
+        import tempfile
+
+        sc.setCheckpointDir(tempfile.mkdtemp(prefix="xps-ckpt-"))
     pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
     edges = pairs.union(
         pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
-    ).localCheckpoint()  # materialize once; reused every round
+    ).persist()  # reused every round; lineage kept → executor-loss safe
     labels = (
         edges.select(F.col("id_a").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("root"))
-        .localCheckpoint()
+        .checkpoint()
     )
-    # Roots only ever decrease, so sum(root) is a monotone convergence
-    # witness: unchanged sum ⇔ fixpoint.
-    prev_sum = labels.agg(F.sum("root")).collect()[0][0]
     for _ in range(_CC_MAX_ROUNDS):
         nbr = (
             edges.join(labels, edges.id_a == labels.id)
             .groupBy(F.col("id_b").alias("nid"))
             .agg(F.min("root").alias("nbr_root"))
         )
-        labels = (
+        upd = (
             labels.join(nbr, labels.id == nbr.nid, "left")
             .select(
                 "id",
+                F.col("root").alias("old_root"),
                 F.least(F.col("root"), F.coalesce("nbr_root", "root")).alias("root"),
             )
-            .localCheckpoint()  # truncate per-round lineage growth
+            .checkpoint()  # truncate lineage; durable on a real cluster
         )
-        cur_sum = labels.agg(F.sum("root")).collect()[0][0]
-        if cur_sum == prev_sum:
+        # Roots only ever decrease ⇒ zero strictly-decreased rows ⇔ fixpoint.
+        changed = upd.filter(F.col("root") < F.col("old_root")).count()
+        labels = upd.select("id", "root")
+        if changed == 0:
             break
-        prev_sum = cur_sum
     else:
         raise RuntimeError(f"label propagation not converged in {_CC_MAX_ROUNDS}")
+    edges.unpersist()
     d = table(spark, sf_dir, "documents")
     return d.join(labels, d.doc_id == labels.id, "left").select(
         "doc_id", F.coalesce("root", "doc_id").alias("root")

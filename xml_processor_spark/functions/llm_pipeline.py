@@ -164,33 +164,65 @@ def q_text_repetition(spark, sf_dir):
 @register(
     "q_emb_normalize",
     oracle="""
+        WITH n AS (
+            SELECT vec_id, embedding,
+                   sqrt(list_aggregate(list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                       AS nrm
+            FROM embeddings)
         SELECT vec_id,
-               round(sqrt(list_aggregate(list_transform(embedding,
-                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 6) AS norm,
-               list_transform(embedding, x -> round(CAST(x AS DOUBLE)
-                   / sqrt(list_aggregate(list_transform(embedding,
-                         y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum')), 6))
-                   AS unit
-        FROM embeddings
+               round(nrm, 6) AS norm,
+               round(CAST(embedding[1] AS DOUBLE) / nrm, 6) AS unit_head,
+               CAST(list_aggregate(list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) / nrm * 1000000)
+                        AS BIGINT)), 'sum') AS BIGINT) AS unit_digest,
+               CAST(list_aggregate(list_transform(
+                       generate_series(1, len(embedding)),
+                   i -> i * CAST(round(CAST(embedding[i] AS DOUBLE) / nrm
+                                 * 1000000) AS BIGINT)), 'sum') AS BIGINT)
+                   AS unit_wdigest
+        FROM n
     """,
     origin="LLM",
     doc="L2 normalization of the embedding column, JVM-side (the native "
-        "twin of E-EMB-PIPE's Arrow pandas-UDF path): per-vector norm and "
-        "the unit vector, both rounded for cross-engine equality. Per-row "
-        "array math, scan-parallel; the left-fold sum order is identical "
-        "in both engines, so doubles match exactly before rounding.",
+        "twin of E-EMB-PIPE's Arrow pandas-UDF path). The unit vector is "
+        "verified through position-weighted fixed-point digests (sum of "
+        "round(x_i/norm * 1e6) and sum of i * that) plus the first "
+        "component — full content pinned per slot, but every output "
+        "column is a hashable scalar: the driver's canonicalizer "
+        "(pandas sort_values over all columns) factorizes object "
+        "columns and raises `unhashable type` on list cells "
+        "(CORRECTNESS_r03). Per-row array math, scan-parallel; the "
+        "left-fold order is identical in both engines.",
 )
 def q_emb_normalize(spark, sf_dir):
     # widen(): 64-dim interpreted HOF math per row on a one-row-group scan.
     e = widen(table(spark, sf_dir, "embeddings"))
     sq = F.transform("embedding", lambda x: x.cast("double") * x.cast("double"))
     norm = F.sqrt(F.aggregate(sq, F.lit(0.0), lambda a, x: a + x))
+    fx = F.transform(
+        "embedding",
+        lambda x: F.round(x.cast("double") / norm * 1_000_000, 0).cast("long"),
+    )
+    zero = F.lit(0).cast("long")
+    digest = F.aggregate(fx, zero, lambda a, x: a + x)
+    wdigest = F.aggregate(
+        F.zip_with(
+            fx,
+            F.sequence(F.lit(1), F.size("embedding")),
+            lambda x, i: x * i.cast("long"),
+        ),
+        zero,
+        lambda a, x: a + x,
+    )
     return e.select(
         "vec_id",
         r6(norm).alias("norm"),
-        F.transform(
-            "embedding", lambda x: F.round(x.cast("double") / norm, 6)
-        ).alias("unit"),
+        r6(F.element_at("embedding", 1).cast("double") / norm).alias(
+            "unit_head"
+        ),
+        digest.alias("unit_digest"),
+        wdigest.alias("unit_wdigest"),
     )
 
 

@@ -57,76 +57,16 @@ def register(
     return _wrap
 
 
-# Driver-facing key order. The correctness driver hash-checks the FIRST 50
-# registry keys per round (observed: CORRECTNESS_r01/r02 both covered the
-# same first 50), so ordering is a verification-coverage rotation schedule:
-# keys with no driver verdict yet come first (oracle-bearing before
-# rows-only), then the deferred scalar-function family, then E-keys, then
-# the 50 keys already hash-verified in rounds 1-2. Keys registered but not
-# listed here are appended in registration order (so adding an operator
-# never silently drops it from the driver contract).
-_DRIVER_ORDER: tuple[str, ...] = (
-    # -- never driver-checked, oracle-bearing: §2.K LLM ops (21)
-    "q_text_wordcount", "q_text_tfidf", "q_text_ngrams", "q_text_sentiment",
-    "q_text_lang_stats", "q_text_langid", "q_text_quality",
-    "q_text_token_stats", "q_text_fingerprint",
-    "q_dedup_exact", "q_dedup_near_jaccard", "q_dedup_simhash",
-    "q_dedup_ngram_jaccard", "q_dedup_emb_cosine", "q_dedup_cluster",
-    "q_knn_cosine", "q_knn_euclidean",
-    "q_text_chunk", "q_text_redact", "q_text_repetition",
-    "q_emb_normalize", "q_emb_centroid",
-    "q_sample_stratified", "q_decontaminate",
-    # -- §2.M subqueries / composites (5)
-    "q_subq_scalar", "q_subq_in", "q_subq_corr", "q_tpch_q3", "q_tpch_q5",
-    # -- §2.L reshaping / behavioral (5)
-    "q_pivot_status", "q_unpivot_status", "q_sample_hash",
-    "q_events_funnel", "q_events_retention",
-    # -- §2.I streaming batch-equivalents (4)
-    "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
-    "q_stream_dedup",
-    # -- §2.E tail the round-1 cap cut off (2)
-    "q_win_range_frame", "q_win_first_last",
-    # -- §2.F sort/limit/top-k (3)
-    "q_sort_multi", "q_limit_topn", "q_topk_per_group",
-    # -- §2.G set ops (5)
-    "q_union_all", "q_union_distinct", "q_intersect", "q_except",
-    "q_except_all",
-    # -- §2.J UDF surface — slot 50 ends inside this group
-    "q_udf_python", "q_udf_pandas",
-    # -- deferred to the round-4 rotation: rest of §2.J + §2.H scalars
-    "q_udaf_pandas", "q_udf_grouped_map", "q_udtf",
-    "q_str_funcs", "q_str_regex", "q_str_levenshtein", "q_date_parts",
-    "q_date_arith", "q_math_funcs", "q_hash_md5", "q_array_funcs",
-    "q_array_lambda", "q_explode", "q_map_funcs",
-    # -- rows-only E-keys without driver verdicts (pytest-covered)
-    "E-MINHASH-LSH", "E-EMB-PIPE", "E-KNN-IVF", "E-EMB-LSH",
-    "E-WATERMARK", "E-STATEFUL", "E-STREAM-JOIN", "E-FILE-TRACK",
-    # -- hash-verified in CORRECTNESS_r01/r02 (driver verdicts on record)
-    "q_scan_parquet", "q_scan_pruned", "q_xml_parse_struct", "q_xml_xpath",
-    "q_xml_attributes", "q_xml_nested_explode", "q_xml_corrupt_route",
-    "q_xml_json_roundtrip", "q_json_extract", "q_json_typed",
-    "E-XML-SRC", "E-SINK-PQ", "E-MULTIMODAL",
-    "q_project_alias", "q_filter_compound", "q_filter_like",
-    "q_filter_null", "q_case_when", "q_distinct",
-    "q_join_inner", "q_join_broadcast", "q_join_multikey", "q_join_left",
-    "q_join_right", "q_join_full", "q_join_semi", "q_join_anti",
-    "q_join_cross", "q_join_theta", "q_join_range", "q_join_asof",
-    "q_agg_global", "q_agg_group", "q_agg_having", "q_agg_count_distinct",
-    "q_agg_multi_distinct", "q_agg_minby_maxby", "q_agg_stats",
-    "q_agg_percentile", "q_agg_collect_sorted", "q_agg_rollup",
-    "q_agg_cube", "q_agg_grouping_sets", "E-APPROX-CD",
-    "q_win_rownum", "q_win_rank_dense", "q_win_ntile_pct",
-    "q_win_lag_lead", "q_win_running", "q_win_moving",
-)
-
-
+# Driver-facing key order: plain lexicographic. The order is canonical and
+# content-independent — registration import order, verification history, and
+# round number play no part in it, so the driver (which may sample or cap the
+# keys it checks per round) sees a stable, non-curated inventory and chooses
+# its own coverage.
 def _ordered() -> dict[str, Query]:
     from xml_processor_spark import load_all
 
     load_all()
-    listed = [k for k in _DRIVER_ORDER if k in REGISTRY]
-    extra = [k for k in REGISTRY if k not in _DRIVER_ORDER]
-    return {k: REGISTRY[k] for k in [*listed, *extra]}
+    return {k: REGISTRY[k] for k in sorted(REGISTRY)}
 
 
 def get_queries() -> dict[str, SparkQuery]:
