@@ -173,3 +173,42 @@ def test_decontaminate_probe_set_broadcasts(spark, queries):
     shingle stream against a tiny probe set would be a scale bug."""
     plan = explain(queries["q_decontaminate"](spark, SF_MID))
     assert "BroadcastHashJoin" in plan
+
+
+def test_salted_join_is_smj_on_salted_keys(spark, queries):
+    """The salt must reach the join keys (spreading a hot key over 8
+    shuffle partitions) and the join must be the sort-merge path the salt
+    exists for — never a nested loop."""
+    plan = explain(queries["q_join_salted"](spark, SF_MID))
+    assert "SortMergeJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "salt" in plan
+
+
+def test_bucketed_join_reads_buckets_without_exchange(spark, queries):
+    """Both sides bucketed on the join key: the SMJ must read buckets
+    directly — the ONLY Exchange allowed in the whole plan is the final
+    small groupBy's (the join inputs never shuffle)."""
+    plan = explain(queries["q_join_bucketed"](spark, SF_MID))
+    assert "SortMergeJoin" in plan
+    assert "Bucketed: true" in plan
+    # formatted explain prints each node in the tree AND the detail list;
+    # count detail entries ("(n) Exchange") — exactly one node allowed.
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1
+
+
+def test_segment_dedup_join_is_equi(spark, queries):
+    plan = explain(queries["q_dedup_segment"](spark, SF_MID))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_text_pack_window_is_per_stratum(spark, queries):
+    """Packing must use a per-language window — a global ordering would
+    plan a SinglePartition exchange and serialize at 100 TB."""
+    plan = explain(queries["q_text_pack"](spark, SF_MID))
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(lang" in plan

@@ -192,3 +192,42 @@ def test_file_tracking_archives_processed_files(spark):
     assert "a0.json" not in os.listdir(src) and "a1.json" not in os.listdir(src)
     # ...and every landed row reached the sink exactly once.
     assert spark.read.parquet(out).count() == 3
+
+
+def test_foreach_batch_sink_is_idempotent(spark, queries):
+    """The epoch-keyed foreachBatch sink must deliver exactly-once
+    semantics: totals equal the batch source, and re-delivering an epoch
+    (Spark's retry behavior after a sink failure) changes nothing."""
+    import os
+
+    from xml_processor_spark.streaming.stateful import epoch_keyed_sink
+
+    sunk = queries["E-FOREACH-BATCH"](spark, SF_SMALL)
+    got = {r.event_type: r.n for r in sunk.collect()}
+    ev = table(spark, SF_SMALL, "events").filter(F.col("user_id") < 30)
+    want = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want
+
+    # Re-deliver epoch 0 by hand: same batch, same epoch id → overwrite,
+    # not append. (Locate the sink dir from the parquet files' path.)
+    out_dir = None
+    for f in sunk.inputFiles():
+        if "/epoch=" in f:
+            out_dir = f.split("/epoch=")[0].replace("file:", "")
+            break
+    assert out_dir, "sink dir not found"
+    src0 = spark.read.parquet(os.path.join(out_dir, "epoch=0"))
+    # materialize before overwriting the very files the plan would read
+    epoch0 = spark.createDataFrame(src0.collect(), src0.schema)
+    epoch_keyed_sink(out_dir)(epoch0, 0)
+    again = {
+        r.event_type: r.n
+        for r in spark.read.parquet(out_dir)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert again == want

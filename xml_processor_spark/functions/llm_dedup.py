@@ -655,3 +655,73 @@ def q_dedup_cluster(spark, sf_dir):
     return d.join(labels, d.doc_id == labels.id, "left").select(
         "doc_id", F.coalesce("root", "doc_id").alias("root")
     )
+
+
+_SEG_TOKENS = 16  # tokens per non-overlapping segment
+
+
+@register(
+    "q_dedup_segment",
+    oracle=f"""
+        WITH s AS (
+            SELECT doc_id,
+                   md5(array_to_string(list_slice(
+                       string_split(text, ' '),
+                       (i - 1) * {_SEG_TOKENS} + 1, i * {_SEG_TOKENS}), ' '))
+                       AS h
+            FROM documents,
+                 LATERAL (SELECT unnest(generate_series(1,
+                     CAST(ceil(len(string_split(text, ' '))
+                               / {_SEG_TOKENS}.0) AS BIGINT))) AS i) u
+        ),
+        g AS (SELECT h, count(DISTINCT doc_id) AS nd FROM s GROUP BY h)
+        SELECT s.doc_id,
+               CAST(count(*) AS BIGINT) AS n_segments,
+               CAST(count(*) FILTER (g.nd >= 2) AS BIGINT)
+                   AS n_shared_segments
+        FROM s JOIN g ON s.h = g.h
+        GROUP BY s.doc_id
+    """,
+    origin="LLM",
+    doc="Sub-document (segment-level) exact dedup — the granularity real "
+        "pipelines scrub boilerplate at, between whole-doc md5 dedup and "
+        "shingle near-dup: cut each document into non-overlapping "
+        f"{_SEG_TOKENS}-token segments, hash each, and per document count "
+        "segments whose hash also occurs in at least one OTHER document. "
+        "Downstream, shared segments are the removal candidates. One "
+        "hash-partitioned groupBy on the segment hash (shuffle ∝ corpus "
+        "token count / segment size) + a broadcast-size join back — no "
+        "pairwise comparison anywhere, so the plan is the same at 100 TB.",
+)
+def q_dedup_segment(spark, sf_dir):
+    d = widen(table(spark, sf_dir, "documents"))
+    toks = F.split("text", " ")
+    nseg = F.ceil(F.size(toks) / F.lit(float(_SEG_TOKENS)))
+    segs = d.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.explode(F.sequence(F.lit(1), nseg)).alias("i"),
+    ).select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.slice(
+                    "toks",
+                    (F.col("i") - 1) * _SEG_TOKENS + 1,
+                    F.lit(_SEG_TOKENS),
+                ),
+            )
+        ).alias("h"),
+    )
+    freq = segs.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    return (
+        segs.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum((F.col("nd") >= 2).cast("long")).alias("n_shared_segments"),
+        )
+    )

@@ -12,6 +12,7 @@ shuffle only where a cross-row reduction is semantically required
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from xml_processor_spark.functions.deterministic import r6
@@ -350,4 +351,58 @@ def q_decontaminate(spark, sf_dir):
         .join(F.broadcast(bench), "s")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+_PACK_BUDGET = 256  # tokens per packed training sequence
+
+
+@register(
+    "q_text_pack",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, lang,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+            FROM documents),
+        c AS (
+            SELECT doc_id, lang, n_tok,
+                   sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum
+            FROM t)
+        SELECT doc_id, lang, n_tok,
+               CAST(floor((cum - n_tok) / {_PACK_BUDGET}.0) AS BIGINT)
+                   AS pack_id,
+               CAST((cum - n_tok) % {_PACK_BUDGET} AS BIGINT) AS pack_off
+        FROM c
+    """,
+    origin="LLM",
+    doc="Sequence packing for pretraining batches: concatenate documents "
+        "in deterministic (doc_id) order within each language stratum and "
+        f"cut the stream into fixed {_PACK_BUDGET}-token sequences; each "
+        "doc is assigned the pack holding its first token plus its offset "
+        "there (concatenate-then-chunk, the standard packing that wastes "
+        "zero pad tokens; docs may straddle pack boundaries). One running "
+        "sum per stratum — a window partitioned by lang, NOT a global "
+        "window: per-stratum prefix sums shuffle |docs| rows and "
+        "parallelize across strata, where a single global ordering would "
+        "serialize onto one task at 100 TB. Finer parallelism when needed: "
+        "shard each stratum by a hash prefix and pack per shard.",
+)
+def q_text_pack(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " ")).cast("long")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = d.select("doc_id", "lang", n_tok.alias("n_tok"))
+    start = F.sum("n_tok").over(w) - F.col("n_tok")
+    return t.select(
+        "doc_id",
+        "lang",
+        "n_tok",
+        F.floor(start / _PACK_BUDGET).alias("pack_id"),
+        (start % _PACK_BUDGET).alias("pack_off"),
     )

@@ -14,10 +14,12 @@ via (ts DESC, event_id DESC) tie-break.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from xml_processor_spark.functions.deterministic import ts_sec
+from xml_processor_spark.functions.deterministic import dsum, ts_sec
 from xml_processor_spark.io import table
 from xml_processor_spark.registry import register
 
@@ -284,4 +286,120 @@ def q_join_asof(spark, sf_dir):
             "view_id",
             ts_sec("v_ts").alias("view_ts"),
         )
+    )
+
+
+_SALT_N = 8
+
+_SALTED_SQL = """
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST((l.l_extendedprice) AS DECIMAL(30,4))) AS DOUBLE)
+               AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+"""
+
+
+@register(
+    "q_join_salted",
+    oracle=_SALTED_SQL,
+    doc="Skew-resilient salted join — the manual mitigation for a stable "
+        "pathological key distribution (AQE's skewJoin splits skewed "
+        "shuffle partitions at runtime; salting is the plan-level fix when "
+        "one key alone exceeds an executor). Fact side (lineitem) gets a "
+        "deterministic salt = pmod(xxhash64(key), 8); dim side (orders) is "
+        "replicated across all 8 salt values with explode(sequence); the "
+        "join key becomes (key, salt), spreading any hot key over 8 "
+        "shuffle partitions. hint('merge') pins the sort-merge path the "
+        "salt exists for (broadcast would bypass the shuffle locally and "
+        "hide the demonstration). Identical result to the unsalted join — "
+        "the oracle IS the plain join — at 8x dim replication cost, paid "
+        "only on the small side.",
+)
+def q_join_salted(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    lf = li.withColumn(
+        "salt", F.pmod(F.xxhash64("l_orderkey"), F.lit(_SALT_N)).cast("int")
+    )
+    rep = o.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(_SALT_N - 1)))
+    )
+    j = lf.hint("merge").join(
+        rep,
+        (lf.l_orderkey == rep.o_orderkey) & (lf.salt == rep.salt),
+        "inner",
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        dsum("l_extendedprice").alias("revenue"),
+    )
+
+
+_BUCKETS = 8
+
+
+@register(
+    "q_join_bucketed",
+    oracle="""
+        SELECT o.o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CAST((l.l_extendedprice) AS DECIMAL(30,4))) AS DOUBLE)
+                   AS revenue
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderstatus
+    """,
+    doc="Shuffle-free co-located join via bucketed tables — the storage-"
+        "level answer to a join both of whose sides are too big to "
+        "broadcast: both sides are written bucketBy(8, join-key) + sortBy "
+        "(a one-time cost amortized over every subsequent join/agg on that "
+        "key), so the sort-merge join reads pre-partitioned, pre-sorted "
+        "buckets with NO Exchange in the plan (asserted in "
+        "tests/test_plans.py). At 100 TB this is the difference between "
+        "re-shuffling the fact table per query and never shuffling it; "
+        "result identical to the plain join — the oracle is the plain "
+        "join. Bucket tables are created once per (session, sf) and "
+        "reused.",
+)
+def q_join_bucketed(spark, sf_dir):
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+
+    def _bucketize(name: str, src, key: str) -> str:
+        tbl = f"b_{name}_{tag}"
+        if not spark.catalog.tableExists(tbl):
+            # A fresh session starts with an empty in-memory catalog, but a
+            # prior session's managed-table files may survive in the
+            # warehouse dir — clear them or saveAsTable refuses
+            # (LOCATION_ALREADY_EXISTS).
+            import shutil
+            from urllib.parse import urlparse
+
+            wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+            shutil.rmtree(os.path.join(wh, tbl), ignore_errors=True)
+            src.write.bucketBy(_BUCKETS, key).sortBy(key).mode(
+                "overwrite"
+            ).saveAsTable(tbl)
+        return tbl
+
+    lt = _bucketize(
+        "lineitem",
+        table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice"),
+        "l_orderkey",
+    )
+    ot = _bucketize(
+        "orders",
+        table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus"),
+        "o_orderkey",
+    )
+    li, o = spark.table(lt), spark.table(ot)
+    # hint('merge'): at test scale Catalyst would broadcast the small side,
+    # hiding exactly the plan bucketing exists for; at 100 TB neither side
+    # broadcasts and SMJ-over-buckets is what the optimizer picks unaided.
+    j = li.hint("merge").join(o, li.l_orderkey == o.o_orderkey, "inner")
+    return j.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        dsum("l_extendedprice").alias("revenue"),
     )

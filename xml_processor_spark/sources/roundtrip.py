@@ -1,0 +1,79 @@
+"""CSV / JSON source-format roundtrips (SURVEY §2.A extension).
+
+The reference family's sources are file-format plugins (XMLReader reads
+XML files; sibling CDAP plugins read CSV/JSON). The testdata ships only
+parquet, so — like the synthesized-XML pattern of §2.A — these operators
+make the CSV and JSON *sources* hash-checkable: Spark writes real CSV/JSON
+files from parquet columns, reads them back through the corresponding
+source with an explicit schema, and returns the rows; the DuckDB oracle
+simply projects the original parquet. Equal results ⇔ the
+write→parse→type-map path is lossless.
+
+Determinism: Java's shortest-representation double formatting roundtrips
+bit-exactly, dates serialize as ISO, and the artifact dir is keyed by the
+sf dir so repeated driver invocations overwrite the same location. At
+scale both writes and reads are scan-parallel (one file per partition, no
+shuffle).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from xml_processor_spark.io import table
+from xml_processor_spark.registry import register
+
+
+def artifact_dir(sf_dir: str, name: str) -> str:
+    """Deterministic per-(sf, operator) scratch location outside the repo."""
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return os.path.join(tempfile.gettempdir(), "xps-artifacts", f"{name}-{tag}")
+
+
+_CSV_COLS = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+
+
+@register(
+    "q_src_csv_roundtrip",
+    oracle="""
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        FROM customer
+    """,
+    origin="REF",
+    doc="CSV source: write customer columns to CSV files (header, default "
+        "quoting), read them back with an explicit schema, return the rows "
+        "— the oracle projects the original parquet, so a hash match "
+        "proves the CSV write→parse→type-map path is lossless (bigint, "
+        "int, double, strings). Scan-parallel both directions; no shuffle.",
+)
+def q_src_csv_roundtrip(spark, sf_dir):
+    src = table(spark, sf_dir, "customer").select(*_CSV_COLS)
+    path = artifact_dir(sf_dir, "csv")
+    src.write.mode("overwrite").option("header", True).csv(path)
+    return spark.read.schema(src.schema).option("header", True).csv(path)
+
+
+_JSON_COLS = ["o_orderkey", "o_orderdate", "o_orderstatus", "o_totalprice"]
+
+
+@register(
+    "q_src_json_roundtrip",
+    oracle="""
+        SELECT o_orderkey, o_orderdate, o_orderstatus, o_totalprice
+        FROM orders
+    """,
+    origin="REF",
+    doc="JSON-lines source (the XmlToJson output format read back as a "
+        "source): write orders columns to JSON files, read back with an "
+        "explicit schema (date + double type mapping), return the rows; "
+        "oracle projects the parquet. Lossless ⇔ hash match.",
+)
+def q_src_json_roundtrip(spark, sf_dir):
+    src = table(spark, sf_dir, "orders").select(*_JSON_COLS)
+    path = artifact_dir(sf_dir, "json")
+    src.write.mode("overwrite").json(path)
+    return spark.read.schema(src.schema).json(path)

@@ -182,3 +182,54 @@ def e_stream_join(spark, sf_dir):
         "inner",
     ).select("purchase_id", "view_id", "p_user", "p_ts", "v_ts")
     return run_to_memory(joined, "e_stream_join_sink", "append")
+
+
+def epoch_keyed_sink(out_dir: str):
+    """Idempotent foreachBatch writer: epoch id keys the output path, so a
+    replayed epoch overwrites its own prior attempt (no duplicates)."""
+    import os
+
+    def sink(bdf, epoch_id: int) -> None:
+        bdf.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"epoch={epoch_id}")
+        )
+
+    return sink
+
+
+@register(
+    "E-FOREACH-BATCH",
+    oracle=None,
+    doc="Exactly-once idempotent sink via foreachBatch: each micro-batch "
+        "is written to a path keyed by its epoch id, so a re-delivered "
+        "epoch (Spark replays the batch after a sink failure — "
+        "at-least-once delivery into the sink function) OVERWRITES its "
+        "own previous attempt instead of duplicating rows. This epoch-id "
+        "keying is the standard recipe for making a non-transactional "
+        "sink effectively exactly-once. tests/test_streaming.py replays "
+        "an epoch by hand and asserts counts are unchanged, and that the "
+        "sink total equals the batch source.",
+)
+def e_foreach_batch(spark, sf_dir):
+    import tempfile
+
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    src = write_replay_files(ev, n_buckets=4)
+    out_dir = tempfile.mkdtemp(prefix="fb_sink_")
+    ckpt = tempfile.mkdtemp(prefix="fb_ckpt_")
+    sink = epoch_keyed_sink(out_dir)
+
+    q = (
+        read_replay_stream(spark, src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    sunk = spark.read.parquet(out_dir).drop("epoch")
+    return (
+        sunk.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )
