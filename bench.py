@@ -56,6 +56,15 @@ HEADLINE = [
     "q_text_chunk",
     "q_text_repetition",
     "q_sample_hash",
+    # r4 additions: scale-path joins (salt/bucket), file-source roundtrips,
+    # packing + segment dedup. Bucketed-join timing excludes the one-time
+    # bucket write (it happens in the warmup run and the tables are reused).
+    "q_join_salted",
+    "q_join_bucketed",
+    "q_src_csv_roundtrip",
+    "q_src_json_roundtrip",
+    "q_text_pack",
+    "q_dedup_segment",
 ]
 
 
