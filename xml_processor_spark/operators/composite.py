@@ -74,6 +74,56 @@ _Q5_SQL = f"""
 """
 
 
+_Q7_SQL = f"""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INT) AS l_year,
+           {_REV_SQL} AS revenue
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation n1 ON n1.n_nationkey = s_nationkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n2 ON n2.n_nationkey = c_nationkey
+    WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1999-01-01'
+    GROUP BY n1.n_name, n2.n_name, CAST(year(l_shipdate) AS INT)
+    ORDER BY supp_nation, cust_nation, l_year
+"""
+
+_Q10_SQL = f"""
+    SELECT c_custkey,
+           min(c_name) AS c_name,
+           min(n_name) AS n_name,
+           {_REV_SQL} AS revenue
+    FROM customer
+    JOIN nation ON n_nationkey = c_nationkey
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-07-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+"""
+
+_Q12_SQL = """
+    SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM orders
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= o_orderdate + INTERVAL 90 DAY
+    GROUP BY CAST(year(l_shipdate) AS INT)
+    ORDER BY ship_year
+"""
+
+
 def _sql_query(name: str, sql: str, doc: str):
     """Register a dialect-shared SQL string: the SAME text runs on Spark
     (engine under test) and DuckDB (oracle) — dual-dialect by construction."""
@@ -114,6 +164,34 @@ _sql_query(
     "TPC-H Q3 shape: segment-filtered customer ⋈ orders ⋈ lineitem, "
     "exact-cents revenue per order, global top-10 (TakeOrderedAndProject "
     "— no full sort). Dimension side broadcasts under AQE.",
+)
+
+_sql_query(
+    "q_tpch_q7",
+    _Q7_SQL,
+    "TPC-H Q7 shape (volume shipping): lineitem ⋈ supplier ⋈ orders ⋈ "
+    "customer with nation applied TWICE under different aliases and a "
+    "symmetric nation-pair predicate — exercises alias-correct join "
+    "planning and exact-cents revenue per (supp, cust, year). The two "
+    "nation sides broadcast; the fact-side joins shuffle on their keys.",
+)
+
+_sql_query(
+    "q_tpch_q10",
+    _Q10_SQL,
+    "TPC-H Q10 shape (returned-item reporting): one-quarter order window, "
+    "returnflag-filtered lineitem, revenue per customer, global top-20 "
+    "(TakeOrderedAndProject). Group keys carry min()-pinned attributes "
+    "instead of a wide GROUP BY — one shuffle on c_custkey only.",
+)
+
+_sql_query(
+    "q_tpch_q12",
+    _Q12_SQL,
+    "TPC-H Q12 shape adapted to the fixture's columns (no shipmode/"
+    "receiptdate): late shipments (>90 days after order date) bucketed by "
+    "ship year with a two-way priority CASE pivot. Integer sums CAST to "
+    "BIGINT on both engines (the r1 HUGEINT lesson).",
 )
 
 _sql_query(

@@ -1,11 +1,22 @@
-"""Multimodal (binary) column handling (SURVEY §2.K E-MULTIMODAL).
+"""Multimodal (binary) column handling (SURVEY §2.K, E-MULTIMODAL family).
 
 Images/audio/video are opaque ``binary`` columns with typed metadata.
-The Spark-side plumbing is real: ``binaryFile`` source, content hashing,
-Arrow-batched ``mapInPandas`` decode stage with a stable output schema.
-The decode itself is a clearly-marked deterministic stub — the decoding
-libraries are not in this container; a real deployment swaps `_decode_stub`
-for PIL/ffmpeg while every schema/partitioning contract stays identical.
+The Spark-side plumbing is real everywhere: ``binaryFile`` source, binary
+expressions (``encode``/``md5``/``octet_length``) for metadata, and
+Arrow-batched ``mapInPandas`` stages with stable output schemas for the
+per-item feature work. Where an actual media codec would sit (image decode,
+video demux) the decode is a clearly-marked deterministic stub — the
+decoding libraries are not in this container; a real deployment swaps the
+``*_stub`` function for PIL/ffmpeg while every schema / partitioning /
+batch-shape contract stays identical. The audio path needs no stub at all:
+8-bit PCM feature extraction is plain byte math and is computed for real.
+
+Scale notes: every stage below is embarrassingly parallel over rows — no
+shuffle anywhere; ``widen()`` only matters on the single-row-group local
+fixtures. ``mapInPandas`` streams Arrow batches (bounded memory per task
+regardless of file count), and a 1→N stage (frame sampling) grows output
+cardinality without ever materializing a per-file Python list on the
+driver.
 """
 
 from __future__ import annotations
@@ -18,7 +29,7 @@ import pandas as pd
 
 from pyspark.sql import functions as F
 
-from xml_processor_spark.io import table
+from xml_processor_spark.io import table, widen
 from xml_processor_spark.registry import register
 
 _DECODE_SCHEMA = (
@@ -86,3 +97,243 @@ def e_multimodal(spark, sf_dir):
         _decode_batches, schema=_DECODE_SCHEMA
     )
     return decoded
+
+
+# ---------------------------------------------------------------------------
+# Typed metadata over an opaque binary column (oracle-checked).
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_mm_meta",
+    oracle="""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               md5(text) AS content_md5,
+               CAST(16 + (ascii(substring(md5(text), 1, 1)) * 16
+                          + ascii(substring(md5(text), 2, 1))) % 64
+                    AS INT) AS width,
+               CAST(16 + (ascii(substring(md5(text), 3, 1)) * 16
+                          + ascii(substring(md5(text), 4, 1))) % 64
+                    AS INT) AS height,
+               CASE ascii(substring(md5(text), 5, 1)) % 3
+                    WHEN 0 THEN 'image/fake'
+                    WHEN 1 THEN 'audio/fake'
+                    ELSE 'video/fake' END AS kind
+        FROM documents
+    """,
+    origin="LLM",
+    doc="Typed metadata over an opaque binary column — the catalog row a "
+        "multimodal lake keeps per asset: byte size, content digest, "
+        "sniffed kind, digest-derived dimensions. The binary column is "
+        "synthesized as encode(text) so the SAME bytes exist in both "
+        "engines (DuckDB md5(VARCHAR) hashes the UTF-8 encoding, matching "
+        "Spark md5(BINARY)); every expression is a JVM binary/string "
+        "builtin — no Python, no shuffle, scan-parallel at any scale.",
+)
+def q_mm_meta(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    blob = F.encode("text", "UTF-8")
+    h = F.md5(blob)
+
+    def _hexpair(i: int):
+        return (
+            F.ascii(F.substring(h, i, 1)) * F.lit(16)
+            + F.ascii(F.substring(h, i + 1, 1))
+        )
+
+    return d.select(
+        "doc_id",
+        F.octet_length(blob).cast("long").alias("n_bytes"),
+        h.alias("content_md5"),
+        (F.lit(16) + _hexpair(1) % 64).cast("int").alias("width"),
+        (F.lit(16) + _hexpair(3) % 64).cast("int").alias("height"),
+        F.when(F.ascii(F.substring(h, 5, 1)) % 3 == 0, "image/fake")
+        .when(F.ascii(F.substring(h, 5, 1)) % 3 == 1, "audio/fake")
+        .otherwise("video/fake")
+        .alias("kind"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Audio: real 8-bit-PCM feature extraction (no codec needed — byte math).
+# ---------------------------------------------------------------------------
+
+_PCM_RATE = 8000  # Hz; interpretation constant, not a tunable
+
+_AUDIO_SCHEMA = (
+    "doc_id LONG, n_samples LONG, duration_ms DOUBLE, rms DOUBLE, "
+    "peak INT, zero_crossings LONG"
+)
+
+
+def _audio_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        out = {k: [] for k in (
+            "doc_id", "n_samples", "duration_ms", "rms", "peak",
+            "zero_crossings",
+        )}
+        for doc_id, buf in zip(pdf["doc_id"], pdf["pcm"]):
+            x = np.frombuffer(bytes(buf), dtype=np.uint8).astype(np.float64)
+            x -= 128.0  # center unsigned PCM
+            n = len(x)
+            out["doc_id"].append(int(doc_id))
+            out["n_samples"].append(n)
+            out["duration_ms"].append(round(n * 1000.0 / _PCM_RATE, 6))
+            out["rms"].append(
+                round(float(np.sqrt(np.mean(x * x))), 6) if n else 0.0
+            )
+            out["peak"].append(int(np.max(np.abs(x))) if n else 0)
+            out["zero_crossings"].append(
+                int(np.sum(np.signbit(x[1:]) != np.signbit(x[:-1])))
+                if n > 1 else 0
+            )
+        yield pd.DataFrame(out)
+
+
+@register(
+    "E-MM-AUDIO",
+    oracle=None,
+    origin="LLM",
+    doc="Audio feature extraction over a binary PCM column: duration, RMS "
+        "energy, peak amplitude, zero-crossing count — computed for REAL "
+        "(uint8 PCM is plain byte math; no codec library involved) in one "
+        "Arrow-batched numpy pass per batch via mapInPandas. Zero shuffle; "
+        "per-task memory bounded by the Arrow batch size, not file count.",
+)
+def e_mm_audio(spark, sf_dir):
+    d = widen(table(spark, sf_dir, "documents")).select(
+        "doc_id", F.encode("text", "UTF-8").alias("pcm")
+    )
+    return d.mapInPandas(_audio_batches, schema=_AUDIO_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Image: decode stub → REAL average-pool resize to a fixed thumbnail.
+# ---------------------------------------------------------------------------
+
+_THUMB = 8  # output thumbnail is _THUMB x _THUMB
+
+_IMAGE_SCHEMA = "doc_id LONG, width INT, height INT, thumb ARRAY<FLOAT>"
+
+
+def _image_decode_stub(content: bytes):
+    """Deterministic fake image decoder (PIL unavailable here).
+
+    Derives (height, width) and a grayscale pixel array from the content
+    hash so outputs are stable across runs/executors. A real deployment
+    replaces ONLY this function with e.g. PIL.Image.open; the resize math
+    and all Spark plumbing below stay identical.
+    """
+    import hashlib
+
+    import numpy as np
+
+    h = hashlib.sha256(content).digest()
+    height = 16 + h[0] % 48
+    width = 16 + h[1] % 48
+    rng = np.random.RandomState(int.from_bytes(h[2:6], "big"))
+    return rng.randint(0, 256, size=(height, width)).astype(np.float64)
+
+
+def _avg_pool(img, out_h: int, out_w: int):
+    """Average-pool resize to (out_h, out_w) — real image math, codec-free.
+
+    Rows/cols are binned by integer edge arithmetic (the same grid for any
+    input size >= output size), then each output cell is the mean of its
+    source block. Deterministic, no interpolation-library dependency.
+    """
+    import numpy as np
+
+    in_h, in_w = img.shape
+    r_edges = (np.arange(out_h + 1) * in_h) // out_h
+    c_edges = (np.arange(out_w + 1) * in_w) // out_w
+    out = np.empty((out_h, out_w), dtype=np.float64)
+    for i in range(out_h):
+        for j in range(out_w):
+            block = img[r_edges[i]:r_edges[i + 1], c_edges[j]:c_edges[j + 1]]
+            out[i, j] = block.mean()
+    return out
+
+
+def _image_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        out = {"doc_id": [], "width": [], "height": [], "thumb": []}
+        for doc_id, buf in zip(pdf["doc_id"], pdf["img"]):
+            img = _image_decode_stub(bytes(buf))
+            thumb = _avg_pool(img, _THUMB, _THUMB)
+            out["doc_id"].append(int(doc_id))
+            out["height"].append(img.shape[0])
+            out["width"].append(img.shape[1])
+            out["thumb"].append(
+                np.round(thumb, 3).astype(np.float32).ravel().tolist()
+            )
+        yield pd.DataFrame(out)
+
+
+@register(
+    "E-MM-IMAGE",
+    oracle=None,
+    origin="LLM",
+    doc="Image resize/feature stage: binary column → decode (deterministic "
+        "stub standing in for PIL — clearly marked, swap-in point) → REAL "
+        f"average-pool resize to a fixed {_THUMB}x{_THUMB} float thumbnail "
+        "via mapInPandas. The fixed-length array<float> output is the "
+        "contract an embedding model downstream needs; zero shuffle.",
+)
+def e_mm_image(spark, sf_dir):
+    d = widen(table(spark, sf_dir, "documents")).select(
+        "doc_id", F.encode("text", "UTF-8").alias("img")
+    )
+    return d.mapInPandas(_image_batches, schema=_IMAGE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Video: frame sampling — a 1→N mapInPandas stage.
+# ---------------------------------------------------------------------------
+
+_FRAME_STRIDE = 30  # sample every 30th frame ("1 fps at 30fps")
+
+_FRAMES_SCHEMA = "doc_id LONG, n_frames INT, frame_idx INT, frame_md5 STRING"
+
+
+def _frames_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import hashlib
+
+    for pdf in batches:
+        out = {"doc_id": [], "n_frames": [], "frame_idx": [], "frame_md5": []}
+        for doc_id, buf in zip(pdf["doc_id"], pdf["video"]):
+            b = bytes(buf)
+            # Demux stub: frame count derived from the byte length (a real
+            # demuxer reads the container header here — swap-in point).
+            n_frames = 1 + len(b) % 240
+            sig = hashlib.sha256(b).hexdigest()
+            for idx in range(0, n_frames, _FRAME_STRIDE):
+                out["doc_id"].append(int(doc_id))
+                out["n_frames"].append(n_frames)
+                out["frame_idx"].append(idx)
+                out["frame_md5"].append(
+                    hashlib.md5(f"{sig}:{idx}".encode()).hexdigest()
+                )
+        yield pd.DataFrame(out)
+
+
+@register(
+    "E-MM-FRAMES",
+    oracle=None,
+    origin="LLM",
+    doc="Video frame sampling: binary column → demux stub (frame count; "
+        f"swap-in point for ffmpeg) → every-{_FRAME_STRIDE}th-frame sample "
+        "emitted as ROWS — a 1→N mapInPandas stage proving the cardinality-"
+        "changing UDF contract (output rows are streamed per Arrow batch, "
+        "never a per-file driver-side list). Zero shuffle; downstream "
+        "per-frame work inherits scan parallelism.",
+)
+def e_mm_frames(spark, sf_dir):
+    d = widen(table(spark, sf_dir, "documents")).select(
+        "doc_id", F.encode("text", "UTF-8").alias("video")
+    )
+    return d.mapInPandas(_frames_batches, schema=_FRAMES_SCHEMA)
