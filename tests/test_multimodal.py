@@ -122,3 +122,23 @@ def test_mm_stages_have_no_shuffle(spark, queries):
         # group fixture; hash/range exchanges would mean a real shuffle.
         assert "hashpartitioning" not in plan.lower(), f"{key}: {plan}"
         assert "rangepartitioning" not in plan.lower(), f"{key}: {plan}"
+
+
+def test_shard_write_matches_manifest(spark, queries):
+    """E-SHARD-WRITE's re-read-from-disk manifest must equal
+    q_shard_assign's computed manifest: the partitioned write is lossless,
+    the partition column round-trips, and both cover all 16 shards."""
+    manifest = (
+        queries["q_shard_assign"](spark, SF_SMALL)
+        .toPandas()
+        .sort_values("shard")
+        .reset_index(drop=True)
+    )
+    written = (
+        queries["E-SHARD-WRITE"](spark, SF_SMALL)
+        .toPandas()
+        .sort_values("shard")
+        .reset_index(drop=True)
+    )
+    assert len(manifest) == 16
+    pd.testing.assert_frame_equal(manifest, written, check_dtype=False)

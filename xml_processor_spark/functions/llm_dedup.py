@@ -725,3 +725,53 @@ def q_dedup_segment(spark, sf_dir):
             F.sum((F.col("nd") >= 2).cast("long")).alias("n_shared_segments"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable MinHash signature (oracle-checked twin of the LSH sig build).
+# ---------------------------------------------------------------------------
+
+_SIG_SEEDS = 8  # seeded min-hashes per document
+
+# Shingle CTE shared shape with _NGRAM_PAIRS_SQL (same 3-word shingles).
+_SIG_SHINGLE_CTE = """
+        WITH sh AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       generate_series(1, len(string_split(text,' ')) - 2),
+                       i -> string_split(text,' ')[i] || ' ' ||
+                            string_split(text,' ')[i+1] || ' ' ||
+                            string_split(text,' ')[i+2]))) AS s
+            FROM documents
+        )
+"""
+
+
+@register(
+    "q_minhash_sig",
+    oracle=_SIG_SHINGLE_CTE + f"""
+        SELECT doc_id,
+               {", ".join(f"min(md5('{i}:' || s)) AS h{i}" for i in range(_SIG_SEEDS))}
+        FROM sh
+        GROUP BY doc_id
+    """,
+    origin="LLM",
+    doc="MinHash signature build, oracle-checked: per document the min of "
+        f"a seeded md5 family ({_SIG_SEEDS} seeds) over its distinct 3-word "
+        "shingles. The portable (md5) twin of E-MINHASH-LSH's xxhash64 "
+        "signature stage — same shingle set, same min-per-seed shape — so "
+        "the production LSH path's hardest step (signature aggregation "
+        "with map-side partial mins, one shuffle proportional to |docs|) "
+        "gets a strict cross-engine hash verdict, not just a recall test. "
+        "Docs shorter than the shingle width have no signature row in "
+        "either engine (empty shingle set), mirroring the LSH behavior.",
+)
+def q_minhash_sig(spark, sf_dir):
+    d = widen(table(spark, sf_dir, "documents"))
+    sh = d.select("doc_id", F.explode(shingles(F.col("text"))).alias("s"))
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"h{i}")
+            for i in range(_SIG_SEEDS)
+        ]
+    )

@@ -406,3 +406,101 @@ def q_text_pack(spark, sf_dir):
         F.floor(start / _PACK_BUDGET).alias("pack_id"),
         (start % _PACK_BUDGET).alias("pack_off"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic shard assignment: the manifest of a training-shard write.
+# ---------------------------------------------------------------------------
+
+_N_SHARDS = 16
+
+
+def _shard_col():
+    """Content-hash shard id in [0, _N_SHARDS): derived from the md5 of the
+    document text (never rand(), never monotonically_increasing_id — the
+    assignment must be reproducible across reruns, executors, and engines).
+    Portable hex-digit decode (ascii minus '0'/'a' offset) of the first two
+    hex chars → uniform over 256, mod shards — raw ascii codes mod 16 would
+    cover only 10 residues and skew every shard."""
+    h = F.md5(F.col("text"))
+
+    def hexval(i: int):
+        a = F.ascii(F.substring(h, i, 1))
+        return F.when(a >= 97, a - 87).otherwise(a - 48)
+
+    return ((hexval(1) * 16 + hexval(2)) % _N_SHARDS).cast("int")
+
+
+def _hexval_sql(i: int) -> str:
+    a = f"ascii(substring(md5(text), {i}, 1))"
+    return f"(CASE WHEN {a} >= 97 THEN {a} - 87 ELSE {a} - 48 END)"
+
+
+_SHARD_SQL_EXPR = (
+    f"CAST(({_hexval_sql(1)} * 16 + {_hexval_sql(2)}) % {_N_SHARDS} AS INT)"
+)
+
+
+@register(
+    "q_shard_assign",
+    oracle=f"""
+        SELECT {_SHARD_SQL_EXPR} AS shard,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(octet_length(encode(text))) AS BIGINT) AS n_bytes,
+               min(doc_id) AS min_doc_id,
+               max(doc_id) AS max_doc_id
+        FROM documents
+        GROUP BY 1
+    """,
+    origin="LLM",
+    doc=f"Training-shard manifest: every document deterministically "
+        f"assigned to one of {_N_SHARDS} shards by content hash, manifest "
+        "row per shard (doc count, byte size, id range). The groupBy is "
+        "map-side-combined into at most |shards| rows per task — the "
+        "shuffle is O(shards x tasks) regardless of corpus size. "
+        "E-SHARD-WRITE performs the actual partitionBy(shard) parquet "
+        "write this manifest describes; pytest asserts write ≡ manifest.",
+)
+def q_shard_assign(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("shard", _shard_col())
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.octet_length(F.encode("text", "UTF-8"))).alias("n_bytes"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
+@register(
+    "E-SHARD-WRITE",
+    oracle=None,
+    origin="LLM",
+    doc="The write half of q_shard_assign: documents written as "
+        "shard-partitioned parquet (partitionBy(shard) — one directory per "
+        "shard, the layout a training dataloader consumes), re-read from "
+        "disk, and re-aggregated into the same manifest shape. pytest "
+        "asserts the re-read manifest equals q_shard_assign's (write is "
+        "lossless and the partition column round-trips). At scale the "
+        "write is one shuffle-free pass; files per shard = upstream tasks, "
+        "controlled by coalesce/AQE, never a global sort.",
+)
+def e_shard_write(spark, sf_dir):
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="shards_")
+    d = table(spark, sf_dir, "documents").withColumn("shard", _shard_col())
+    d.write.mode("overwrite").partitionBy("shard").parquet(out)
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy(F.col("shard").cast("int").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.octet_length(F.encode("text", "UTF-8"))).alias("n_bytes"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )

@@ -384,3 +384,55 @@ def q_text_fingerprint(spark, sf_dir):
     return d.select(
         "doc_id", roll.alias("roll_fp"), min_fp.alias("min_shingle_fp")
     )
+
+
+# ---------------------------------------------------------------------------
+# Character-entropy quality signal.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_text_entropy",
+    oracle="""
+        WITH ch AS (
+            SELECT doc_id, unnest(string_split(text, '')) AS c
+            FROM documents
+        ), cnt AS (
+            SELECT doc_id, c, count(*) AS k FROM ch GROUP BY doc_id, c
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_distinct_chars,
+               CAST(sum(k) AS BIGINT) AS n_chars_total,
+               round(log2(CAST(sum(k) AS DOUBLE))
+                     - sum(k * log2(CAST(k AS DOUBLE)))
+                       / CAST(sum(k) AS DOUBLE), 6) AS char_entropy
+        FROM cnt
+        GROUP BY doc_id
+    """,
+    origin="LLM",
+    doc="Character-entropy quality signal: Shannon entropy (bits/char) of "
+        "the per-document character distribution, plus distinct-char and "
+        "total counts. Low entropy flags degenerate/repetitive text, "
+        "near-log2(alphabet) flags random noise — a standard corpus-"
+        "curation filter. Algebraic form H = log2(n) - sum(k*log2(k))/n "
+        "needs only per-(doc,char) counts: two map-side-combined "
+        "aggregations, shuffle ∝ |docs| x |alphabet|, never per-char rows "
+        "over the wire.",
+)
+def q_text_entropy(spark, sf_dir):
+    d = widen(table(spark, sf_dir, "documents"))
+    cnt = (
+        d.select("doc_id", F.explode(F.split("text", "")).alias("c"))
+        .groupBy("doc_id", "c")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    n = F.sum("k")
+    return cnt.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_distinct_chars"),
+        n.alias("n_chars_total"),
+        F.round(
+            F.log2(n.cast("double"))
+            - F.sum(F.col("k") * F.log2(F.col("k").cast("double")))
+            / n.cast("double"),
+            6,
+        ).alias("char_entropy"),
+    )
