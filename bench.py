@@ -65,6 +65,15 @@ HEADLINE = [
     "q_src_json_roundtrip",
     "q_text_pack",
     "q_dedup_segment",
+    # r4 additions, second batch: multimodal metadata, portable MinHash
+    # signatures, shard manifest, char entropy, and the wider TPC-H shapes.
+    "q_mm_meta",
+    "q_minhash_sig",
+    "q_shard_assign",
+    "q_text_entropy",
+    "q_tpch_q7",
+    "q_tpch_q10",
+    "q_tpch_q12",
 ]
 
 

@@ -275,11 +275,17 @@ def _simhash_oracle() -> str:
 def q_dedup_simhash(spark, sf_dir):
     d = widen(table(spark, sf_dir, "documents"))
     toks = d.select("doc_id", F.explode(shingles(F.col("text"))).alias("tok"))
-    h = phash60("tok")
-    sums = toks.groupBy("doc_id").agg(
+    # Materialize the shingle hash ONCE before the aggregation: referencing
+    # phash60(tok) inside all 32 bit-sum aggregates lets Catalyst inline the
+    # md5+conv expression into every partial agg (50 md5 nodes in the plan);
+    # a named projection keeps it at 1 hash per shingle (measured ~25%
+    # faster here, and the per-shingle cost is what scales with corpus
+    # size — same lesson as the MinHash HOF rejection in BASELINE.md).
+    hashed = toks.select("doc_id", phash60("tok").alias("h"))
+    sums = hashed.groupBy("doc_id").agg(
         *[
             F.sum(
-                (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1)
+                (F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1)
             ).alias(f"s{j}")
             for j in range(_SIM_BITS)
         ]
