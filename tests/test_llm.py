@@ -216,3 +216,29 @@ def test_dedup_cluster_matches_union_find(spark, queries):
         expected = find(doc) if doc in parent else doc
         assert root == expected, (doc, root, expected)
         assert got[root] == root, f"root {root} is not its own root"
+
+
+def test_approx_quantiles_within_1pct(spark, queries):
+    """E-APPROX-QUANT's sketch estimates must sit within 1% of the exact
+    interpolated quantiles — proving the mergeable sketch is accurate
+    enough to replace the exact sort-based percentile at scale."""
+    approx = {
+        r.l_returnflag: (r.p25, r.p50, r.p75, r.p95)
+        for r in queries["E-APPROX-QUANT"](spark, SF_MID).collect()
+    }
+    from xml_processor_spark.io import table
+
+    exact_rows = (
+        table(spark, SF_MID, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.95D))"
+            ).alias("qs")
+        )
+        .collect()
+    )
+    assert set(approx) == {r.l_returnflag for r in exact_rows}
+    for r in exact_rows:
+        for est, true in zip(approx[r.l_returnflag], r.qs):
+            assert abs(est - true) / true < 0.01, (r.l_returnflag, est, true)

@@ -336,3 +336,26 @@ def e_approx_cd(spark, sf_dir):
         # rsd=0.02 → ±5% test bound holds with margin; sketch stays tiny.
         F.approx_count_distinct("o_custkey", 0.02).alias("approx_cust")
     )
+
+
+@register(
+    "E-APPROX-QUANT",
+    oracle=None,  # sketch estimates are engine-dependent → rows-only check.
+    doc="approx_percentile (Greenwald-Khanna-style mergeable sketch) of "
+        "l_extendedprice per returnflag at p25/p50/p75/p95, accuracy "
+        "parameter 10000. The 100 TB path for quantiles: the sketch merges "
+        "associatively across partitions (map-side partials, tiny shuffle), "
+        "where the exact percentile would sort the column. Unit test "
+        "asserts every estimate within 1% of the exact interpolated "
+        "quantile (tests/test_llm.py).",
+)
+def e_approx_quant(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    pcts = F.array(*[F.lit(p) for p in (0.25, 0.5, 0.75, 0.95)])
+    q = F.approx_percentile("l_extendedprice", pcts, F.lit(10000))
+    return li.groupBy("l_returnflag").agg(
+        q.getItem(0).alias("p25"),
+        q.getItem(1).alias("p50"),
+        q.getItem(2).alias("p75"),
+        q.getItem(3).alias("p95"),
+    )

@@ -212,3 +212,52 @@ def q_events_retention(spark, sf_dir):
         .groupBy("cohort_day", "day_offset")
         .agg(F.count_distinct("user_id").alias("n_active"))
     )
+
+
+_PROFILE_COLS = ("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+
+
+@register(
+    "q_profile_stats",
+    oracle=" UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS col_name,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+               CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct
+        FROM customer
+        """
+        for c in _PROFILE_COLS
+    ),
+    origin="CORE",
+    doc="Column profiler — the data-quality report an ETL toolchain runs "
+        "before wiring a source: per-column row/null/distinct counts over "
+        "customer, one output row per column. Spark side is a SINGLE scan: "
+        "all per-column aggregates (count_distinct expands via Expand, "
+        "null counts ride along) computed in one pass, then the 1-row-per-"
+        "column shape is produced by exploding the one aggregate row — "
+        "never N scans of a 100 TB table. The oracle's UNION ALL of "
+        "per-column scans is the semantic spec, not the plan.",
+)
+def q_profile_stats(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    aggs = []
+    for col in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{col}__rows"),
+            (F.count(F.lit(1)) - F.count(col)).alias(f"{col}__nulls"),
+            F.countDistinct(col).alias(f"{col}__distinct"),
+        ]
+    one = c.agg(*aggs)
+    profile_rows = F.array(*[
+        F.struct(
+            F.lit(col).alias("col_name"),
+            F.col(f"{col}__rows").alias("n_rows"),
+            F.col(f"{col}__nulls").alias("n_nulls"),
+            F.col(f"{col}__distinct").alias("n_distinct"),
+        )
+        for col in _PROFILE_COLS
+    ])
+    return one.select(F.explode(profile_rows).alias("p")).select(
+        "p.col_name", "p.n_rows", "p.n_nulls", "p.n_distinct"
+    )

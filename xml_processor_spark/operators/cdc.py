@@ -1,0 +1,150 @@
+"""Change-data-capture / ETL maintenance operators (SURVEY §2.L extension).
+
+The reference's plugin family lives in an ETL toolchain, and the two
+operations every warehouse-maintenance pipeline runs are (1) applying a
+change feed to a base table (upsert/merge with inserts, updates, deletes)
+and (2) deriving slowly-changing-dimension type-2 validity intervals from
+an event stream. Both are expressed as single-shuffle DataFrame plans; the
+change feed here is synthesized deterministically from the fixture tables
+so the result is oracle-checkable (same derivation in both engines).
+
+Scale: the CDC merge is one key-partitioned full-outer join — the shape a
+100 TB merge needs (bucket/cluster both sides by the key; no broadcast
+assumption since change feeds can be large). SCD2 is two window functions
+over the same (user) partitioning — one Exchange, both windows reuse it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from xml_processor_spark.functions.deterministic import ts_sec
+from xml_processor_spark.io import table
+from xml_processor_spark.registry import register
+
+# Deterministic synthetic change feed over `orders` (never rand()):
+#   %13 == 0           → DELETE
+#   %7  == 0 (not %13) → UPDATE price ×1.1
+#   %97 == 0           → INSERT under key+100M at half price
+# All price math is integer cents (the _REV_SQL discipline): round(x*1.1, 2)
+# on doubles lands on half-way points where Spark (HALF_UP) and DuckDB
+# disagree in the last cent; cents + cents DIV 10 is exact in both.
+_CENTS_SQL = "CAST(round(o_totalprice * 100) AS BIGINT)"
+_CHANGES_SQL = f"""
+        SELECT o_orderkey AS k, 'D' AS op, CAST(NULL AS DOUBLE) AS price
+        FROM orders WHERE o_orderkey % 13 = 0
+        UNION ALL
+        SELECT o_orderkey, 'U',
+               CAST({_CENTS_SQL} + {_CENTS_SQL} // 10 AS DOUBLE) / 100
+        FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 13 <> 0
+        UNION ALL
+        SELECT o_orderkey + 100000000, 'I',
+               CAST({_CENTS_SQL} // 2 AS DOUBLE) / 100
+        FROM orders WHERE o_orderkey % 97 = 0
+"""
+
+
+@register(
+    "q_cdc_upsert",
+    oracle=f"""
+        WITH changes AS ({_CHANGES_SQL})
+        SELECT COALESCE(c.k, b.o_orderkey) AS o_orderkey,
+               COALESCE(c.price, CAST({_CENTS_SQL} AS DOUBLE) / 100) AS price,
+               COALESCE(c.op, 'base') AS src
+        FROM orders b
+        FULL JOIN changes c ON b.o_orderkey = c.k
+        WHERE COALESCE(c.op, '') <> 'D'
+    """,
+    origin="CORE",
+    doc="CDC merge (upsert-apply): a deterministic change feed (deletes, "
+        "updates, inserts derived from key residues) applied to the orders "
+        "base table — the MERGE INTO semantics of warehouse maintenance, "
+        "expressed as ONE key-partitioned full-outer join + coalesce. "
+        "Deletes drop the row, updates override columns, inserts surface "
+        "keys absent from the base. No broadcast assumption: change feeds "
+        "are fact-sized at 100 TB; co-partitioning (bucketing) both sides "
+        "on the key is the scale path, and the plan degrades to exactly "
+        "one shuffle per side either way.",
+)
+def q_cdc_upsert(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    deletes = o.filter(F.col("o_orderkey") % 13 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("double").alias("price"),
+    )
+    updates = o.filter(
+        (F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") % 13 != 0)
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit("U").alias("op"),
+        ((cents + F.floor(cents / 10)).cast("double") / 100).alias("price"),
+    )
+    inserts = o.filter(F.col("o_orderkey") % 97 == 0).select(
+        (F.col("o_orderkey") + 100000000).alias("k"),
+        F.lit("I").alias("op"),
+        (F.floor(cents / 2).cast("double") / 100).alias("price"),
+    )
+    changes = deletes.union(updates).union(inserts)
+    base = o.select("o_orderkey", (cents.cast("double") / 100).alias("base_price"))
+    return (
+        base.join(changes, base.o_orderkey == changes.k, "full")
+        .filter(F.coalesce(F.col("op"), F.lit("")) != "D")
+        .select(
+            F.coalesce(F.col("k"), F.col("o_orderkey")).alias("o_orderkey"),
+            F.coalesce(F.col("price"), F.col("base_price")).alias("price"),
+            F.coalesce(F.col("op"), F.lit("base")).alias("src"),
+        )
+    )
+
+
+@register(
+    "q_scd2_intervals",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, event_type,
+                   date_trunc('second', ts) AS ts_s,
+                   event_id,
+                   lag(event_type) OVER w AS prev_type
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), changes AS (
+            SELECT user_id, event_type, ts_s, event_id
+            FROM ordered
+            WHERE prev_type IS NULL OR event_type <> prev_type
+        )
+        SELECT user_id, event_type,
+               ts_s AS valid_from,
+               lead(ts_s) OVER w AS valid_to,
+               CAST(row_number() OVER w AS BIGINT) AS version
+        FROM changes
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+    """,
+    origin="CORE",
+    doc="SCD type-2 interval building: per user, collapse the event stream "
+        "into validity intervals [valid_from, valid_to) that open whenever "
+        "event_type changes (valid_to NULL = current). Change detection is "
+        "lag() over (user, ts, event_id); interval close is lead() over "
+        "the surviving change rows; version numbers the history. All "
+        "windows share one user_id hash partitioning — a single Exchange, "
+        "reused, which is the whole cost at any scale.",
+)
+def q_scd2_intervals(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.select(
+        "user_id", "event_type", ts_sec("ts").alias("ts_s"), "event_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    changes = ordered.filter(
+        F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    return changes.select(
+        "user_id", "event_type",
+        F.col("ts_s").alias("valid_from"),
+        F.lead("ts_s").over(w2).alias("valid_to"),
+        F.row_number().over(w2).cast("long").alias("version"),
+    )

@@ -124,6 +124,18 @@ _Q12_SQL = """
 """
 
 
+_LATERAL_SQL = """
+    SELECT n_name, c.ckey, c.bal
+    FROM nation, LATERAL (
+        SELECT c_custkey AS ckey, round(c_acctbal, 2) AS bal
+        FROM customer
+        WHERE c_nationkey = n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey
+        LIMIT 2
+    ) c
+"""
+
+
 def _sql_query(name: str, sql: str, doc: str):
     """Register a dialect-shared SQL string: the SAME text runs on Spark
     (engine under test) and DuckDB (oracle) — dual-dialect by construction."""
@@ -164,6 +176,16 @@ _sql_query(
     "TPC-H Q3 shape: segment-filtered customer ⋈ orders ⋈ lineitem, "
     "exact-cents revenue per order, global top-10 (TakeOrderedAndProject "
     "— no full sort). Dimension side broadcasts under AQE.",
+)
+
+_sql_query(
+    "q_lateral_topn",
+    _LATERAL_SQL,
+    "Correlated LATERAL subquery with ORDER BY + LIMIT (top-2 customers "
+    "per nation): the SQL-standard lateral form of per-group top-k. "
+    "Catalyst decorrelates it via DecorrelateInnerQuery into a windowed "
+    "rank over one customer shuffle — per-row re-execution never happens "
+    "(same physical shape as q_topk_per_group, so it scales identically).",
 )
 
 _sql_query(
