@@ -233,3 +233,12 @@ def e_foreach_batch(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("event_type")
     )
+
+
+# transformWithStateInPandas (the Spark 4 successor stateful API with typed
+# ValueState/timers) was evaluated here and deliberately NOT registered: its
+# Python runner requires google.protobuf, which this container does not ship
+# (verified: the streaming runner crashes with ImportError at init). The
+# arbitrary-stateful contract is covered by E-STATEFUL's
+# applyInPandasWithState sessionization; on an environment with protobuf the
+# same processor pattern ports over with only the handle/state-API renames.
