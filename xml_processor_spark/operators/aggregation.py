@@ -359,3 +359,49 @@ def e_approx_quant(spark, sf_dir):
         q.getItem(2).alias("p75"),
         q.getItem(3).alias("p95"),
     )
+
+
+@register(
+    "q_agg_mode",
+    oracle="""
+        WITH c AS (
+            SELECT l_returnflag, l_quantity AS v, count(*) AS n
+            FROM lineitem GROUP BY l_returnflag, l_quantity
+        ), r AS (
+            SELECT l_returnflag, v, n,
+                   row_number() OVER (PARTITION BY l_returnflag
+                                      ORDER BY n DESC, v ASC) AS rn
+            FROM c
+        )
+        SELECT l_returnflag, v AS mode_value,
+               CAST(n AS BIGINT) AS n_occurrences
+        FROM r WHERE rn = 1
+    """,
+    doc="Deterministic mode (most frequent value) of l_quantity per "
+        "returnflag: count per (group, value), then rank by (count DESC, "
+        "value ASC) — the explicit tie-break native mode() functions lack "
+        "(DuckDB's mode() picks an arbitrary tied value; this formulation "
+        "is reproducible on both engines and at any partitioning). Two "
+        "map-side-combined aggregations + a window over |groups x values| "
+        "rows, never a per-row shuffle.",
+)
+def q_agg_mode(spark, sf_dir):
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    counts = (
+        li.groupBy("l_returnflag", F.col("l_quantity").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("n").desc(), F.col("v").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("v").alias("mode_value"),
+            F.col("n").cast("long").alias("n_occurrences"),
+        )
+    )

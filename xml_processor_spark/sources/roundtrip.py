@@ -77,3 +77,30 @@ def q_src_json_roundtrip(spark, sf_dir):
     path = artifact_dir(sf_dir, "json")
     src.write.mode("overwrite").json(path)
     return spark.read.schema(src.schema).json(path)
+
+
+_ORC_COLS = ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+             "l_shipdate", "l_returnflag"]
+
+
+@register(
+    "q_src_orc_roundtrip",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+               l_shipdate, l_returnflag
+        FROM lineitem
+    """,
+    origin="REF",
+    doc="ORC source: write lineitem columns to ORC files, read them back "
+        "(schema from the ORC footer — columnar formats carry their own "
+        "types, unlike CSV), return the rows; the oracle projects the "
+        "original parquet. Lossless ⇔ hash match across bigint, int, "
+        "double, timestamp, string. ORC is the second columnar format a "
+        "lake migration meets; the read is vectorized and predicate-"
+        "pushdown-capable exactly like parquet.",
+)
+def q_src_orc_roundtrip(spark, sf_dir):
+    src = table(spark, sf_dir, "lineitem").select(*_ORC_COLS)
+    path = artifact_dir(sf_dir, "orc")
+    src.write.mode("overwrite").orc(path)
+    return spark.read.orc(path)
