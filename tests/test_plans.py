@@ -212,3 +212,64 @@ def test_text_pack_window_is_per_stratum(spark, queries):
     plan = explain(queries["q_text_pack"](spark, SF_MID))
     assert "SinglePartition" not in plan
     assert "hashpartitioning(lang" in plan
+
+
+def test_cdc_upsert_is_one_join_no_nested_loop(spark, queries):
+    """The CDC merge must be a single key-partitioned join (SMJ or hash) —
+    a nested loop over a fact-sized change feed would be the 100 TB
+    failure mode."""
+    plan = explain(queries["q_cdc_upsert"](spark, SF_MID))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "FullOuter" in plan or "full_outer" in plan.lower()
+
+
+def test_scd2_shares_one_user_partitioning(spark, queries):
+    """Both SCD2 windows and the change filter must reuse ONE user_id hash
+    partitioning — re-shuffling between the windows would double the only
+    real cost of the operator."""
+    df = queries["q_scd2_intervals"](spark, SF_MID)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
+
+
+def test_lateral_topn_decorrelates_to_window(spark, queries):
+    """The LATERAL ORDER BY/LIMIT subquery must decorrelate into a
+    windowed rank — per-row re-execution (nested loop) may not appear."""
+    plan = explain(queries["q_lateral_topn"](spark, SF_MID))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "row_number" in plan
+
+
+def test_profile_stats_is_single_scan(spark, queries):
+    """The profiler must read the table ONCE (multi-agg + explode), not
+    once per column — N scans of a 100 TB table is the naive plan the
+    oracle's UNION ALL spells out."""
+    plan = explain(queries["q_profile_stats"](spark, SF_MID))
+    # One detail block per scan node (the node name itself appears in both
+    # the tree and the detail section; Location lines are once per scan).
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan
+
+
+def test_simhash_hashes_each_shingle_once(spark, queries):
+    """Regression guard for the inline-hash fix: the md5-derived shingle
+    hash must appear ONCE in the plan, not be inlined into all 32 bit-sum
+    aggregates (was 50 md5 nodes before the named projection)."""
+    df = queries["q_dedup_simhash"](spark, SF_MID)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("md5") <= 2, f"md5 inlined {plan.count('md5')} times"
+
+
+def test_minhash_sig_has_partial_mins(spark, queries):
+    """The signature build must map-side-combine (partial_min per shuffle
+    task) so the shuffle carries |docs| x seeds values, not every shingle."""
+    plan = explain(queries["q_minhash_sig"](spark, SF_MID))
+    assert "partial_min" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q10_take_ordered_and_broadcasts(spark, queries):
+    plan = explain(queries["q_tpch_q10"](spark, SF_MID))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
