@@ -74,6 +74,14 @@ HEADLINE = [
     "q_tpch_q7",
     "q_tpch_q10",
     "q_tpch_q12",
+    # r4 additions, third batch: warehouse maintenance (CDC/SCD2), lateral
+    # top-k, single-scan profiling, ORC roundtrip, deterministic mode.
+    "q_cdc_upsert",
+    "q_scd2_intervals",
+    "q_lateral_topn",
+    "q_profile_stats",
+    "q_src_orc_roundtrip",
+    "q_agg_mode",
 ]
 
 
