@@ -781,3 +781,58 @@ def q_minhash_sig(spark, sf_dir):
             for i in range(_SIG_SEEDS)
         ]
     )
+
+
+# Integer-exact containment threshold: C = i/|A| >= 0.9  ⇔  10*i >= 9*|A|
+_CT_NUM, _CT_DEN = 9, 10
+
+
+@register(
+    "q_dedup_containment",
+    oracle=_SIG_SHINGLE_CTE + f"""
+        , sizes AS (
+            SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               round(i / CAST(sa.n AS DOUBLE), 6) AS containment
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        WHERE {_CT_DEN} * i >= {_CT_NUM} * sa.n
+    """,
+    origin="LLM",
+    doc="Directional shingle containment >= 0.9: document A is (near-)"
+        "contained in B when 90% of A's 3-word shingles also occur in B — "
+        "the one-sided Jaccard that catches subset/boilerplate relations "
+        "symmetric Jaccard misses (a short doc embedded in a long one "
+        "scores low on Jaccard but 1.0 on containment). Same "
+        "shingle-blocked equi self-join as q_dedup_ngram_jaccard (shuffle "
+        "∝ shingle occurrences, no cartesian), direction materialized by "
+        "normalizing the intersection count by |A| only; integer-exact "
+        "threshold at the boundary.",
+)
+def q_dedup_containment(spark, sf_dir):
+    d = widen(table(spark, sf_dir, "documents"))
+    sh = d.select("doc_id", F.explode(shingles(F.col("text"))).alias("s"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "s")
+    b = sh.select(F.col("doc_id").alias("id_b"), "s")
+    inter = (
+        a.join(b, ["s"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .filter(_CT_DEN * F.col("i") >= _CT_NUM * F.col("na"))
+        .select(
+            "id_a", "id_b",
+            F.round(F.col("i") / F.col("na").cast("double"), 6)
+            .alias("containment"),
+        )
+    )

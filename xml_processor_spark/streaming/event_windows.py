@@ -132,3 +132,54 @@ def q_stream_dedup(spark, sf_dir):
     e = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
     dup = e.filter(F.col("event_id") % 3 == 0)
     return e.unionAll(dup).dropDuplicates(["event_id"])
+
+
+@register(
+    "q_rollup_two_level",
+    oracle="""
+        WITH hourly AS (
+            SELECT time_bucket(INTERVAL '1 hour', ts) AS h,
+                   event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                       AS cents
+            FROM events
+            GROUP BY 1, 2
+        )
+        SELECT CAST(date_trunc('day', h) AS DATE) AS d,
+               event_type,
+               CAST(sum(n) AS BIGINT) AS n,
+               CAST(sum(cents) AS DOUBLE) / 100 AS sum_value,
+               CAST(count(*) AS BIGINT) AS n_hours
+        FROM hourly
+        GROUP BY 1, 2
+    """,
+    doc="Two-level continuous-aggregate rollup (the hypertable pattern): "
+        "hourly (count, integer-cents sum) per event_type, then the DAILY "
+        "aggregate computed FROM the hourly partials — never re-scanning "
+        "raw events. Count and cents re-aggregate exactly because both are "
+        "associative integer sums (an avg would need (sum, n) carried "
+        "down, which cents+n provides). At 100 TB the hourly layer is the "
+        "materialized rollup; every coarser granularity (day, month) "
+        "reduces ~24x fewer rows instead of re-reading the fact table. "
+        "The Spark plan is two cascaded partial+final hash aggregations; "
+        "the second input is |hours x types| rows — negligible.",
+)
+def q_rollup_two_level(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"),
+        )
+        .select(F.col("w.start").alias("h"), "event_type", "n", "cents")
+    )
+    return (
+        hourly.groupBy(F.to_date(F.date_trunc("day", "h")).alias("d"), "event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            (F.sum("cents").cast("double") / 100).alias("sum_value"),
+            F.count(F.lit(1)).alias("n_hours"),
+        )
+    )
