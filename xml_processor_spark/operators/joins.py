@@ -403,3 +403,41 @@ def q_join_bucketed(spark, sf_dir):
         F.count(F.lit(1)).alias("n_lines"),
         dsum("l_extendedprice").alias("revenue"),
     )
+
+
+@register(
+    "q_join_nullsafe",
+    oracle="""
+        WITH a AS (
+            SELECT c_custkey, NULLIF(c_nationkey, 7) AS k FROM customer
+        ), b AS (
+            SELECT s_suppkey, NULLIF(s_nationkey, 7) AS k FROM supplier
+        )
+        SELECT COALESCE(CAST(a.k AS VARCHAR), '<null>') AS key_label,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+        GROUP BY 1
+    """,
+    doc="Null-safe equi join (<=> / IS NOT DISTINCT FROM): nation keys "
+        "with value 7 are nulled on both sides, and the null-safe "
+        "predicate matches NULL with NULL — the semantics ETL key "
+        "reconciliation needs when 'unknown' must bucket with 'unknown'. "
+        "Spark plans EqualNullSafe as a HASH join key (coalesce-bucketed "
+        "internally), not a nested loop — same single-shuffle shape as a "
+        "plain equi join, so NULL handling costs nothing at scale.",
+)
+def q_join_nullsafe(spark, sf_dir):
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", F.nullif(F.col("c_nationkey"), F.lit(7)).alias("ka")
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.nullif(F.col("s_nationkey"), F.lit(7)).alias("kb")
+    )
+    return (
+        c.join(s, F.col("ka").eqNullSafe(F.col("kb")))
+        .groupBy(
+            F.coalesce(F.col("ka").cast("string"), F.lit("<null>"))
+            .alias("key_label")
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

@@ -183,3 +183,63 @@ def q_rollup_two_level(spark, sf_dir):
             F.count(F.lit(1)).alias("n_hours"),
         )
     )
+
+
+@register(
+    "q_gapfill",
+    oracle="""
+        WITH hourly AS (
+            SELECT time_bucket(INTERVAL '1 hour', ts) AS h, event_type,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        ), bounds AS (
+            SELECT date_trunc('hour', min(ts)) AS lo,
+                   date_trunc('hour', max(ts)) AS hi
+            FROM events
+        ), spine AS (
+            SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+            FROM bounds
+        ), types AS (
+            SELECT DISTINCT event_type FROM events
+        )
+        SELECT s.h AS w_start, t.event_type,
+               COALESCE(hourly.n, 0) AS n
+        FROM spine s
+        CROSS JOIN types t
+        LEFT JOIN hourly ON hourly.h = s.h AND hourly.event_type = t.event_type
+    """,
+    doc="Time-series gap filling: a dense hourly spine (min..max hour x "
+        "every event_type) left-joined to the sparse hourly counts, "
+        "missing buckets zero-filled — what a monitoring/feature pipeline "
+        "needs before windowed models (gaps would silently shift moving "
+        "averages). The spine is generated JVM-side (sequence + explode "
+        "over a 1-row bounds aggregate broadcast onto the type list) — "
+        "never a driver-side loop; its size is |hours| x |types|, "
+        "independent of event count, so the left join is spine-small vs "
+        "facts-large with the usual key shuffle.",
+)
+def q_gapfill(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("h"), "event_type", "n")
+    )
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h")
+    )
+    types = e.select("event_type").distinct()
+    return (
+        spine.crossJoin(F.broadcast(types))
+        .join(hourly, ["h", "event_type"], "left")
+        .select(
+            F.col("h").alias("w_start"), "event_type",
+            F.coalesce("n", F.lit(0)).alias("n"),
+        )
+    )
