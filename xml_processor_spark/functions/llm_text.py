@@ -436,3 +436,98 @@ def q_text_entropy(spark, sf_dir):
             6,
         ).alias("char_entropy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM log-probability quality score (KenLM-proxy filter).
+# ---------------------------------------------------------------------------
+
+_LP_SCALE = 1_000_000  # fixed-point 1e-6 units → order-independent sums
+
+
+@register(
+    "q_text_bigram_logprob",
+    oracle=f"""
+        WITH bg AS (
+            SELECT doc_id, substring(text, i, 2) AS bg
+            FROM documents,
+                 LATERAL (SELECT unnest(generate_series(1, len(text) - 1))
+                          AS i) u
+            WHERE len(text) >= 2
+        ), m12 AS (
+            SELECT bg, count(*) AS n12 FROM bg GROUP BY bg
+        ), m1 AS (
+            SELECT substring(bg, 1, 1) AS c1, count(*) AS n1
+            FROM bg GROUP BY 1
+        ), v AS (
+            SELECT count(DISTINCT c) AS vsz
+            FROM (SELECT unnest(string_split(text, '')) AS c FROM documents)
+        ), terms AS (
+            SELECT b.doc_id,
+                   CAST(round(log2((m12.n12 + 1)
+                                   / CAST(m1.n1 + v.vsz AS DOUBLE))
+                              * {_LP_SCALE}) AS BIGINT) AS t
+            FROM bg b
+            JOIN m12 ON m12.bg = b.bg
+            JOIN m1 ON m1.c1 = substring(b.bg, 1, 1)
+            CROSS JOIN v
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(CAST(sum(t) AS DOUBLE) / {_LP_SCALE} / count(*), 6)
+                   AS avg_logprob
+        FROM terms
+        GROUP BY doc_id
+    """,
+    origin="LLM",
+    doc="Character-bigram language-model score — the in-corpus proxy for "
+        "the KenLM-perplexity quality filter: train add-one-smoothed "
+        "bigram probabilities P(c2|c1) = (n12+1)/(n1+V) from the corpus "
+        "itself, score each document by its mean log2 P over bigrams. "
+        "Unusually low scores flag junk/noise, unusually high flag "
+        "boilerplate. Per-term log-probs are fixed-pointed to 1e-6 BEFORE "
+        "summing, so the per-doc aggregate is an order-independent "
+        "integer sum (float addition order differs across partitionings). "
+        "The model tables are |alphabet|^2 rows — broadcast joins; the "
+        "corpus is scanned twice (model, then score), which a production "
+        "run amortizes by persisting the model.",
+)
+def q_text_bigram_logprob(spark, sf_dir):
+    d = widen(table(spark, sf_dir, "documents"))
+    pos = F.when(
+        F.length("text") >= 2, F.sequence(F.lit(1), F.length("text") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    bgs = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(pos, lambda i: F.col("text").substr(i, F.lit(2)))
+        ).alias("bg"),
+    )
+    m12 = bgs.groupBy("bg").agg(F.count(F.lit(1)).alias("n12"))
+    m1 = bgs.groupBy(F.substring("bg", 1, 1).alias("c1")).agg(
+        F.count(F.lit(1)).alias("n1")
+    )
+    v = (
+        d.select(F.explode(F.split("text", "")).alias("c"))
+        .agg(F.countDistinct("c").alias("vsz"))
+    )
+    terms = (
+        bgs.join(F.broadcast(m12), "bg")
+        .withColumn("c1", F.substring("bg", 1, 1))
+        .join(F.broadcast(m1), "c1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.round(
+                F.log2((F.col("n12") + 1) / (F.col("n1") + F.col("vsz")).cast("double"))
+                * _LP_SCALE,
+                0,
+            ).cast("long").alias("t"),
+        )
+    )
+    return terms.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(
+            F.sum("t").cast("double") / _LP_SCALE / F.count(F.lit(1)), 6
+        ).alias("avg_logprob"),
+    )

@@ -277,3 +277,72 @@ def e_knn_ivf(spark, sf_dir):
         .filter(F.col("rank") <= _TOP_K)
         .select("probe_id", "vec_id", "sim", "rank")
     )
+
+
+@register(
+    "q_emb_quantize",
+    oracle="""
+        WITH b AS (
+            SELECT vec_id,
+                   list_min(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+                       AS mn,
+                   list_max(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+                       AS mx
+            FROM embeddings
+        ), q AS (
+            SELECT e.vec_id, b.mn, b.mx,
+                   list_transform(generate_series(1, len(e.embedding)),
+                       i -> CAST(round((CAST(e.embedding[i] AS DOUBLE) - b.mn)
+                                       / (b.mx - b.mn) * 255) AS BIGINT)) AS c
+            FROM embeddings e JOIN b ON b.vec_id = e.vec_id
+        )
+        SELECT vec_id,
+               round(mn, 6) AS qmin,
+               round(mx, 6) AS qmax,
+               CAST(c[1] AS BIGINT) AS code_head,
+               CAST(list_aggregate(c, 'sum') AS BIGINT) AS code_digest,
+               CAST(list_aggregate(list_transform(
+                        generate_series(1, len(c)), i -> i * c[i]), 'sum')
+                    AS BIGINT) AS code_wdigest
+        FROM q
+    """,
+    origin="LLM",
+    doc="Int8 embedding quantization (the ANN-index memory-reduction "
+        "step): per-vector min/max affine scale to [0, 255] codes. 4x "
+        "memory cut per vector with the scale kept for dequantization; "
+        "codes verified through position-weighted fixed-point digests "
+        "(scalar outputs only — driver canonicalizer contract). Per-row "
+        "array math, zero shuffle; at index-build scale this runs inside "
+        "the scan like q_emb_normalize. Degenerate flat vectors (mx == "
+        "mn) don't occur in this corpus and would need a guard branch in "
+        "production.",
+)
+def q_emb_quantize(spark, sf_dir):
+    e = widen(table(spark, sf_dir, "embeddings"))
+    dbl = F.transform("embedding", lambda x: x.cast("double"))
+    mn = F.array_min(dbl)
+    mx = F.array_max(dbl)
+    codes = F.transform(
+        "embedding",
+        lambda x: F.round((x.cast("double") - mn) / (mx - mn) * 255, 0)
+        .cast("long"),
+    )
+    zero = F.lit(0).cast("long")
+    digest = F.aggregate(codes, zero, lambda a, x: a + x)
+    wdigest = F.aggregate(
+        F.zip_with(
+            codes,
+            F.sequence(F.lit(1), F.size("embedding")),
+            lambda x, i: x * i.cast("long"),
+        ),
+        zero,
+        lambda a, x: a + x,
+    )
+    return e.select(
+        "vec_id",
+        F.round(mn, 6).alias("qmin"),
+        F.round(mx, 6).alias("qmax"),
+        F.element_at(codes, 1).alias("code_head"),
+        digest.alias("code_digest"),
+        wdigest.alias("code_wdigest"),
+    )
