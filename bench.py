@@ -82,6 +82,14 @@ HEADLINE = [
     "q_profile_stats",
     "q_src_orc_roundtrip",
     "q_agg_mode",
+    # r4 additions, fourth batch: containment dedup, two-level rollup,
+    # gap filling, LM scoring, quantization, transitions.
+    "q_dedup_containment",
+    "q_rollup_two_level",
+    "q_gapfill",
+    "q_text_bigram_logprob",
+    "q_emb_quantize",
+    "q_events_transitions",
 ]
 
 

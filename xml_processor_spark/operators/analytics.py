@@ -261,3 +261,41 @@ def q_profile_stats(spark, sf_dir):
     return one.select(F.explode(profile_rows).alias("p")).select(
         "p.col_name", "p.n_rows", "p.n_nulls", "p.n_distinct"
     )
+
+
+@register(
+    "q_events_transitions",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev_type
+            FROM events
+        )
+        SELECT prev_type, event_type AS next_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM seq
+        WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    """,
+    origin="CORE",
+    doc="Behavioral transition matrix (first-order Markov counts): for "
+        "each user's event sequence ordered by (ts, event_id), count "
+        "(prev_type → next_type) transitions — the input to funnel "
+        "discovery and next-action models. One user_id window shuffle to "
+        "form pairs, then a map-side-combined count over "
+        "|event_types|^2 keys; output is tiny at any corpus size.",
+)
+def q_events_transitions(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
