@@ -329,3 +329,38 @@ def q_map_funcs(spark, sf_dir):
         F.element_at(m, "qty").alias("qty_val"),
         F.size(F.map_values(m)).alias("n_vals"),
     )
+
+
+@register(
+    "q_str_binhex",
+    oracle="""
+        SELECT doc_id,
+               base64(encode(text)) AS b64,
+               upper(substring(hex(encode(substring(text, 1, 8))), 1, 16))
+                   AS hex_head,
+               CAST(octet_length(from_base64(base64(encode(text))))
+                    AS BIGINT) AS decoded_len
+        FROM documents
+    """,
+    doc="Binary codec functions over the text→bytes boundary: base64 "
+        "encoding of the UTF-8 bytes, a hex prefix (upper-cased on both "
+        "engines — Spark hex() emits uppercase, DuckDB's case differs by "
+        "build), and a base64 decode roundtrip whose byte length must "
+        "equal the original. Spark base64() MIME-wraps at 76 chars with "
+        "CRLF while DuckDB emits one line, so the wrap is stripped before "
+        "compare (unbase64 accepts both). The codec layer every "
+        "multimodal/binary pipeline crosses when bytes transit JSON or "
+        "text protocols; all JVM expressions, zero shuffle.",
+)
+def q_str_binhex(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    blob = F.encode("text", "UTF-8")
+    b64 = F.regexp_replace(F.base64(blob), "[\\r\\n]", "")
+    return d.select(
+        "doc_id",
+        b64.alias("b64"),
+        F.upper(
+            F.substring(F.hex(F.encode(F.substring("text", 1, 8), "UTF-8")), 1, 16)
+        ).alias("hex_head"),
+        F.octet_length(F.unbase64(b64)).cast("long").alias("decoded_len"),
+    )

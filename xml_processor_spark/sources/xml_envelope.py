@@ -351,3 +351,36 @@ def e_sink_pq(spark, sf_dir):
     li.write.mode("overwrite").partitionBy("l_returnflag").parquet(tmp)
     back = spark.read.parquet(tmp)
     return back.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "q_xml_write_roundtrip",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders
+    """,
+    origin="REF",
+    doc="XML WRITE path (the reference family's XML sink direction, "
+        "inverse of XMLParser): per-order struct serialized to an XML "
+        "string with to_xml, then parsed back with from_xml and the typed "
+        "fields extracted; the oracle projects the original columns, so a "
+        "hash match proves serialize→parse is lossless for bigint/string/"
+        "double. Both directions are JVM expressions inside the scan — "
+        "zero shuffle, scan-parallel.",
+)
+def q_xml_write_roundtrip(spark, sf_dir):
+    o = widen(table(spark, sf_dir, "orders"))
+    xml = F.to_xml(
+        F.struct("o_orderkey", "o_orderstatus", "o_totalprice"),
+        {"rowTag": "order"},
+    )
+    parsed = F.from_xml(
+        xml,
+        "STRUCT<o_orderkey: BIGINT, o_orderstatus: STRING, o_totalprice: DOUBLE>",
+        {"rowTag": "order"},
+    )
+    return o.select(
+        parsed.getField("o_orderkey").alias("o_orderkey"),
+        parsed.getField("o_orderstatus").alias("o_orderstatus"),
+        parsed.getField("o_totalprice").alias("o_totalprice"),
+    )
