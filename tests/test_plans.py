@@ -273,3 +273,28 @@ def test_tpch_q10_take_ordered_and_broadcasts(spark, queries):
     plan = explain(queries["q_tpch_q10"](spark, SF_MID))
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q4_exists_becomes_semi_join(spark, queries):
+    """The correlated EXISTS must be decorrelated to a (left-semi) hash
+    join on l_orderkey, never a per-row subquery or nested loop."""
+    plan = explain(queries["q_tpch_q4"](spark, SF_MID))
+    assert "LeftSemi" in plan or "ExistenceJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q6_filters_push_to_scan(spark, queries):
+    """Date-window and quantity predicates must reach the parquet scan."""
+    plan = explain(queries["q_tpch_q6"](spark, SF_MID))
+    pushed = plan.split("PushedFilters:")[1].split("\n")[0]
+    assert "l_shipdate" in pushed and "l_quantity" in pushed
+
+
+def test_tpch_q19_disjunction_keeps_hash_join(spark, queries):
+    """OR-of-conjuncts across the join must not break the p_partkey
+    equi-join into a nested loop (the classic Q19 planner test)."""
+    plan = explain(queries["q_tpch_q19"](spark, SF_MID))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan

@@ -124,6 +124,75 @@ _Q12_SQL = """
 """
 
 
+_Q4_SQL = """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate >= o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+_Q6_SQL = """
+    SELECT CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE)
+               / 1e4 AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+      AND l_quantity < 24
+"""
+
+_Q14_SQL = f"""
+    SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS INT)
+               AS ship_month,
+           CAST(SUM(CASE WHEN p_type = 'PROMO'
+                         THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                              * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                         ELSE 0 END) AS DOUBLE) / 1e4 AS promo_rev,
+           {_REV_SQL} AS total_rev
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY CAST(year(l_shipdate) * 100 + month(l_shipdate) AS INT)
+    ORDER BY ship_month
+"""
+
+_Q18_SQL = """
+    SELECT c_custkey, min(c_name) AS c_name, o_orderkey,
+           min(o_orderdate) AS orderdate,
+           min(o_totalprice) AS totalprice,
+           CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+    FROM customer
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey
+                         HAVING SUM(CAST(round(l_quantity) AS BIGINT)) > 200)
+    GROUP BY c_custkey, o_orderkey
+    ORDER BY totalprice DESC, o_orderkey
+    LIMIT 100
+"""
+
+_Q19_SQL = f"""
+    SELECT {_REV_SQL} AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 30)
+"""
+
 _LATERAL_SQL = """
     SELECT n_name, c.ckey, c.bal
     FROM nation, LATERAL (
@@ -214,6 +283,59 @@ _sql_query(
     "receiptdate): late shipments (>90 days after order date) bucketed by "
     "ship year with a two-way priority CASE pivot. Integer sums CAST to "
     "BIGINT on both engines (the r1 HUGEINT lesson).",
+)
+
+_sql_query(
+    "q_tpch_q4",
+    _Q4_SQL,
+    "TPC-H Q4 shape adapted to the fixture (no commit/receipt dates): "
+    "orders in a one-quarter window having at least one line shipped "
+    ">=60 days after the order date, counted per priority. The "
+    "correlated EXISTS (with a non-equi outer reference) is rewritten by "
+    "Catalyst to a left-semi hash join on l_orderkey — one shuffle, no "
+    "per-row subquery execution.",
+)
+
+_sql_query(
+    "q_tpch_q6",
+    _Q6_SQL,
+    "TPC-H Q6 shape (forecasting revenue change): tight scan-side filter "
+    "(date window + discount band + quantity cap) then a single exact-"
+    "cents product sum. The discount band compares integer cents — a "
+    "double BETWEEN 0.05 AND 0.07 is representation-dependent. All "
+    "predicates push to the parquet scan; the aggregate is one partial-"
+    "final pair with no group keys — the minimal-shuffle TPC-H query.",
+)
+
+_sql_query(
+    "q_tpch_q14",
+    _Q14_SQL,
+    "TPC-H Q14 shape (promotion effect): lineitem ⋈ part (part side "
+    "broadcasts under AQE), CASE-split exact-cents revenue per ship "
+    "month. promo_rev/total_rev are both emitted exactly rather than as "
+    "a rounded percentage — the ratio is derivable and the hash stays "
+    "representation-exact.",
+)
+
+_sql_query(
+    "q_tpch_q18",
+    _Q18_SQL,
+    "TPC-H Q18 shape (large-volume customers): IN-subquery over a "
+    "groupBy-HAVING on lineitem (rewritten to a semi join against the "
+    "aggregated key set), then customer ⋈ orders ⋈ lineitem re-aggregated "
+    "per (custkey, orderkey) with a total-ordered top-100. Quantity sums "
+    "ride BIGINT (exact; DuckDB HUGEINT cast down).",
+)
+
+_sql_query(
+    "q_tpch_q19",
+    _Q19_SQL,
+    "TPC-H Q19 shape (discounted revenue, OR-of-conjuncts): three "
+    "(brand, size-range, quantity-range) disjuncts across the join — the "
+    "classic test that the planner keeps the p_partkey equi-join hashable "
+    "and evaluates the disjunction as a post-join filter instead of "
+    "falling back to a nested-loop cross product. Single-row exact-cents "
+    "result.",
 )
 
 _sql_query(
