@@ -298,3 +298,34 @@ def test_tpch_q19_disjunction_keeps_hash_join(spark, queries):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "HashJoin" in plan
+
+
+def test_tpch_q21_double_exists_all_hash_joins(spark, queries):
+    """Q21's EXISTS + NOT EXISTS must both decorrelate to semi/anti hash
+    joins on l_orderkey (the inner NOT EXISTS re-joins orders internally
+    precisely so its only outer correlation is an equality) — a per-row
+    subquery or nested loop here would be quadratic in lineitem."""
+    plan = explain(queries["q_tpch_q21"](spark, SF_MID))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan
+    assert "LeftSemi" in plan or "ExistenceJoin" in plan
+
+
+def test_tpch_q13_single_custkey_shuffle(spark, queries):
+    """Q13's distribution-of-counts must shuffle customer-sized data once
+    (on c_custkey); the second aggregation input is |distinct counts|
+    rows. A plan that shuffles twice at fact size would double the
+    dominant cost at 100 TB."""
+    plan = explain(queries["q_tpch_q13"](spark, SF_MID))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q17_no_per_row_subquery(spark, queries):
+    """The rewritten 5*qty*cnt < sum predicate must plan as one per-part
+    aggregate + equi-join — never a correlated per-row re-aggregation."""
+    plan = explain(queries["q_tpch_q17"](spark, SF_MID))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan

@@ -346,3 +346,210 @@ _sql_query(
     "revenue per nation. The join tree is declared flat; AQE + CBO pick "
     "broadcast vs shuffle per edge.",
 )
+
+
+_Q8_SQL = """
+    WITH allrev AS (
+        SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+               n2.n_name AS supp_nation,
+               CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON n1.n_nationkey = c_nationkey
+        JOIN region ON r_regionkey = n1.n_regionkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation n2 ON n2.n_nationkey = s_nationkey
+        WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+    )
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev ELSE 0 END)
+                AS DOUBLE)
+               / CAST(SUM(rev) AS DOUBLE) AS mkt_share,
+           CAST(SUM(rev) AS DOUBLE) / 1e4 AS total_rev
+    FROM allrev
+    GROUP BY o_year
+    ORDER BY o_year
+"""
+
+_Q9_SQL = """
+    SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                    - CAST(round(p_retailprice * 100) AS BIGINT)
+                      * CAST(round(l_quantity) AS BIGINT) * 100)
+                AS DOUBLE) / 1e4 AS profit
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, CAST(year(o_orderdate) AS INT)
+    ORDER BY nation, o_year
+"""
+
+_Q13_SQL = """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+          FROM customer
+          LEFT JOIN orders ON c_custkey = o_custkey
+               AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+"""
+
+_Q15_SQL = """
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                    AS BIGINT) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           CAST(total_rev AS DOUBLE) / 1e4 AS total_revenue
+    FROM supplier
+    JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_rev = (SELECT max(total_rev) FROM revenue)
+    ORDER BY s_suppkey
+"""
+
+_Q17_SQL = """
+    WITH pq AS (
+        SELECT l_partkey AS pk,
+               CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sq,
+               CAST(count(*) AS BIGINT) AS cq
+        FROM lineitem
+        GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                AS DOUBLE) / 1e2 AS small_qty_rev,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN pq ON pk = l_partkey
+    WHERE p_brand = 'Brand#23'
+      AND CAST(round(l_quantity) AS BIGINT) * 5 * cq < sq
+"""
+
+_Q21_SQL = """
+    SELECT s_suppkey, min(s_name) AS s_name,
+           CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate >= o_orderdate + INTERVAL 30 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate >= o3.o_orderdate + INTERVAL 30 DAY)
+    GROUP BY s_suppkey
+    ORDER BY numwait DESC, s_suppkey
+    LIMIT 50
+"""
+
+_Q22_SQL = """
+    SELECT CAST(c_nationkey % 5 AS INT) AS cntrycode,
+           CAST(count(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+               / 1e2 AS totacctbal
+    FROM customer
+    WHERE CAST(round(c_acctbal * 100) AS BIGINT) >
+          (SELECT avg(CAST(round(c_acctbal * 100) AS BIGINT))
+           FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    GROUP BY CAST(c_nationkey % 5 AS INT)
+    ORDER BY cntrycode
+"""
+
+
+_sql_query(
+    "q_tpch_q8",
+    _Q8_SQL,
+    "TPC-H Q8 shape (national market share): eight-way join fanning out "
+    "from lineitem to part/orders/customer/nation/region on the demand "
+    "side and supplier/nation on the supply side, then a CASE-split "
+    "share-of-revenue ratio per order year. All dimension edges are "
+    "broadcast-sized; the ratio divides two exact integer-cents sums so "
+    "the double is bit-identical on both engines.",
+)
+
+_sql_query(
+    "q_tpch_q9",
+    _Q9_SQL,
+    "TPC-H Q9 shape (product-type profit) adapted to the fixture (no "
+    "partsupp: p_retailprice stands in for ps_supplycost): profit = "
+    "revenue minus cost per supplier-nation x order-year, over a "
+    "p_name LIKE filter. Entirely integer arithmetic until the final "
+    "display division; one shuffle on the (nation, year) group keys.",
+)
+
+_sql_query(
+    "q_tpch_q13",
+    _Q13_SQL,
+    "TPC-H Q13 shape (customer distribution): LEFT JOIN with an ON-clause "
+    "filter (customers keep their row when no qualifying order exists), "
+    "count per customer, then a distribution over the counts. Two "
+    "cascaded aggregations — the second input is |distinct counts| rows, "
+    "so the heavy shuffle happens exactly once on c_custkey.",
+)
+
+_sql_query(
+    "q_tpch_q15",
+    _Q15_SQL,
+    "TPC-H Q15 shape (top supplier): quarter-windowed revenue per "
+    "supplier in a CTE, max-revenue supplier(s) selected via an "
+    "uncorrelated scalar subquery over the same CTE. Integer-cents "
+    "revenue makes the max and the equality comparison exact — no "
+    "double-rounding ties. The CTE is planned once under CTE reuse.",
+)
+
+_sql_query(
+    "q_tpch_q17",
+    _Q17_SQL,
+    "TPC-H Q17 shape (small-quantity revenue): the correlated "
+    "'quantity < 0.2 * per-part average' predicate is algebraically "
+    "rewritten to the integer-exact 5*qty*cnt < sum form against a "
+    "pre-aggregated per-part CTE — same semantics, no double-precision "
+    "boundary risk, and the scale-safe plan (one aggregate + equi-join, "
+    "never a per-row subquery).",
+)
+
+_sql_query(
+    "q_tpch_q21",
+    _Q21_SQL,
+    "TPC-H Q21 shape (suppliers who kept orders waiting): late line per "
+    "supplier on finalized orders, EXISTS another supplier on the same "
+    "order, NOT EXISTS another LATE supplier. The inner NOT EXISTS "
+    "re-joins orders internally so its only outer correlation is the "
+    "l_orderkey equality — Catalyst rewrites both to semi/anti hash "
+    "joins on l_orderkey (no per-row re-execution), total-ordered "
+    "top-50.",
+)
+
+_sql_query(
+    "q_tpch_q22",
+    _Q22_SQL,
+    "TPC-H Q22 shape (global sales opportunity) adapted to the fixture "
+    "(nationkey residue stands in for phone country codes; every fixture "
+    "customer has orders, so the anti-join excludes URGENT-order holders): "
+    "customers above the positive-balance average (exact integer cents) "
+    "with no urgent orders, grouped by country code. The "
+    "scalar average broadcasts; NOT EXISTS becomes a left-anti hash "
+    "join on o_custkey.",
+)
