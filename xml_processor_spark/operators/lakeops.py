@@ -1,0 +1,287 @@
+"""Lakehouse maintenance / scan-acceleration operators (SURVEY §2.L ext.).
+
+Four patterns every 100 TB lake deployment runs constantly, expressed
+Spark-first and oracle-checked:
+
+- **Bloom-pruned semi join** (`q_join_bloom`): the explicit form of the
+  runtime-filter optimization (Spark's
+  ``spark.sql.optimizer.runtime.bloomFilter.enabled`` does the same thing
+  inside AQE). A compact bitmap built from the dimension keys is broadcast
+  and applied as a scan-side filter on the fact table *before* the shuffle,
+  so the join only moves rows that can match. False positives are removed
+  by the real semi join, so the result is exactly the plain semi join —
+  which is the oracle.
+- **Zone-map manifest** (`q_zonemap`): per-shard min/max/count statistics
+  over the natural time-partitioning key — the parquet-footer /
+  lake-manifest data-skipping pattern, plus the skip decision itself for a
+  concrete predicate window (a shard is skippable iff its [min, max] range
+  misses the window).
+- **Incremental aggregate merge** (`q_incremental_agg`): partial aggregates
+  computed independently over a base slice and a delta slice, merged by
+  re-aggregation — the algebraic (count, sum) mergeability every
+  incremental/streaming rollup relies on. The merged result must equal a
+  full recompute, which is the oracle.
+- **OHLC resample** (`q_resample_ohlc`): per (type, hour) candlestick —
+  open/close via ``min_by``/``max_by`` on a collision-free composite order
+  key (µs offset since epoch-of-corpus × 1e6 + event_id), high/low/volume
+  as plain aggregates. One shuffle on the group keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from xml_processor_spark.functions.deterministic import cents, ts_sec
+from xml_processor_spark.io import table
+from xml_processor_spark.registry import register
+
+# --- q_join_bloom ----------------------------------------------------------
+
+_BLOOM_BITS = 16_384  # m: bitmap size (256 longs — broadcast-trivial)
+_BLOOM_LONGS = _BLOOM_BITS // 64
+_BLOOM_K = 4  # hash functions; n≈1.5k urgent keys → fpp ≈ (1-e^-kn/m)^k ≈ 4%
+
+
+def _bloom_positions(key):
+    """k bit positions for a key: xxhash64 with k distinct salt columns."""
+    return [
+        F.pmod(F.xxhash64(key, F.lit(s)), F.lit(_BLOOM_BITS))
+        for s in range(_BLOOM_K)
+    ]
+
+
+@register(
+    "q_join_bloom",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                    AS DOUBLE) / 1e4 AS revenue
+        FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                             WHERE o_orderpriority = '1-URGENT')
+        GROUP BY l_returnflag
+    """,
+    origin="CORE",
+    doc="Bloom-pruned semi join: a 16384-bit / 4-hash bitmap over the "
+        "urgent order keys is built with one map-side-combined bit_or "
+        "aggregate (256-row result), broadcast back as a literal, and "
+        "applied as a scan-side filter on lineitem BEFORE the shuffle — "
+        "only possibly-matching rows move. The genuine left-semi join then "
+        "removes the ~4% false positives, so the result is exactly the "
+        "plain semi join (the oracle). At 100 TB this is the difference "
+        "between shuffling the whole fact table and shuffling the ~1/5 "
+        "that can match; Spark's own runtime bloom filter does the same "
+        "rewrite inside AQE — here it is explicit and testable.",
+)
+def q_join_bloom(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    urgent = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+
+    # Build: key → k bit positions → (chunk, mask) → bit_or per chunk.
+    # The aggregate is map-side combined; the result is ≤256 rows — the
+    # bounded collect is the broadcast-build step, same as Spark's own
+    # BloomFilterAggregate, not a data-plane collect.
+    chunks = (
+        urgent.select(
+            F.explode(F.array(*_bloom_positions(F.col("o_orderkey")))).alias("p")
+        )
+        .select(
+            (F.col("p") / 64).cast("int").alias("c"),
+            # PySpark's shiftleft() only takes a literal shift count —
+            # the SQL form accepts a column expression.
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias("m"),
+        )
+        .groupBy("c")
+        .agg(F.bit_or("m").alias("bits"))
+        .collect()
+    )
+    bitmap = [0] * _BLOOM_LONGS
+    for row in chunks:
+        bitmap[row["c"]] = row["bits"]
+    bitmap_sql = "array(" + ", ".join(f"{b}L" for b in bitmap) + ")"
+
+    # Probe: all k bits set ⇒ candidate. Scan-side, no shuffle.
+    tests = []
+    for s in range(_BLOOM_K):
+        p = f"pmod(xxhash64(l_orderkey, {s}), {_BLOOM_BITS})"
+        tests.append(
+            f"(shiftright(element_at({bitmap_sql}, "
+            f"CAST(({p}) / 64 AS INT) + 1), CAST(({p}) % 64 AS INT)) & 1) = 1"
+        )
+    pruned = li.filter(F.expr(" AND ".join(tests)))
+    exact = pruned.join(
+        urgent, pruned["l_orderkey"] == urgent["o_orderkey"], "left_semi"
+    )
+    return exact.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        (
+            F.sum(cents("l_extendedprice") * (100 - cents("l_discount")))
+            .cast("double") / 1e4
+        ).alias("revenue"),
+    )
+
+
+# --- q_zonemap -------------------------------------------------------------
+
+_ZONE_LO = "1996-04-01"
+_ZONE_HI = "1996-07-01"
+
+
+@register(
+    "q_zonemap",
+    oracle=f"""
+        SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS INT)
+                   AS shard,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               date_trunc('second', min(l_shipdate)) AS min_ts,
+               date_trunc('second', max(l_shipdate)) AS max_ts,
+               CAST(min(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS min_price_cents,
+               CAST(max(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS max_price_cents,
+               NOT (max(l_shipdate) >= TIMESTAMP '{_ZONE_LO}'
+                    AND min(l_shipdate) < TIMESTAMP '{_ZONE_HI}')
+                   AS skippable
+        FROM lineitem
+        GROUP BY CAST(year(l_shipdate) * 100 + month(l_shipdate) AS INT)
+        ORDER BY shard
+    """,
+    origin="CORE",
+    doc="Zone-map / data-skipping manifest: per time-shard (ship month) "
+        "min/max/count statistics — the parquet-footer & lake-manifest "
+        "pattern that lets a reader prune shards without opening them — "
+        "plus the skip decision for a concrete quarter window (skippable "
+        "iff [min, max] misses [lo, hi)). One map-side-combined aggregate; "
+        "the manifest is |shards| rows regardless of fact size, which is "
+        "what makes footer-stats pruning free at 100 TB.",
+)
+def q_zonemap(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    sd = F.col("l_shipdate")
+    return (
+        li.groupBy(
+            (F.year(sd) * 100 + F.month(sd)).cast("int").alias("shard")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            ts_sec(F.min(sd)).alias("min_ts"),
+            ts_sec(F.max(sd)).alias("max_ts"),
+            F.min(cents("l_extendedprice")).alias("min_price_cents"),
+            F.max(cents("l_extendedprice")).alias("max_price_cents"),
+            (
+                ~(
+                    (F.max(sd) >= F.lit(_ZONE_LO).cast("timestamp"))
+                    & (F.min(sd) < F.lit(_ZONE_HI).cast("timestamp"))
+                )
+            ).alias("skippable"),
+        )
+        .orderBy("shard")
+    )
+
+
+# --- q_incremental_agg -----------------------------------------------------
+
+_SPLIT = "2024-01-20"
+
+
+@register(
+    "q_incremental_agg",
+    oracle="""
+        SELECT event_type,
+               date_trunc('hour', ts) AS h,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                   / 1e2 AS total
+        FROM events
+        GROUP BY event_type, date_trunc('hour', ts)
+    """,
+    origin="CORE",
+    doc="Incremental aggregate merge: (count, cents-sum) partials computed "
+        "independently over the base slice (ts < split) and the delta "
+        "slice (ts >= split), then merged by re-aggregation — the "
+        "algebraic mergeability that lets a 100 TB rollup process only "
+        "yesterday's partition and fold it into the standing aggregate "
+        "instead of rescanning history. The merge result must equal the "
+        "full recompute, which is exactly what the oracle computes.",
+)
+def q_incremental_agg(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    split = F.lit(_SPLIT).cast("timestamp")
+
+    def partial(df):
+        return df.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("h")
+        ).agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(cents("value")).alias("pcents"),
+        )
+
+    base = partial(ev.filter(F.col("ts") < split))
+    delta = partial(ev.filter(F.col("ts") >= split))
+    return (
+        base.unionAll(delta)
+        .groupBy("event_type", "h")
+        .agg(
+            F.sum("pn").alias("n"),
+            (F.sum("pcents").cast("double") / 1e2).alias("total"),
+        )
+    )
+
+
+# --- q_resample_ohlc -------------------------------------------------------
+
+# Collision-free total-order key for open/close: µs offset within the
+# corpus epoch (≤ ~2.6e12 for a month) × 1e6 + event_id (unique) — fits
+# int64 with headroom, identical arithmetic in both dialects.
+_OKEY_SPARK = None  # built inline (needs F)
+_OKEY_SQL = (
+    "(epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01')) * 1000000 + event_id"
+)
+
+
+@register(
+    "q_resample_ohlc",
+    oracle=f"""
+        SELECT event_type,
+               date_trunc('hour', ts) AS h,
+               arg_min(value, {_OKEY_SQL}) AS open,
+               max(value) AS high,
+               min(value) AS low,
+               arg_max(value, {_OKEY_SQL}) AS close,
+               CAST(count(*) AS BIGINT) AS volume,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                   / 1e2 AS total
+        FROM events
+        GROUP BY event_type, date_trunc('hour', ts)
+    """,
+    origin="CORE",
+    doc="OHLC time-series resample: per (event_type, hour) candlestick — "
+        "open/close via min_by/max_by on a collision-free composite order "
+        "key (µs offset × 1e6 + unique event_id; arg_min/arg_max on the "
+        "oracle side), high/low/volume/exact-cents total as plain "
+        "aggregates. Single shuffle on the group keys, all partials "
+        "map-side combined — the downsampling shape every metrics store "
+        "runs continuously.",
+)
+def q_resample_ohlc(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    okey = (
+        F.unix_micros(F.col("ts"))
+        - F.unix_micros(F.lit("2024-01-01").cast("timestamp"))
+    ) * 1_000_000 + F.col("event_id")
+    return ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.min_by("value", okey).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", okey).alias("close"),
+        F.count(F.lit(1)).alias("volume"),
+        (F.sum(cents("value")).cast("double") / 1e2).alias("total"),
+    )
