@@ -90,6 +90,25 @@ HEADLINE = [
     "q_text_bigram_logprob",
     "q_emb_quantize",
     "q_events_transitions",
+    # r4 additions, fifth batch: the remaining TPC-H shapes and the
+    # lake-maintenance / sketch operators.
+    "q_tpch_q4",
+    "q_tpch_q6",
+    "q_tpch_q8",
+    "q_tpch_q9",
+    "q_tpch_q13",
+    "q_tpch_q14",
+    "q_tpch_q15",
+    "q_tpch_q17",
+    "q_tpch_q18",
+    "q_tpch_q19",
+    "q_tpch_q21",
+    "q_tpch_q22",
+    "q_join_bloom",
+    "q_zonemap",
+    "q_incremental_agg",
+    "q_resample_ohlc",
+    "q_heavy_hitters",
 ]
 
 

@@ -329,3 +329,27 @@ def test_tpch_q17_no_per_row_subquery(spark, queries):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "HashAggregate" in plan
+
+
+def test_minhash_est_band_join_is_equi(spark, queries):
+    """Candidate generation must be the banded EQUI join — an OR-of-bands
+    condition would fall back to a nested loop (quadratic at scale)."""
+    plan = explain(queries["q_minhash_est"](spark, SF_MID))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_json_flatten_stays_jvm_native(spark, queries):
+    """JSON build + parse + explode must not touch Python."""
+    plan = explain(queries["q_json_flatten"](spark, SF_MID))
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+
+
+def test_salted_skew_has_two_agg_phases(spark, queries):
+    """The salted plan must show both groupings (salted partial, then
+    final) — i.e. the salt actually partitions the aggregation."""
+    plan = explain(queries["q_agg_salted_skew"](spark, SF_MID))
+    assert "xxhash64" in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "Window" not in plan

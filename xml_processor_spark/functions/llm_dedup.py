@@ -836,3 +836,163 @@ def q_dedup_containment(spark, sf_dir):
             .alias("containment"),
         )
     )
+
+
+# --- q_minhash_est: banded candidate-gen + signature Jaccard estimate ------
+
+_EST_BANDS = 2  # 2 bands x 4 rows over the 8-seed signature
+_EST_ROWS = _SIG_SEEDS // _EST_BANDS
+
+_EST_SIG_COLS = ", ".join(
+    f"min(md5('{i}:' || s)) AS h{i}" for i in range(_SIG_SEEDS)
+)
+_EST_BAND_SQL = " UNION ALL ".join(
+    "SELECT doc_id, {bi} AS bi, md5({cat}) AS bh FROM sig".format(
+        bi=bi,
+        cat=" || ".join(f"h{bi * _EST_ROWS + r}" for r in range(_EST_ROWS)),
+    )
+    for bi in range(_EST_BANDS)
+)
+_EST_MATCH_SQL = " + ".join(
+    f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(_SIG_SEEDS)
+)
+
+
+@register(
+    "q_minhash_est",
+    oracle=_SIG_SHINGLE_CTE + f"""
+        , sig AS (SELECT doc_id, {_EST_SIG_COLS} FROM sh GROUP BY doc_id)
+        , bands AS ({_EST_BAND_SQL})
+        , cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a
+            JOIN bands b ON a.bi = b.bi AND a.bh = b.bh
+                 AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b,
+               CAST({_EST_MATCH_SQL} AS BIGINT) AS n_match,
+               round(({_EST_MATCH_SQL}) / {_SIG_SEEDS}.0, 6) AS est_jaccard
+        FROM cand
+        JOIN sig sa ON sa.doc_id = id_a
+        JOIN sig sb ON sb.doc_id = id_b
+    """,
+    origin="LLM",
+    doc="The full MinHash-LSH pipeline under a strict cross-engine hash "
+        "verdict (the portable md5 twin of E-MINHASH-LSH end-to-end, not "
+        "just its signature stage): 8-seed signatures, 2-band x 4-row "
+        "banding, candidate pairs via the banded EQUI join (shuffle "
+        "proportional to |docs| x bands — the plan that replaces the "
+        "quadratic all-pairs comparison at 100 TB), then the classic "
+        "matching-minima Jaccard estimate n_match/8 per candidate pair. "
+        "Estimation quality vs exact Jaccard is covered by the "
+        "E-MINHASH-LSH recall test; THIS key pins the machinery exactly.",
+)
+def q_minhash_est(spark, sf_dir):
+    d = widen(table(spark, sf_dir, "documents"))
+    sh = d.select("doc_id", F.explode(shingles(F.col("text"))).alias("s"))
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"h{i}")
+            for i in range(_SIG_SEEDS)
+        ]
+    )
+    bands = None
+    for bi in range(_EST_BANDS):
+        cols = [f"h{bi * _EST_ROWS + r}" for r in range(_EST_ROWS)]
+        band = sig.select(
+            "doc_id",
+            F.lit(bi).alias("bi"),
+            F.md5(F.concat(*[F.col(c) for c in cols])).alias("bh"),
+        )
+        bands = band if bands is None else bands.unionAll(band)
+    a = bands.select(
+        F.col("doc_id").alias("id_a"), "bi", "bh"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"), F.col("bi").alias("bi2"),
+        F.col("bh").alias("bh2"),
+    )
+    cand = (
+        a.join(b, (a["bi"] == b["bi2"]) & (a["bh"] == b["bh2"])
+               & (a["id_a"] < b["id_b"]))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(_SIG_SEEDS)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(_SIG_SEEDS)],
+    )
+    n_match = None
+    for i in range(_SIG_SEEDS):
+        m = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        n_match = m if n_match is None else (n_match + m)
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a", "id_b",
+            n_match.cast("long").alias("n_match"),
+            F.round(n_match / float(_SIG_SEEDS), 6).alias("est_jaccard"),
+        )
+    )
+
+
+# --- q_dedup_keep_best: cluster survivor policy ----------------------------
+
+# Composite quality key: longer doc wins, doc_id breaks exact ties toward
+# the smaller id. n_chars <= ~1e4 and doc_id <= ~1e7 at any fixture sf, so
+# n_chars*1e7 - doc_id is collision-free in int64.
+_KEEP_KEY_SQL = "n_chars * 10000000 - doc_id"
+
+
+@register(
+    "q_dedup_keep_best",
+    oracle=f"""
+        WITH norm AS (
+            SELECT doc_id, n_chars,
+                   md5(array_to_string(list_sort(list_distinct(
+                       string_split(text, ' '))), ' ')) AS h
+            FROM documents
+        )
+        SELECT h AS cluster_hash,
+               CAST(count(*) AS BIGINT) AS n_members,
+               arg_max(doc_id, {_KEEP_KEY_SQL}) AS keeper_id,
+               arg_max(n_chars, {_KEEP_KEY_SQL}) AS keeper_n_chars
+        FROM norm
+        GROUP BY h
+        HAVING count(*) >= 2
+    """,
+    origin="LLM",
+    doc="Duplicate-cluster survivor policy: cluster on the md5 of the "
+        "sorted distinct-token set (word-order-insensitive near-exact "
+        "dedup — catches shuffled/reordered copies plain md5 misses; the "
+        "fixture has no byte-exact dups but 21 token-set clusters), then "
+        "KEEP-BEST rather than keep-first: the longest member wins, "
+        "smaller doc_id breaks exact ties, via one max_by on a "
+        "collision-free composite key. This is "
+        "the policy step real training pipelines run after candidate "
+        "clustering (quality-ranked survivor selection); one hash "
+        "groupBy, shuffle proportional to distinct normalized contents.",
+)
+def q_dedup_keep_best(spark, sf_dir):
+    d = widen(table(spark, sf_dir, "documents"))
+    norm = F.md5(
+        F.concat_ws(
+            " ", F.sort_array(F.array_distinct(F.split(F.col("text"), " ")))
+        )
+    )
+    key = F.col("n_chars") * 10_000_000 - F.col("doc_id")
+    return (
+        d.select(F.col("doc_id"), F.col("n_chars"), norm.alias("h"))
+        .groupBy(F.col("h").alias("cluster_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max_by("doc_id", key).alias("keeper_id"),
+            F.max_by("n_chars", key).alias("keeper_n_chars"),
+        )
+        .filter(F.col("n_members") >= 2)
+    )

@@ -405,3 +405,39 @@ def q_agg_mode(spark, sf_dir):
             F.col("n").cast("long").alias("n_occurrences"),
         )
     )
+
+
+@register(
+    "q_agg_salted_skew",
+    oracle="""
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                   / 1e2 AS total
+        FROM events
+        GROUP BY event_type
+    """,
+    origin="CORE",
+    doc="Two-phase salted aggregation for skewed group keys: phase 1 "
+        "groups by (event_type, salt=xxhash64(event_id)%32) so each of "
+        "the 5 hot keys spreads over 32 reducers; phase 2 re-aggregates "
+        "the 5x32 partials. Identical result to the plain groupBy (the "
+        "oracle). Spark's map-side partial aggregation already handles "
+        "LOW-cardinality skew like this fixture; the explicit salt is the "
+        "pattern for the 100 TB case partials can't fix — high-cardinality "
+        "key spaces with a few heavy keys (a hot user, an empty-string "
+        "token), where one reducer would otherwise take the whole key.",
+)
+def q_agg_salted_skew(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    salted = ev.groupBy(
+        "event_type",
+        F.pmod(F.xxhash64("event_id"), F.lit(32)).alias("salt"),
+    ).agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(cents("value")).alias("pcents"),
+    )
+    return salted.groupBy("event_type").agg(
+        F.sum("pn").alias("n"),
+        (F.sum("pcents").cast("double") / 1e2).alias("total"),
+    )

@@ -104,3 +104,74 @@ def q_src_orc_roundtrip(spark, sf_dir):
     path = artifact_dir(sf_dir, "orc")
     src.write.mode("overwrite").orc(path)
     return spark.read.orc(path)
+
+
+_XML_DM_COLS = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+
+
+@register(
+    "q_src_xml_dropmalformed",
+    oracle="""
+        SELECT o_orderkey AS okey, o_orderstatus AS status,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS total_c
+        FROM orders
+        WHERE o_orderkey % 10 <> 0
+    """,
+    origin="REF",
+    doc="XML file source under mode=DROPMALFORMED — the third leg of "
+        "XMLParser's processOnError trio in the t2 contract itself "
+        "(PERMISSIVE routing = q_xml_corrupt_route, FAILFAST = pytest): "
+        "real XML files are written with a deterministically malformed "
+        "record for every orderkey%10=0 (non-numeric okey), read back "
+        "through the native XML datasource with rowTag=order, and the "
+        "malformed documents must silently disappear — the oracle "
+        "projects exactly the surviving subset. File write and parse are "
+        "both scan-parallel; no shuffle.",
+)
+def q_src_xml_dropmalformed(spark, sf_dir):
+    from pyspark.sql import functions as F2
+
+    src = table(spark, sf_dir, "orders").select(*_XML_DM_COLS)
+    good = F2.concat(
+        F2.lit("<order><okey>"), F2.col("o_orderkey").cast("string"),
+        F2.lit("</okey><status>"), F2.col("o_orderstatus"),
+        F2.lit("</status><total_c>"),
+        F2.round(F2.col("o_totalprice") * 100, 0).cast("long").cast("string"),
+        F2.lit("</total_c></order>"),
+    )
+    # Malformation is TYPE-level (okey not parseable as LONG) inside
+    # well-formed tags: a structurally unclosed record would make the
+    # tag-scanning record reader swallow every following record up to the
+    # next close tag (measured: 3992 of 13500 survivors instead of 13500).
+    bad = F2.concat(
+        F2.lit("<order><okey>corrupt-"), F2.col("o_orderkey").cast("string"),
+        F2.lit("</okey><status>X</status><total_c>0</total_c></order>"),
+    )
+    xml = F2.when(F2.col("o_orderkey") % 10 == 0, bad).otherwise(good)
+    path = artifact_dir(sf_dir, "xml-dm")
+    # The native XML datasource requires each FILE to be a single rooted
+    # document (multiple top-level row tags → "Illegal to have multiple
+    # roots") — so records are grouped into 32 rooted documents, one line
+    # each, exactly as a real XMLReader input directory would look.
+    docs = (
+        src.select((F2.col("o_orderkey") % 32).alias("bucket"), xml.alias("x"))
+        .groupBy("bucket")
+        .agg(
+            F2.concat(
+                F2.lit("<orders>"),
+                F2.concat_ws("", F2.sort_array(F2.collect_list("x"))),
+                F2.lit("</orders>"),
+            ).alias("value")
+        )
+    )
+    # partitionBy gives exactly one rooted document per file (a second
+    # root in the same file would be silently dropped as corrupt).
+    docs.write.partitionBy("bucket").mode("overwrite").text(path)
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "order")
+        .option("mode", "DROPMALFORMED")
+        .schema("okey LONG, status STRING, total_c LONG")
+        .load(path)
+        .select("okey", "status", "total_c")  # drop the partition column
+    )

@@ -384,3 +384,49 @@ def q_xml_write_roundtrip(spark, sf_dir):
         parsed.getField("o_orderstatus").alias("o_orderstatus"),
         parsed.getField("o_totalprice").alias("o_totalprice"),
     )
+
+
+@register(
+    "q_json_flatten",
+    oracle="""
+        SELECT l_orderkey AS okey, l_linenumber AS ln,
+               CAST(round(l_quantity * 100) AS BIGINT) AS qty_c
+        FROM lineitem
+    """,
+    origin="CORE",
+    doc="Nested-JSON flatten (the JSON twin of q_xml_nested_explode): a "
+        "per-order JSON document embedding its lineitems array is built "
+        "character-by-character from parquet columns (never via to_json — "
+        "that would test Spark's serializer against itself), parsed with "
+        "from_json into STRUCT<okey, lines ARRAY<STRUCT>>, and exploded "
+        "back to one row per line. Hash match ⇔ the JSON parse path "
+        "(object/array/number grammar, field mapping) is exact. Plan is "
+        "JVM-native end-to-end: one groupBy shuffle to assemble, then "
+        "scan-parallel parse + explode.",
+)
+def q_json_flatten(spark, sf_dir):
+    li = widen(table(spark, sf_dir, "lineitem"))
+    line_json = F.concat(
+        F.lit('{"ln":'), F.col("l_linenumber").cast("string"),
+        F.lit(',"qty_c":'),
+        F.round(F.col("l_quantity") * 100, 0).cast("long").cast("string"),
+        F.lit("}"),
+    )
+    per_order = (
+        li.groupBy("l_orderkey")
+        .agg(F.concat_ws(",", F.sort_array(F.collect_list(line_json))).alias("lines"))
+        .select(
+            F.concat(
+                F.lit('{"okey":'), F.col("l_orderkey").cast("string"),
+                F.lit(',"lines":['), F.col("lines"), F.lit("]}"),
+            ).alias("j")
+        )
+    )
+    parsed = per_order.select(
+        F.from_json(
+            "j", "okey LONG, lines ARRAY<STRUCT<ln: INT, qty_c: LONG>>"
+        ).alias("x")
+    )
+    return parsed.select(
+        F.col("x.okey").alias("okey"), F.explode("x.lines").alias("l")
+    ).select("okey", F.col("l.ln").alias("ln"), F.col("l.qty_c").alias("qty_c"))
