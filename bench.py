@@ -109,6 +109,13 @@ HEADLINE = [
     "q_incremental_agg",
     "q_resample_ohlc",
     "q_heavy_hitters",
+    # r4 additions, sixth batch: LSH-estimate pipeline, survivor policy,
+    # XML error-mode source, JSON flatten, salted skew aggregation.
+    "q_minhash_est",
+    "q_dedup_keep_best",
+    "q_src_xml_dropmalformed",
+    "q_json_flatten",
+    "q_agg_salted_skew",
 ]
 
 

@@ -353,3 +353,24 @@ def test_salted_skew_has_two_agg_phases(spark, queries):
     assert "xxhash64" in plan
     assert plan.count("HashAggregate") >= 2
     assert "Window" not in plan
+
+
+def test_dq_checks_anti_join_is_hashed(spark, queries):
+    """The orphan check must be a hash left-anti join, and the XML/JSON
+    probes of the audit must not introduce a nested loop anywhere."""
+    plan = explain(queries["q_dq_checks"](spark, SF_MID))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_xml_namespaces_zero_shuffle(spark, queries):
+    """Namespaced XPath extraction is a pure per-row transform — no
+    Exchange may appear."""
+    import re
+
+    plan = explain(queries["q_xml_namespaces"](spark, SF_MID))
+    # the widen() repartition is allowed (round-robin, local-fixture only);
+    # no hash/range exchange may appear
+    assert not re.search(r"hashpartitioning|rangepartitioning", plan)
+    assert "BatchEvalPython" not in plan

@@ -299,3 +299,83 @@ def q_events_transitions(spark, sf_dir):
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "q_dq_checks",
+    oracle="""
+        SELECT 'lineitem_orphans' AS check_name,
+               CAST(count(*) AS BIGINT) AS n_violations
+        FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        UNION ALL
+        SELECT 'lineitem_qty_range', CAST(count(*) AS BIGINT)
+        FROM lineitem WHERE l_quantity <= 0 OR l_quantity > 100
+        UNION ALL
+        SELECT 'orders_dup_keys', CAST(count(*) AS BIGINT)
+        FROM (SELECT o_orderkey FROM orders
+              GROUP BY o_orderkey HAVING count(*) > 1)
+        UNION ALL
+        SELECT 'orders_null_date', CAST(count(*) AS BIGINT)
+        FROM orders WHERE o_orderdate IS NULL
+        UNION ALL
+        SELECT 'orders_bad_status', CAST(count(*) AS BIGINT)
+        FROM orders WHERE o_orderstatus NOT IN ('F', 'O', 'P')
+    """,
+    origin="CORE",
+    doc="Data-quality constraint audit (the dbt-test / deequ-style gate an "
+        "ETL pipeline runs before publishing): referential orphans "
+        "(left-anti join), range violations, duplicate keys, null and "
+        "domain violations — one (check_name, n_violations) row each. "
+        "Spark side scans each table ONCE per role: the three orders "
+        "checks ride a single aggregate over one scan; the orphan check "
+        "is one anti join (broadcast-able key set); never a scan per "
+        "check. The oracle's per-check UNION ALL is the semantic spec, "
+        "not the plan.",
+)
+def q_dq_checks(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+
+    orphans = (
+        li.select("l_orderkey")
+        .join(o.select("o_orderkey"),
+              li["l_orderkey"] == o["o_orderkey"], "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("lineitem_orphans").alias("check_name"),
+                F.col("n").alias("n_violations"))
+    )
+    qty_range = (
+        li.agg(
+            F.count(
+                F.when((F.col("l_quantity") <= 0) | (F.col("l_quantity") > 100), 1)
+            ).alias("n")
+        )
+        .select(F.lit("lineitem_qty_range").alias("check_name"),
+                F.col("n").alias("n_violations"))
+    )
+    dup_keys = (
+        o.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("orders_dup_keys").alias("check_name"),
+                F.col("n").alias("n_violations"))
+    )
+    # null-date and domain checks share one scan/aggregate over orders
+    scalar_checks = (
+        o.agg(
+            F.count(F.when(F.col("o_orderdate").isNull(), 1)).alias("null_date"),
+            F.count(
+                F.when(~F.col("o_orderstatus").isin("F", "O", "P"), 1)
+            ).alias("bad_status"),
+        )
+        .select(
+            F.explode(
+                F.create_map(
+                    F.lit("orders_null_date"), F.col("null_date"),
+                    F.lit("orders_bad_status"), F.col("bad_status"),
+                )
+            ).alias("check_name", "n_violations")
+        )
+    )
+    return orphans.unionAll(qty_range).unionAll(dup_keys).unionAll(scalar_checks)

@@ -430,3 +430,39 @@ def q_json_flatten(spark, sf_dir):
     return parsed.select(
         F.col("x.okey").alias("okey"), F.explode("x.lines").alias("l")
     ).select("okey", F.col("l.ln").alias("ln"), F.col("l.qty_c").alias("qty_c"))
+
+
+@register(
+    "q_xml_namespaces",
+    oracle="""
+        SELECT p_partkey AS pkey, p_size AS psize, p_brand AS brand
+        FROM part
+    """,
+    origin="REF",
+    doc="Namespaced-XML XPath extraction (XMLParser handles real-world "
+        "feeds, which are namespaced): per-part documents carry two "
+        "namespace prefixes; extraction uses local-name() XPath steps, "
+        "which are namespace-agnostic — probed: javax-XPath-backed "
+        "xpath_* has no namespace-prefix context (a prefixed path "
+        "silently returns empty), so local-name() IS the correct idiom, "
+        "not a workaround. Element text, nested element, and attribute "
+        "axes all exercised; scan-parallel, zero shuffle.",
+)
+def q_xml_namespaces(spark, sf_dir):
+    p = widen(table(spark, sf_dir, "part"))
+    xml = F.concat(
+        F.lit('<p:part xmlns:p="urn:part" xmlns:m="urn:meta"><p:key>'),
+        F.col("p_partkey").cast("string"),
+        F.lit('</p:key><m:meta size="'),
+        F.col("p_size").cast("string"),
+        F.lit('"><m:brand>'),
+        F.col("p_brand"),
+        F.lit("</m:brand></m:meta></p:part>"),
+    )
+    root = "/*[local-name()='part']"
+    meta = f"{root}/*[local-name()='meta']"
+    return p.select(xml.alias("x")).select(
+        F.expr(f"xpath_long(x, \"{root}/*[local-name()='key']\")").alias("pkey"),
+        F.expr(f'xpath_int(x, "{meta}/@size")').alias("psize"),
+        F.expr(f"xpath_string(x, \"{meta}/*[local-name()='brand']\")").alias("brand"),
+    )
