@@ -116,6 +116,13 @@ HEADLINE = [
     "q_src_xml_dropmalformed",
     "q_json_flatten",
     "q_agg_salted_skew",
+    "q_xml_namespaces",
+    "q_dq_checks",
+    "q_join_dpp",
+    "q_win_nth_value",
+    "q_agg_bool_bit",
+    "q_emb_gram",
+    "q_tpch_q20",
 ]
 
 

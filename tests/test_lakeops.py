@@ -128,3 +128,11 @@ def test_zonemap_manifest_is_shard_sized(spark, queries):
         assert r["n_rows"] > 0
     assert any(r["skippable"] for r in rows)
     assert any(not r["skippable"] for r in rows)
+
+
+def test_dpp_prunes_fact_partitions(spark, queries):
+    """The fact scan must carry a dynamic-pruning subquery on the
+    partition column (runtime partition pruning from the dim side)."""
+    plan = explain(queries["q_join_dpp"](spark, SF_MID))
+    assert "dynamicpruning" in plan.lower()
+    assert "PartitionFilters" in plan

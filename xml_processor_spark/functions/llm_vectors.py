@@ -346,3 +346,47 @@ def q_emb_quantize(spark, sf_dir):
         digest.alias("code_digest"),
         wdigest.alias("code_wdigest"),
     )
+
+
+@register(
+    "q_emb_gram",
+    oracle="""
+        SELECT i, j,
+               CAST(SUM(CAST(round(embedding[i + 1] * 1000) AS BIGINT)
+                        * CAST(round(embedding[j + 1] * 1000) AS BIGINT))
+                    AS DOUBLE) / 1e6 AS g
+        FROM embeddings,
+             generate_series(0, 63) s1(i),
+             generate_series(0, 63) s2(j)
+        WHERE j >= i
+        GROUP BY i, j
+    """,
+    # Oracle bounds are the fixture's measured dim=64 (FIXTURES.md):
+    # DuckDB 1.0 can neither parameterize a lateral generate_series by a
+    # column nor unnest WITH ORDINALITY (both probed). The Spark side
+    # stays dimension-generic via size(embedding).
+    origin="LLM",
+    doc="Distributed Gram matrix (the covariance/PCA/whitening building "
+        "block: G = X^T X accumulated as a sum of per-vector outer "
+        "products): each vector emits its dim*(dim+1)/2 upper-triangle "
+        "products JVM-side (flattened nested transform — no self-join, no "
+        "|vectors|^2 anything), then one map-side-combined groupBy(i,j) "
+        "whose shuffle is 2080 cells x tasks regardless of vector count. "
+        "Products ride 1e-3 fixed point -> int64 (exact, order-"
+        "independent; headroom ~9e6 per vector x 1e12 vectors). This is "
+        "how a 100 TB embedding table gets its projection basis without "
+        "leaving the cluster.",
+)
+def q_emb_gram(spark, sf_dir):
+    e = widen(table(spark, sf_dir, "embeddings"))
+    q = "CAST(round(element_at(embedding, {k} + 1) * 1000) AS BIGINT)"
+    pairs = F.expr(
+        "flatten(transform(sequence(0, size(embedding) - 1), i -> "
+        "transform(sequence(i, size(embedding) - 1), j -> "
+        f"struct(i AS i, j AS j, {q.format(k='i')} * {q.format(k='j')} AS p))))"
+    )
+    return (
+        e.select(F.explode(pairs).alias("c"))
+        .groupBy(F.col("c.i").alias("i"), F.col("c.j").alias("j"))
+        .agg((F.sum("c.p").cast("double") / 1e6).alias("g"))
+    )

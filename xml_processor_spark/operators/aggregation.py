@@ -441,3 +441,38 @@ def q_agg_salted_skew(spark, sf_dir):
         F.sum("pn").alias("n"),
         (F.sum("pcents").cast("double") / 1e2).alias("total"),
     )
+
+
+@register(
+    "q_agg_bool_bit",
+    oracle="""
+        SELECT l_returnflag,
+               bool_and(l_quantity > 0) AS all_positive_qty,
+               bool_or(l_discount >= 0.09) AS any_deep_discount,
+               CAST(bit_and(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                   AS qty_bit_and,
+               CAST(bit_or(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                   AS qty_bit_or,
+               CAST(bit_xor(l_orderkey) AS BIGINT) AS key_bit_xor
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    origin="CORE",
+    doc="Boolean and bitwise aggregate family: bool_and/bool_or over "
+        "predicates (the constraint-holds-everywhere / violation-exists "
+        "reductions data-quality gates use) and bit_and/bit_or/bit_xor "
+        "over integer columns (bitmask accumulation; bit_xor is the "
+        "order-independent checksum trick for comparing key sets without "
+        "sorting). All are commutative-associative single-pass "
+        "aggregates — map-side combined, one shuffle of |groups| rows.",
+)
+def q_agg_bool_bit(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    qty = F.round("l_quantity", 0).cast("long")
+    return li.groupBy("l_returnflag").agg(
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive_qty"),
+        F.bool_or(F.col("l_discount") >= 0.09).alias("any_deep_discount"),
+        F.bit_and(qty).alias("qty_bit_and"),
+        F.bit_or(qty).alias("qty_bit_or"),
+        F.bit_xor("l_orderkey").alias("key_bit_xor"),
+    )

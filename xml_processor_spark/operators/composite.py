@@ -553,3 +553,33 @@ _sql_query(
     "scalar average broadcasts; NOT EXISTS becomes a left-anti hash "
     "join on o_custkey.",
 )
+
+
+_Q20_SQL = """
+    SELECT s_suppkey, s_name
+    FROM supplier
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE n_name = 'NATION_3'
+      AND s_suppkey IN (
+          SELECT l_suppkey
+          FROM lineitem
+          JOIN part ON p_partkey = l_partkey
+          WHERE p_name LIKE '%red%'
+            AND l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1997-01-01'
+          GROUP BY l_suppkey, l_partkey
+          HAVING SUM(CAST(round(l_quantity) AS BIGINT)) > 50)
+    ORDER BY s_suppkey
+"""
+
+_sql_query(
+    "q_tpch_q20",
+    _Q20_SQL,
+    "TPC-H Q20 shape (potential part promotion) adapted to the fixture "
+    "(no partsupp: the availability threshold becomes a shipped-quantity "
+    "threshold per (supplier, part)): nation-filtered suppliers semi-"
+    "joined against a grouped-HAVING subquery over the red-part lines of "
+    "one year. The IN over an aggregate output keeps Q20's signature "
+    "nesting; Catalyst plans it as aggregate -> semi hash join, never "
+    "per-row.",
+)

@@ -213,3 +213,31 @@ def q_win_first_last(spark, sf_dir):
         F.first("o_orderkey").over(w).alias("first_order"),
         F.last("o_orderkey").over(w).alias("last_order"),
     )
+
+
+@register(
+    "q_win_nth_value",
+    oracle=f"""
+        SELECT o_custkey, o_orderkey,
+               nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey {_ORD_SQL}
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                   AS second_order,
+               nth_value(o_orderkey, 3) OVER (PARTITION BY o_custkey {_ORD_SQL}
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                   AS third_order
+        FROM orders
+    """,
+    doc="nth_value with the explicit full-partition frame (same frame "
+        "discipline as first/last): the customer's 2nd and 3rd order by "
+        "the deterministic (date, key) total order; NULL when the "
+        "partition is shorter. Shares the one (custkey) Exchange with "
+        "every other window in this module.",
+)
+def q_win_nth_value(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    w = _w().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+        F.nth_value("o_orderkey", 3).over(w).alias("third_order"),
+    )
