@@ -390,3 +390,138 @@ def q_emb_gram(spark, sf_dir):
         .groupBy(F.col("c.i").alias("i"), F.col("c.j").alias("j"))
         .agg((F.sum("c.p").cast("double") / 1e6).alias("g"))
     )
+
+
+@register(
+    "q_emb_variance",
+    oracle="""
+        SELECT i,
+               CAST(count(*) AS BIGINT) AS n,
+               round(CAST(SUM(CAST(round(embedding[i + 1] * 1000) AS BIGINT))
+                          AS DOUBLE) / 1e3 / count(*), 6) AS mean,
+               round((CAST(SUM(CAST(round(embedding[i + 1] * 1000) AS BIGINT)
+                               * CAST(round(embedding[i + 1] * 1000) AS BIGINT))
+                           AS DOUBLE) / 1e6
+                      - count(*) * pow(CAST(SUM(CAST(round(embedding[i + 1]
+                            * 1000) AS BIGINT)) AS DOUBLE) / 1e3 / count(*), 2))
+                     / (count(*) - 1), 6) AS var
+        FROM embeddings, generate_series(0, 63) s(i)
+        GROUP BY i
+    """,
+    origin="LLM",
+    doc="Per-dimension embedding moments (the diagonal of the covariance "
+        "E-EMB-PCA eigensolves): n/mean/variance per position from 1e-3 "
+        "fixed-point sums and exact int64 sums of squares — order-"
+        "independent across any partitioning, so the result is bit-stable "
+        "at any cluster size. One posexplode + map-side-combined "
+        "groupBy(pos); shuffle is 64 cells x tasks. Oracle bounds use the "
+        "fixture's measured dim=64 (same generate_series constraint as "
+        "q_emb_gram).",
+)
+def q_emb_variance(spark, sf_dir):
+    e = widen(table(spark, sf_dir, "embeddings"))
+    q = F.round(F.col("x") * 1000, 0).cast("long")
+    expl = e.select(F.posexplode("embedding").alias("i", "x"))
+    n = F.count(F.lit(1))
+    mean = F.sum(q).cast("double") / 1e3 / n
+    return (
+        expl.groupBy("i")
+        .agg(
+            n.alias("n"),
+            F.round(mean, 6).alias("mean"),
+            F.round(
+                (F.sum(q * q).cast("double") / 1e6 - n * F.pow(mean, 2))
+                / (n - 1),
+                6,
+            ).alias("var"),
+        )
+    )
+
+
+_PCA_K = 8  # components kept
+
+
+@register(
+    "E-EMB-PCA",
+    oracle=None,
+    origin="LLM",
+    doc="Distributed PCA (dimensionality reduction for ANN/whitening): "
+        "mean vector and Gram matrix accumulate as fixed-point cluster "
+        "aggregates (the q_emb_gram path — shuffle is dim^2 cells, never "
+        "row-count anything), the 64x64 covariance eigensolve runs on the "
+        "driver (dim^2 floats — size independent of table rows, the same "
+        "split every distributed PCA uses), and the top-8 projection "
+        "broadcasts back as a literal matrix applied via an Arrow-batched "
+        "numpy matmul. Output is long-form (vec_id, component, value) — "
+        "scalars only (the r3 canonicalizer lesson). Sign convention: "
+        "each eigenvector's largest-|coord| entry is made positive, so "
+        "the result is deterministic despite eigenvector sign ambiguity. "
+        "tests/test_llm.py asserts orthonormality, variance-capture vs a "
+        "local eigensolve, and stability under repartition.",
+)
+def e_emb_pca(spark, sf_dir):
+    import numpy as np
+
+    e = widen(table(spark, sf_dir, "embeddings"))
+
+    # Distributed moments (exact fixed-point — see q_emb_gram/q_emb_variance)
+    q = "CAST(round(element_at(embedding, {k} + 1) * 1000) AS BIGINT)"
+    pairs = F.expr(
+        "flatten(transform(sequence(0, size(embedding) - 1), i -> "
+        "transform(sequence(i, size(embedding) - 1), j -> "
+        f"struct(i AS i, j AS j, {q.format(k='i')} * {q.format(k='j')} AS p))))"
+    )
+    gram_rows = (
+        e.select(F.explode(pairs).alias("c"))
+        .groupBy(F.col("c.i").alias("i"), F.col("c.j").alias("j"))
+        .agg(F.sum("c.p").alias("s"))
+        .collect()
+    )
+    mean_rows = (
+        e.select(F.posexplode("embedding").alias("i", "x"))
+        .groupBy("i")
+        .agg(
+            F.sum(F.round(F.col("x") * 1000, 0).cast("long")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    dim = len(mean_rows)
+    n = mean_rows[0]["n"]
+    mu = np.zeros(dim)
+    for r in mean_rows:
+        mu[r["i"]] = r["s"] / 1e3 / n
+    g = np.zeros((dim, dim))
+    for r in gram_rows:
+        g[r["i"], r["j"]] = g[r["j"], r["i"]] = r["s"] / 1e6
+    cov = g / n - np.outer(mu, mu)
+
+    # Driver-side eigensolve of the dim x dim matrix (row-count independent)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:_PCA_K]
+    comps = v[:, order].T  # (k, dim)
+    for ci in range(comps.shape[0]):  # deterministic sign
+        j = int(np.abs(comps[ci]).argmax())
+        if comps[ci, j] < 0:
+            comps[ci] = -comps[ci]
+    comps_b = comps.astype("float64")
+    mu_b = mu.astype("float64")
+
+    import pandas as pd
+
+    def project(batches):
+        for pdf in batches:
+            mat = np.vstack(pdf["embedding"].to_numpy()) - mu_b
+            proj = mat @ comps_b.T  # (rows, k)
+            out = pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy().repeat(_PCA_K),
+                    "component": np.tile(np.arange(_PCA_K), len(pdf)),
+                    "value": proj.reshape(-1),
+                }
+            )
+            yield out
+
+    return e.select("vec_id", "embedding").mapInPandas(
+        project, schema="vec_id long, component int, value double"
+    )

@@ -379,3 +379,61 @@ def q_dq_checks(spark, sf_dir):
         )
     )
     return orphans.unionAll(qty_range).unionAll(dup_keys).unionAll(scalar_checks)
+
+
+_CONC_HOLD = "INTERVAL 5 MINUTES"  # how long one event occupies a slot
+
+
+@register(
+    "q_events_concurrency",
+    oracle="""
+        WITH pts AS (
+            SELECT event_type, ts AS t, 1 AS delta, event_id FROM events
+            UNION ALL
+            SELECT event_type, ts + INTERVAL 5 MINUTE, -1, event_id
+            FROM events
+        ), run AS (
+            SELECT event_type,
+                   SUM(delta) OVER (PARTITION BY event_type
+                       ORDER BY t, delta, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS running
+            FROM pts
+        )
+        SELECT event_type, CAST(max(running) AS BIGINT) AS peak_concurrency
+        FROM run GROUP BY event_type
+    """,
+    origin="CORE",
+    doc="Peak-concurrency interval analytics (max simultaneous 5-minute "
+        "event holds per type) via the +1/-1 boundary sweep: every "
+        "interval contributes a start and an end point, a running sum "
+        "over the (t, delta, event_id) total order counts live intervals, "
+        "the max is the peak. delta sorts ends (-1) before starts (+1) at "
+        "the same instant — half-open [t, t+5m) semantics at boundaries. "
+        "One window shuffle on event_type; 2x|events| points. The "
+        "gaps-and-islands sibling of q_stream_session.",
+)
+def q_events_concurrency(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    starts = ev.select(
+        "event_type", F.col("ts").alias("t"), F.lit(1).alias("delta"), "event_id"
+    )
+    ends = ev.select(
+        "event_type",
+        F.expr(f"ts + {_CONC_HOLD}").alias("t"),
+        F.lit(-1).alias("delta"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "delta", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = starts.unionAll(ends).select(
+        "event_type", F.sum("delta").over(w).alias("running")
+    )
+    return run.groupBy("event_type").agg(
+        F.max("running").cast("long").alias("peak_concurrency")
+    )
