@@ -55,7 +55,14 @@ def test_mm_audio_matches_pure_python(spark, queries):
 def test_mm_image_schema_and_determinism(spark, queries):
     df = queries["E-MM-IMAGE"](spark, SF_SMALL)
     assert [f.name for f in df.schema.fields] == [
-        "doc_id", "width", "height", "thumb",
+        "doc_id", "width", "height", "thumb_mean",
+        "thumb_min", "thumb_max", "thumb_digest",
+    ]
+    # Scalar-only output: the driver's canonicalizer factorizes object
+    # columns, so array<float> cells are forbidden (CORRECTNESS_r04 lesson).
+    assert not [
+        f.name for f in df.schema.fields
+        if f.dataType.typeName() in ("array", "map", "struct")
     ]
     a = df.toPandas().sort_values("doc_id").reset_index(drop=True)
     # Same result under a different partitioning (executor-placement
@@ -67,11 +74,10 @@ def test_mm_image_schema_and_determinism(spark, queries):
         .reset_index(drop=True)
     )
     assert len(a) == 500
-    assert all(len(t) == 64 for t in a["thumb"])
     assert (16 <= a["width"]).all() and (a["width"] < 64).all()
-    pd.testing.assert_frame_equal(a.drop(columns="thumb"), b.drop(columns="thumb"))
-    for ta, tb in zip(a["thumb"], b["thumb"]):
-        assert list(ta) == list(tb)
+    assert (a["thumb_min"] <= a["thumb_mean"]).all()
+    assert (a["thumb_mean"] <= a["thumb_max"]).all()
+    pd.testing.assert_frame_equal(a, b)
 
 
 def test_mm_image_thumb_is_average_pool_of_stub(spark, queries):
@@ -80,14 +86,20 @@ def test_mm_image_thumb_is_average_pool_of_stub(spark, queries):
         _image_decode_stub,
     )
 
+    import hashlib as _hl
+
     got = queries["E-MM-IMAGE"](spark, SF_SMALL).toPandas()
     docs = _docs_pdf(spark)
     merged = got.merge(docs, on="doc_id").head(10)
     for row in merged.itertuples():
         img = _image_decode_stub(row.text.encode())
-        expect = np.round(_avg_pool(img, 8, 8), 3).astype(np.float32).ravel()
+        thumb = np.round(_avg_pool(img, 8, 8), 3)
         assert row.height == img.shape[0] and row.width == img.shape[1]
-        np.testing.assert_array_equal(np.asarray(row.thumb), expect)
+        assert row.thumb_mean == round(float(thumb.mean()), 6)
+        assert row.thumb_min == float(thumb.min())
+        assert row.thumb_max == float(thumb.max())
+        fixed = (thumb.ravel() * 1000).astype(np.int64)
+        assert row.thumb_digest == _hl.md5(fixed.tobytes()).hexdigest()
 
 
 def test_mm_frames_cardinality_and_signatures(spark, queries):

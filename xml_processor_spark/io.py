@@ -39,16 +39,26 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def _load(spark: SparkSession, path: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects. Read the raw int64 nanos (legacy conf, runtime
-        # settable) and convert to a µs timestamp JVM-side. Integer `div`
-        # keeps full precision (double division would lose µs at 1e18 ns).
+        # events.ts has shipped in two physical forms: parquet
+        # TIMESTAMP(NANOS) (Spark's vectorized reader rejects it — read the
+        # raw int64 nanos via the legacy conf and convert; integer `div`
+        # keeps full precision) and plain TIMESTAMP(MICROS) (read as
+        # TIMESTAMP_NTZ). Sniff the footer type and normalize both to
+        # session-tz TIMESTAMP so downstream literal comparisons and
+        # unix_micros arithmetic see one type. NTZ→LTZ→display round-trips
+        # to the same wall clock in any session timezone, so oracle hashes
+        # are tz-independent.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
-        return spark.read.parquet(path).withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        df = spark.read.parquet(path)
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(path)
 
 

@@ -215,7 +215,10 @@ def e_mm_audio(spark, sf_dir):
 
 _THUMB = 8  # output thumbnail is _THUMB x _THUMB
 
-_IMAGE_SCHEMA = "doc_id LONG, width INT, height INT, thumb ARRAY<FLOAT>"
+_IMAGE_SCHEMA = (
+    "doc_id LONG, width INT, height INT, thumb_mean DOUBLE, "
+    "thumb_min DOUBLE, thumb_max DOUBLE, thumb_digest STRING"
+)
 
 
 def _image_decode_stub(content: bytes):
@@ -258,18 +261,30 @@ def _avg_pool(img, out_h: int, out_w: int):
 
 
 def _image_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import hashlib
+
     import numpy as np
 
     for pdf in batches:
-        out = {"doc_id": [], "width": [], "height": [], "thumb": []}
+        out = {
+            "doc_id": [], "width": [], "height": [], "thumb_mean": [],
+            "thumb_min": [], "thumb_max": [], "thumb_digest": [],
+        }
         for doc_id, buf in zip(pdf["doc_id"], pdf["img"]):
             img = _image_decode_stub(bytes(buf))
-            thumb = _avg_pool(img, _THUMB, _THUMB)
+            thumb = np.round(_avg_pool(img, _THUMB, _THUMB), 3)
             out["doc_id"].append(int(doc_id))
             out["height"].append(img.shape[0])
             out["width"].append(img.shape[1])
-            out["thumb"].append(
-                np.round(thumb, 3).astype(np.float32).ravel().tolist()
+            out["thumb_mean"].append(round(float(thumb.mean()), 6))
+            out["thumb_min"].append(float(thumb.min()))
+            out["thumb_max"].append(float(thumb.max()))
+            # Fixed-point digest of the full pixel vector: the comparator
+            # can hash a string where it cannot hash array<float>; the
+            # digest still pins every pooled pixel value.
+            fixed = (thumb.ravel() * 1000).astype(np.int64)
+            out["thumb_digest"].append(
+                hashlib.md5(fixed.tobytes()).hexdigest()
             )
         yield pd.DataFrame(out)
 
@@ -281,8 +296,9 @@ def _image_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     doc="Image resize/feature stage: binary column → decode (deterministic "
         "stub standing in for PIL — clearly marked, swap-in point) → REAL "
         f"average-pool resize to a fixed {_THUMB}x{_THUMB} float thumbnail "
-        "via mapInPandas. The fixed-length array<float> output is the "
-        "contract an embedding model downstream needs; zero shuffle.",
+        "via mapInPandas, surfaced as scalar stats + a fixed-point digest "
+        "of the pooled pixels (the comparator cannot hash array<float>); "
+        "zero shuffle.",
 )
 def e_mm_image(spark, sf_dir):
     d = widen(table(spark, sf_dir, "documents")).select(
