@@ -374,3 +374,33 @@ def test_xml_namespaces_zero_shuffle(spark, queries):
     # no hash/range exchange may appear
     assert not re.search(r"hashpartitioning|rangepartitioning", plan)
     assert "BatchEvalPython" not in plan
+
+
+def test_tpch_q2_min_cost_subquery_decorrelates(spark, queries):
+    """Q2's correlated min-cost scalar subquery must decorrelate into an
+    aggregate + equi-join on ps_partkey, and the tie-broken LIMIT must
+    plan as TakeOrderedAndProject — a per-row re-execution of the costs
+    CTE would re-scan lineitem once per part row."""
+    plan = explain(queries["q_tpch_q2"](spark, SF_MID))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q11_threshold_is_broadcast_scalar(spark, queries):
+    """Q11's fraction-of-total HAVING subquery must plan as a one-row
+    scalar (Subquery/ReusedSubquery), never a join that re-shuffles the
+    nation slice per group."""
+    plan = explain(queries["q_tpch_q11"](spark, SF_MID))
+    assert "Subquery" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q16_not_in_is_anti_join(spark, queries):
+    """Q16's NOT IN over the non-null s_suppkey must become a left-anti
+    hash join (a null-aware anti join would be a nested loop)."""
+    plan = explain(queries["q_tpch_q16"](spark, SF_MID))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -1,7 +1,9 @@
 """Measure the DuckDB oracle baseline per headline query (BASELINE.md).
 
-DuckDB 1.0.0, all cores, same sf as bench.py; 1 warmup + median of 3,
-results fully fetched. Prints one JSON line mirroring bench.py's shape.
+DuckDB 1.0.0, all cores, same sf as bench.py; 1 warmup + MIN of 3 (the
+same noise-robust estimator bench.py uses — see its docstring for the
+measured 40% host variance that motivated min over median), results fully
+fetched. Prints one JSON line mirroring bench.py's shape.
 Rows-only keys (no SQL oracle) are skipped — no second engine exists for
 them; bench-vs-baseline comparison covers the oracle-checked headline set.
 """
@@ -10,7 +12,6 @@ from __future__ import annotations
 
 import json
 import os
-import statistics
 import sys
 import time
 
@@ -36,7 +37,7 @@ def main() -> None:
             t0 = time.perf_counter()
             con.execute(sql).fetchall()
             runs.append(time.perf_counter() - t0)
-        timings[key] = round(statistics.median(runs), 3)
+        timings[key] = round(min(runs), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(

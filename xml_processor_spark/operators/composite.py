@@ -583,3 +583,117 @@ _sql_query(
     "nesting; Catalyst plans it as aggregate -> semi hash join, never "
     "per-row.",
 )
+
+
+# The fixture has no partsupp table; Q2/Q11/Q16 are adapted over a de facto
+# partsupp derived from lineitem: the distinct (partkey, suppkey) pairs that
+# actually traded, with min observed unit price (integer cents) standing in
+# for ps_supplycost and summed shipped quantity for ps_availqty. The CTE is
+# |distinct pairs| rows — partsupp-sized, so every plan below keeps the
+# original query's scale shape (dimension joins broadcast, the one heavy
+# aggregate shuffles on the pair key exactly once).
+_PS_CTE = """
+    SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+           CAST(min(round(l_extendedprice * 100 / l_quantity)) AS BIGINT)
+               AS ps_supplycost_c,
+           CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+               AS ps_availqty
+    FROM lineitem
+    WHERE l_quantity > 0
+    GROUP BY l_partkey, l_suppkey
+"""
+
+_Q2_SQL = f"""
+    WITH ps AS ({_PS_CTE}),
+    costs AS (
+        SELECT ps_partkey, ps_suppkey, ps_supplycost_c
+        FROM ps
+        JOIN supplier ON s_suppkey = ps_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        JOIN region ON r_regionkey = n_regionkey
+        WHERE r_name = 'ASIA'
+    )
+    SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name,
+           p_partkey, s_suppkey,
+           CAST(c.ps_supplycost_c AS DOUBLE) / 1e2 AS supplycost
+    FROM part
+    JOIN costs c ON c.ps_partkey = p_partkey
+    JOIN supplier ON s_suppkey = c.ps_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE p_size <= 15
+      AND p_type LIKE 'PROMO%'
+      AND c.ps_supplycost_c = (SELECT min(c2.ps_supplycost_c) FROM costs c2
+                               WHERE c2.ps_partkey = p_partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, s_suppkey
+    LIMIT 100
+"""
+
+_sql_query(
+    "q_tpch_q2",
+    _Q2_SQL,
+    "TPC-H Q2 shape (minimum-cost supplier) adapted to the fixture (de "
+    "facto partsupp CTE; min observed unit price in integer cents stands "
+    "in for ps_supplycost): region-filtered per-part supplier costs, the "
+    "signature correlated min-cost scalar subquery over the SAME CTE, "
+    "top-100 by balance under a total order. Catalyst decorrelates the "
+    "min() subquery into an aggregate + equi-join on ps_partkey and "
+    "plans the tie-broken LIMIT as TakeOrderedAndProject; integer-cents "
+    "cost makes the min and the equality exact on both engines.",
+)
+
+_Q11_SQL = f"""
+    WITH ps AS ({_PS_CTE}),
+    natps AS (
+        SELECT ps_partkey, ps_supplycost_c * ps_availqty AS value_c
+        FROM ps
+        JOIN supplier ON s_suppkey = ps_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        WHERE n_name = 'NATION_3'
+    )
+    SELECT ps_partkey,
+           CAST(SUM(value_c) AS DOUBLE) / 1e2 AS value
+    FROM natps
+    GROUP BY ps_partkey
+    HAVING SUM(value_c) > (SELECT SUM(value_c) * 0.001 FROM natps)
+    ORDER BY value DESC, ps_partkey
+"""
+
+_sql_query(
+    "q_tpch_q11",
+    _Q11_SQL,
+    "TPC-H Q11 shape (important stock identification) adapted to the "
+    "fixture (de facto partsupp; cost x shipped-quantity stands in for "
+    "cost x availqty): per-part inventory value within one nation, kept "
+    "when above a fraction of the nation total — the signature HAVING-"
+    "against-scalar-subquery over the same CTE. Value accumulates as "
+    "exact int64 (cents x quantity), so the group sums, the global sum, "
+    "and the threshold comparison are order-independent at any "
+    "partitioning; the scalar broadcasts.",
+)
+
+_Q16_SQL = f"""
+    WITH ps AS ({_PS_CTE})
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+    FROM ps
+    JOIN part ON p_partkey = ps_partkey
+    WHERE p_brand <> 'Brand#45'
+      AND p_type NOT LIKE 'MEDIUM%'
+      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22, 25, 49)
+      AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                             WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+_sql_query(
+    "q_tpch_q16",
+    _Q16_SQL,
+    "TPC-H Q16 shape (parts/supplier relationship) adapted to the fixture "
+    "(de facto partsupp pairs; negative account balance stands in for the "
+    "complaint-comment supplier exclusion): distinct supplier count per "
+    "(brand, type, size) bucket over brand/type/size anti-filters, with "
+    "the signature NOT IN subquery. s_suppkey is non-null so NOT IN is "
+    "a plain left-anti hash join (no null-aware nested loop); the count-"
+    "distinct shuffles once on the group keys.",
+)
