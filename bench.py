@@ -128,10 +128,12 @@ HEADLINE = [
     "q_emb_gram",
     "q_tpch_q20",
     # r5 additions: the last TPC-H shapes (the suite is now complete —
-    # q_agg_group is the Q1 shape).
+    # q_agg_group is the Q1 shape) and exact span dedup.
     "q_tpch_q2",
     "q_tpch_q11",
     "q_tpch_q16",
+    "q_dedup_spans",
+    "E-EMB-PQ",
 ]
 
 

@@ -242,3 +242,71 @@ def test_approx_quantiles_within_1pct(spark, queries):
     for r in exact_rows:
         for est, true in zip(approx[r.l_returnflag], r.qs):
             assert abs(est - true) / true < 0.01, (r.l_returnflag, est, true)
+
+
+def test_pq_codes_stable_compressive_and_searchable(spark, queries):
+    """PQ must (a) assign identical codes under a different partitioning,
+    (b) actually compress — reconstruction MSE well under the signal
+    energy, (c) support ADC search — asymmetric-distance top-10 must
+    recover a solid fraction of the exact-L2 top-10."""
+    import numpy as np
+
+    from xml_processor_spark.functions.llm_vectors import (
+        _PQ_M, _pq_train, _PQ_K, _PQ_ITERS, _PQ_SAMPLE,
+    )
+    from xml_processor_spark.io import table
+
+    df = queries["E-EMB-PQ"](spark, SF_SMALL)
+    a = df.toPandas().sort_values(["vec_id", "m"]).reset_index(drop=True)
+    b = (
+        df.repartition(7).toPandas()
+        .sort_values(["vec_id", "m"]).reset_index(drop=True)
+    )
+    assert a.equals(b), "PQ codes changed under repartition"
+
+    vec_pdf = (
+        table(spark, SF_SMALL, "embeddings")
+        .select("vec_id", "embedding").toPandas()
+        .sort_values("vec_id").reset_index(drop=True)
+    )
+    vecs = np.vstack(vec_pdf["embedding"].to_numpy()).astype(np.float64)
+    ids = vec_pdf["vec_id"].to_numpy()
+    # Rebuild the codebooks exactly as the operator does (deterministic).
+    order = np.argsort(
+        [__import__("hashlib").md5(str(i).encode()).hexdigest() for i in ids]
+    )[:_PQ_SAMPLE]
+    books = _pq_train(vecs[order], _PQ_M, _PQ_K, _PQ_ITERS)
+    d_sub = vecs.shape[1] // _PQ_M
+    codes = (
+        a.pivot(index="vec_id", columns="m", values="code")
+        .loc[ids].to_numpy()
+    )
+    recon = np.hstack(
+        [books[mi][codes[:, mi]] for mi in range(_PQ_M)]
+    )
+    mse = float(((vecs - recon) ** 2).mean())
+    energy = float((vecs ** 2).mean())
+    assert mse < 0.5 * energy, f"PQ MSE {mse:.5f} vs energy {energy:.5f}"
+
+    # ADC search: lookup tables per probe, summed per code. PQ's production
+    # contract is SHORTLIST generation — ADC ranks a candidate set that an
+    # exact rerank then orders (the codes fit in memory where the vectors
+    # don't); assert the exact top-10 survives into the ADC top-50.
+    rng_probes = ids[:20]
+    hits = total = 0
+    for pid in rng_probes:
+        pi = int(np.where(ids == pid)[0][0])
+        q = vecs[pi]
+        exact = np.argsort(((vecs - q) ** 2).sum(axis=1))
+        exact = [i for i in exact if i != pi][:10]
+        tables = np.stack([
+            ((books[mi] - q[mi * d_sub:(mi + 1) * d_sub]) ** 2).sum(axis=1)
+            for mi in range(_PQ_M)
+        ])  # (M, K)
+        adc = tables[np.arange(_PQ_M)[None, :], codes].sum(axis=1)
+        adc[pi] = np.inf
+        shortlist = set(np.argsort(adc)[:50].tolist())
+        hits += len(shortlist & set(exact))
+        total += 10
+    recall = hits / total
+    assert recall >= 0.8, f"exact-top-10-in-ADC-top-50 recall {recall:.3f} < 0.8"

@@ -404,3 +404,12 @@ def test_tpch_q16_not_in_is_anti_join(spark, queries):
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dedup_spans_anchor_join_is_blocked(spark, queries):
+    """The span-anchor self-join must be an equi join on shingle text
+    (shuffle-blocked), never a cartesian/BNLJ — the property that keeps
+    exact span dedup feasible on a lightly-duplicated 100 TB corpus."""
+    plan = explain(queries["q_dedup_spans"](spark, SF_MID))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

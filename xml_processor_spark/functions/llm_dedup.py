@@ -992,3 +992,99 @@ def q_dedup_keep_best(spark, sf_dir):
         )
         .filter(F.col("n_members") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicated-span detection (the suffix-array dedup semantics).
+# ---------------------------------------------------------------------------
+
+_SPAN_L = 8  # anchor width in tokens; reported spans are >= _SPAN_L long
+
+
+@register(
+    "q_dedup_spans",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ), sh AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                   array_to_string(ws[i:i+{_SPAN_L}-1], ' ') AS s
+            FROM toks, generate_series(1, 200) t(i)
+            WHERE i <= len(ws) - {_SPAN_L} + 1
+        ), anchors AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.pos AS pos_a, b.pos AS pos_b
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        ), runs AS (
+            SELECT doc_a, doc_b, pos_a, pos_b,
+                   pos_a - row_number() OVER (
+                       PARTITION BY doc_a, doc_b, pos_a - pos_b
+                       ORDER BY pos_a) AS grp
+            FROM anchors
+        )
+        SELECT doc_a, doc_b,
+               min(pos_a) AS start_a, min(pos_b) AS start_b,
+               CAST(count(*) + {_SPAN_L} - 1 AS BIGINT) AS span_tokens
+        FROM runs
+        GROUP BY doc_a, doc_b, pos_a - pos_b, grp
+    """,
+    origin="LLM",
+    doc=f"Exact duplicated-span detection across documents (the semantics "
+        "of suffix-array training-data dedup, realized distributively): "
+        f"every shared token span of >= {_SPAN_L} tokens is found via "
+        f"{_SPAN_L}-token shingle anchors equi-joined on shingle TEXT (no "
+        "hash collisions), then maximal spans are recovered by merging "
+        "anchor runs along (pos_a - pos_b) diagonals with one gaps-and-"
+        "islands window. Scale shape: the join is shingle-blocked (shuffle "
+        "on shingle value, never cartesian — a 100 TB corpus with little "
+        "duplication produces few anchors); the window partitions by "
+        "(doc pair, diagonal), so state per task is one duplicated pair's "
+        "anchors. Suffix arrays don't distribute; anchor+merge is how a "
+        "cluster engine gets the same spans with shuffle-local memory.",
+)
+def q_dedup_spans(spark, sf_dir):
+    from pyspark.sql import Window
+
+    L = _SPAN_L
+    d = widen(table(spark, sf_dir, "documents")).select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    n_anchor = F.size("ws") - (L - 1)
+    sh = (
+        d.where(n_anchor >= 1)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), n_anchor)).alias("pos"),
+            "ws",
+        )
+        .select(
+            "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.array_join(F.slice("ws", F.col("pos"), L), " ").alias("s"),
+        )
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    anchors = a.join(
+        b,
+        (F.col("a.s") == F.col("b.s"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.pos").alias("pos_a"),
+        F.col("b.pos").alias("pos_b"),
+    )
+    diag = (F.col("pos_a") - F.col("pos_b")).alias("diag")
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    runs = anchors.select(
+        "doc_a", "doc_b", "pos_a", "pos_b", diag
+    ).withColumn("grp", F.col("pos_a") - F.row_number().over(w))
+    return (
+        runs.groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg(
+            F.min("pos_a").alias("start_a"),
+            F.min("pos_b").alias("start_b"),
+            (F.count(F.lit(1)) + (L - 1)).alias("span_tokens"),
+        )
+        .select("doc_a", "doc_b", "start_a", "start_b", "span_tokens")
+    )
