@@ -134,6 +134,8 @@ HEADLINE = [
     "q_tpch_q16",
     "q_dedup_spans",
     "E-EMB-PQ",
+    "q_join_fuzzy",
+    "q_text_bm25",
 ]
 
 

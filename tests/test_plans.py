@@ -413,3 +413,21 @@ def test_dedup_spans_anchor_join_is_blocked(spark, queries):
     plan = explain(queries["q_dedup_spans"](spark, SF_MID))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fuzzy_join_is_variant_blocked(spark, queries):
+    """The edit-distance join must be an equi join on deletion variants
+    (shuffle-blocked candidate generation), never the O(n^2) levenshtein
+    nested loop the oracle runs."""
+    plan = explain(queries["q_join_fuzzy"](spark, SF_MID))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bm25_broadcasts_stats_and_stays_jvm(spark, queries):
+    """df + corpus stats must broadcast (tiny aggregates), and the whole
+    score must be JVM builtins — no Python eval in the plan."""
+    plan = explain(queries["q_text_bm25"](spark, SF_MID))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan

@@ -531,3 +531,81 @@ def q_text_bigram_logprob(spark, sf_dir):
             F.sum("t").cast("double") / _LP_SCALE / F.count(F.lit(1)), 6
         ).alias("avg_logprob"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 relevance scoring (the IR ranking function RAG retrieval uses).
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("dup", "scan", "query")  # rare + common: score variance
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@register(
+    "q_text_bm25",
+    oracle=f"""
+        WITH dl AS (
+            SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+        ), stats AS (
+            SELECT count(*) AS n, avg(dl) AS avgdl FROM dl
+        ), tf AS (
+            SELECT doc_id, w, count(*) AS tf
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                  FROM documents)
+            WHERE w IN ('dup', 'scan', 'query')
+            GROUP BY doc_id, w
+        ), df AS (
+            SELECT w, count(*) AS df FROM tf GROUP BY w
+        )
+        SELECT tf.doc_id,
+               round(SUM(
+                   ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1)
+                   * tf.tf * ({_BM25_K1} + 1)
+                   / (tf.tf + {_BM25_K1} * (1 - {_BM25_B}
+                      + {_BM25_B} * dl.dl / stats.avgdl))
+               ), 6) AS bm25
+        FROM tf
+        JOIN df USING (w)
+        JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN stats
+        GROUP BY tf.doc_id
+    """,
+    origin="LLM",
+    doc="BM25 relevance scoring (Lucene-style positive idf, k1=1.2, "
+        "b=0.75) of every document against a fixed term set — the ranking "
+        "function RAG retrieval and search re-ranking run. Scale shape: "
+        "the term filter prunes the posting explode BEFORE the per-doc "
+        "groupBy (shuffle carries only matching (doc, term) cells); df "
+        "and the (N, avgdl) corpus stats are tiny aggregates broadcast "
+        "back (3 rows + 1 row); the score sum is per-doc with map-side "
+        "partials. Everything is JVM builtins — no Python in the plan.",
+)
+def q_text_bm25(spark, sf_dir):
+    d = widen(table(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", F.split("text", " ").alias("ws"))
+    dl = toks.select("doc_id", F.size("ws").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.select("doc_id", F.explode("ws").alias("w"))
+        .where(F.col("w").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    score_term = idf * F.col("tf") * (_BM25_K1 + 1) / (
+        F.col("tf")
+        + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(df), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(score_term), 6).alias("bm25"))
+    )

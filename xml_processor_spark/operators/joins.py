@@ -441,3 +441,63 @@ def q_join_nullsafe(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+@register(
+    "q_join_fuzzy",
+    oracle="""
+        SELECT a.s_suppkey AS key_a, b.s_suppkey AS key_b,
+               a.s_name AS name_a, b.s_name AS name_b,
+               CAST(levenshtein(a.s_name, b.s_name) AS INT) AS dist
+        FROM supplier a JOIN supplier b
+          ON a.s_suppkey < b.s_suppkey
+         AND levenshtein(a.s_name, b.s_name) <= 1
+    """,
+    doc="Fuzzy self-join (entity resolution): all supplier-name pairs "
+        "within edit distance 1, via SymSpell-style deletion-neighborhood "
+        "blocking — each name emits itself plus every single-character "
+        "deletion; two strings within distance 1 ALWAYS share a variant "
+        "(equal → self/self; substitution → same-position deletions; "
+        "insert/delete → deletion/self), so an equi join on the variant is "
+        "a provably complete candidate generator and the exact "
+        "levenshtein rescore keeps only true pairs. Scale shape: "
+        "|name|+1 variants per row, shuffle blocked on variant value — "
+        "never the O(n²) levenshtein theta join the oracle runs (fine at "
+        "sf0.01, impossible at 100 TB). The length-pruned rescore is "
+        "the standard entity-resolution candidate/verify split.",
+)
+def q_join_fuzzy(spark, sf_dir):
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    variants = F.concat(
+        F.array(F.col("s_name")),  # self (covers equal + insert/delete)
+        F.expr(
+            "transform(sequence(1, length(s_name)), i -> "
+            "concat(substring(s_name, 1, i - 1), "
+            "substring(s_name, i + 1, length(s_name))))"
+        ),
+    )
+    v = s.select(
+        "s_suppkey", "s_name", F.explode(variants).alias("variant")
+    )
+    a, b = v.alias("a"), v.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.variant") == F.col("b.variant"))
+            & (F.col("a.s_suppkey") < F.col("b.s_suppkey")),
+        )
+        .groupBy(
+            F.col("a.s_suppkey").alias("key_a"),
+            F.col("b.s_suppkey").alias("key_b"),
+        )
+        .agg(
+            F.first(F.col("a.s_name")).alias("name_a"),
+            F.first(F.col("b.s_name")).alias("name_b"),
+        )
+    )
+    return cand.where(
+        F.levenshtein("name_a", "name_b") <= 1
+    ).select(
+        "key_a", "key_b", "name_a", "name_b",
+        F.levenshtein("name_a", "name_b").cast("int").alias("dist"),
+    )
