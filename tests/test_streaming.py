@@ -231,3 +231,36 @@ def test_foreach_batch_sink_is_idempotent(spark, queries):
         .collect()
     }
     assert again == want
+
+
+def test_stream_static_enrichment_matches_batch(spark, queries):
+    """Stream-static broadcast enrichment + windowed count ≡ the same
+    join/window computed in batch (append mode emits every window once
+    the availableNow replay exhausts the watermark)."""
+    got = {
+        (r.win_start, r.segment, r.n_events)
+        for r in queries["E-STREAM-STATIC"](spark, SF_SMALL).collect()
+    }
+    ev = table(spark, SF_SMALL, "events").filter(F.col("user_id") < 30)
+    seg = (
+        table(spark, SF_SMALL, "customer")
+        .filter(F.col("c_custkey") < 30)
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            F.when(F.col("c_acctbal") >= 0, "solvent")
+            .otherwise("overdrawn")
+            .alias("segment"),
+        )
+    )
+    batch = (
+        ev.join(seg, "user_id")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "segment")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("win_start"), "segment", "n_events")
+        .collect()
+    )
+    expect = {(r.win_start, r.segment, r.n_events) for r in batch}
+    assert expect, "batch golden unexpectedly empty"
+    # The stream may withhold only windows still open at end-of-input; with
+    # availableNow + a final watermark advance past max(ts), all close.
+    assert got == expect

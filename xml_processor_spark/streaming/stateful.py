@@ -242,3 +242,52 @@ def e_foreach_batch(spark, sf_dir):
 # arbitrary-stateful contract is covered by E-STATEFUL's
 # applyInPandasWithState sessionization; on an environment with protobuf the
 # same processor pattern ports over with only the handle/state-API renames.
+
+
+@register(
+    "E-STREAM-STATIC",
+    oracle=None,
+    doc="Stream-static enrichment join: the event stream joins a STATIC "
+        "dimension (per-user segment derived from customer) inside the "
+        "micro-batch plan — the canonical streaming-ETL enrichment shape. "
+        "The static side needs no watermark and no stream state: Spark "
+        "broadcasts it into every micro-batch like any dimension join, so "
+        "state size stays zero regardless of stream length (contrast "
+        "E-STREAM-JOIN, whose stream-stream state is watermark-bounded). "
+        "Windowed counts per (segment, 1h window) come out in append mode "
+        "after the watermark closes each window; "
+        "tests/test_streaming.py asserts the result equals the batch "
+        "computation of the same join + window.",
+)
+def e_stream_static(spark, sf_dir):
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    # sentinel: one flush row a day past max(ts) advances the watermark so
+    # the final windows close; its user_id=-1 misses the dim (inner join)
+    # and never reaches the output.
+    src = write_replay_files(ev, n_buckets=6, sentinel=True)
+    # Static dim: user segment from the customer table (user_id keys map
+    # onto c_custkey residues in the fixture).
+    seg = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 30)
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            F.when(F.col("c_acctbal") >= 0, "solvent")
+            .otherwise("overdrawn")
+            .alias("segment"),
+        )
+    )
+    stream = read_replay_stream(spark, src).withWatermark("ts", "2 hours")
+    enriched = stream.join(F.broadcast(seg), "user_id", "inner")
+    agg = (
+        enriched.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("segment")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            "segment",
+            "n_events",
+        )
+    )
+    return run_to_memory(agg, "e_stream_static_sink", "append")
