@@ -476,3 +476,47 @@ def q_agg_bool_bit(spark, sf_dir):
         F.bit_or(qty).alias("qty_bit_or"),
         F.bit_xor("l_orderkey").alias("key_bit_xor"),
     )
+
+
+_HIST_LO = 0.0
+_HIST_HI = 500000.0  # measured o_totalprice max ~499979; top edge clamps
+_HIST_NBUCKETS = 20
+
+
+@register(
+    "q_agg_histogram",
+    oracle=f"""
+        SELECT CAST(least(greatest(floor((o_totalprice - {_HIST_LO})
+                        / (({_HIST_HI} - {_HIST_LO}) / {_HIST_NBUCKETS})),
+                    0), {_HIST_NBUCKETS} - 1) AS INT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n,
+               round(min(o_totalprice), 2) AS lo_val,
+               round(max(o_totalprice), 2) AS hi_val
+        FROM orders
+        GROUP BY 1
+    """,
+    doc=f"Fixed-width histogram of order totals ({_HIST_NBUCKETS} buckets "
+        f"over [{_HIST_LO}, {_HIST_HI}), clamped at the edges) — the "
+        "profiling primitive behind every distribution dashboard and "
+        "equi-width binning step. The bucket id is pure scan-side "
+        "arithmetic, so the aggregate is one map-side-combined groupBy "
+        "over at most |buckets| keys: shuffle size is |buckets| x tasks "
+        "regardless of row count — the same shape at 100 TB.",
+)
+def q_agg_histogram(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    width = (_HIST_HI - _HIST_LO) / _HIST_NBUCKETS
+    bucket = F.least(
+        F.greatest(
+            F.floor((F.col("o_totalprice") - _HIST_LO) / width), F.lit(0)
+        ),
+        F.lit(_HIST_NBUCKETS - 1),
+    ).cast("int")
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo_val"),
+            F.round(F.max("o_totalprice"), 2).alias("hi_val"),
+        )
+    )

@@ -437,3 +437,36 @@ def q_events_concurrency(spark, sf_dir):
     return run.groupBy("event_type").agg(
         F.max("running").cast("long").alias("peak_concurrency")
     )
+
+
+@register(
+    "q_sample_weighted",
+    oracle="""
+        SELECT doc_id, n_chars,
+               round(least(1.0, n_chars / 400.0), 6) AS p_include
+        FROM documents
+        WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)
+                                              || ':' || text), 1, 15))
+                   AS BIGINT) / 1152921504606846976.0
+              < least(1.0, n_chars / 400.0)
+    """,
+    origin="LLM",
+    doc="Weighted deterministic sampling (quality-proportional corpus "
+        "downsampling): each document is kept with probability "
+        "p = min(1, n_chars/400), decided by comparing a portable 60-bit "
+        "content hash mapped to [0,1) against p — never rand(), so the "
+        "SAME documents are chosen on any engine, partitioning, executor "
+        "count, or rerun (reproducible data recipes at 100 TB). "
+        "Zero-shuffle scan-side predicate; the hash uniform and the "
+        "weight are both exact-arithmetic identical across engines.",
+)
+def q_sample_weighted(spark, sf_dir):
+    from xml_processor_spark.functions.deterministic import phash60
+
+    d = table(spark, sf_dir, "documents")
+    key = F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("text"))
+    u = phash60(key).cast("double") / float(1 << 60)
+    p = F.least(F.lit(1.0), F.col("n_chars") / 400.0)
+    return d.filter(u < p).select(
+        "doc_id", "n_chars", F.round(p, 6).alias("p_include")
+    )
