@@ -98,7 +98,7 @@ def test_mm_image_thumb_is_average_pool_of_stub(spark, queries):
         assert row.thumb_mean == round(float(thumb.mean()), 6)
         assert row.thumb_min == float(thumb.min())
         assert row.thumb_max == float(thumb.max())
-        fixed = (thumb.ravel() * 1000).astype(np.int64)
+        fixed = np.rint(thumb.ravel() * 1000).astype(np.int64)
         assert row.thumb_digest == _hl.md5(fixed.tobytes()).hexdigest()
 
 

@@ -37,10 +37,13 @@ def test_topn_uses_take_ordered(spark, queries):
 
 
 def test_theta_join_not_cartesian(spark, queries):
-    """Equi-prefix must make the theta join a hash/SMJ, not a nested loop."""
+    """The equi component (nationkey) must be the join key — a hash or
+    sort-merge join with the theta predicate as a residual — never a
+    nested loop (VERDICT r5 #6)."""
     plan = explain(queries["q_join_theta"](spark, SF_MID))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
 
 
 def test_agg_uses_whole_stage_codegen_and_partial_agg(spark, queries):
@@ -118,11 +121,37 @@ def test_sample_hash_no_shuffle(spark, queries):
     assert "Exchange" not in plan
 
 
-def test_retention_cohort_is_broadcast(spark, queries):
-    """The per-user cohort table (|users| rows) broadcasts back onto the
-    event scan; shuffling |events| against it would be the scale bug."""
-    plan = explain(queries["q_events_retention"](spark, SF_MID))
-    assert "BroadcastHashJoin" in plan
+def test_retention_cohort_join_is_hashed_not_hinted(spark, queries):
+    """The per-user cohort table is |users| rows — smaller than |events|
+    but unbounded, so it must NOT carry a forced broadcast hint (driver
+    OOM at 100 TB); AQE may still choose broadcast at test SFs. The join
+    itself must be hashed, never a nested loop."""
+    df = queries["q_events_retention"](spark, SF_MID)
+    logical = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in logical
+    plan = explain(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_no_forced_broadcast_of_corpus_sized_sides(spark, queries):
+    """VERDICT r5 #2: per-doc / per-user / per-term aggregate tables grow
+    with the corpus, so a broadcast *hint* on them is a driver OOM at
+    100 TB. These queries join ONLY corpus-derived sides, so their
+    analyzed plans must carry no broadcast hint at all (AQE is still free
+    to broadcast at test SFs — that choice is stats-driven and reverses
+    itself at scale; a hint does not). Bounded broadcasts (lexicons,
+    centroids, 1-row stats, fixed term lists) live in other queries and
+    keep their hints."""
+    for key in (
+        "q_dedup_near_jaccard",
+        "q_dedup_ngram_jaccard",
+        "q_dedup_containment",
+        "q_events_retention",
+    ):
+        df = queries[key](spark, SF_MID)
+        logical = df._jdf.queryExecution().analyzed().toString()
+        assert "ResolvedHint" not in logical, f"{key}: forced broadcast hint"
 
 
 def test_chunk_and_redact_are_scan_parallel(spark, queries):

@@ -85,9 +85,13 @@ def q_dedup_near_jaccard(spark, sf_dir):
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
     union_sz = F.col("na") + F.col("nb") - F.col("i")
+    # No broadcast hint: `sizes` has one row per document (corpus-sized),
+    # so forcing a broadcast would OOM the driver at 100 TB. Left to AQE,
+    # this is a shuffle hash join at scale and auto-broadcast at test SFs
+    # — both correct (VERDICT r5 #2).
     return (
-        inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
         .filter(_TAU_DEN * F.col("i") >= _TAU_NUM * union_sz)
         .select(
             "id_a", "id_b",
@@ -399,9 +403,11 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
     union_sz = F.col("na") + F.col("nb") - F.col("i")
+    # No broadcast hint on the corpus-sized per-doc size table (see
+    # q_dedup_near_jaccard) — AQE picks broadcast at test SFs only.
     return (
-        inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
         .filter(_NG_DEN * F.col("i") >= _NG_NUM * union_sz)
         .select(
             "id_a", "id_b",
@@ -827,8 +833,10 @@ def q_dedup_containment(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("i"))
     )
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    # No broadcast hint on the corpus-sized per-doc size table (see
+    # q_dedup_near_jaccard) — AQE picks broadcast at test SFs only.
     return (
-        inter.join(F.broadcast(sa), "id_a")
+        inter.join(sa, "id_a")
         .filter(_CT_DEN * F.col("i") >= _CT_NUM * F.col("na"))
         .select(
             "id_a", "id_b",
@@ -1006,11 +1014,19 @@ _SPAN_L = 8  # anchor width in tokens; reported spans are >= _SPAN_L long
     oracle=f"""
         WITH toks AS (
             SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ), pos AS (
+            -- per-row unnest derives every anchor position from the doc's
+            -- own length (no fixture-bound cap — ADVICE r5: a constant
+            -- generate_series upper bound silently missed spans in docs
+            -- longer than the cap)
+            SELECT doc_id, ws,
+                   CAST(unnest(generate_series(1, len(ws) - {_SPAN_L} + 1))
+                        AS BIGINT) AS pos
+            FROM toks WHERE len(ws) >= {_SPAN_L}
         ), sh AS (
-            SELECT doc_id, CAST(i AS BIGINT) AS pos,
-                   array_to_string(ws[i:i+{_SPAN_L}-1], ' ') AS s
-            FROM toks, generate_series(1, 200) t(i)
-            WHERE i <= len(ws) - {_SPAN_L} + 1
+            SELECT doc_id, pos,
+                   array_to_string(ws[pos:pos+{_SPAN_L}-1], ' ') AS s
+            FROM pos
         ), anchors AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                    a.pos AS pos_a, b.pos AS pos_b

@@ -64,8 +64,11 @@ def q_text_wordcount(spark, sf_dir):
     """,
     origin="LLM",
     doc="TF-IDF per (doc, term): tf from a token groupBy, df from a "
-        "term groupBy, idf = ln((N+1)/(df+1)) — two shuffles total, df "
-        "side broadcast back.",
+        "term groupBy, idf = ln((N+1)/(df+1)) — two shuffles total. The "
+        "df side is vocabulary-sized (unbounded at 100 TB), so no forced "
+        "broadcast: AQE broadcasts it at test SFs and shuffle-joins on "
+        "`term` at scale, where tf is already partitioned by term-bearing "
+        "keys. The 1-row corpus count stays broadcast.",
 )
 def q_text_tfidf(spark, sf_dir):
     d = table(spark, sf_dir, "documents")
@@ -74,7 +77,7 @@ def q_text_tfidf(spark, sf_dir):
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n"))
     return (
-        tf.join(F.broadcast(df), "term")
+        tf.join(df, "term")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id", "term", "tf", "df",

@@ -541,9 +541,13 @@ def _pq_train(sample, m, k, iters):
     """Deterministic per-subspace Lloyd k-means on the driver.
 
     `sample` is (n, dim) float64 in content-hash order; init takes the
-    first k distinct rows per subspace, ties in assignment break to the
-    lowest centroid index (numpy argmin), and empty clusters keep their
-    previous centroid — every step is deterministic, so the codebook (and
+    first k DISTINCT rows per subspace (duplicate sub-vectors among the
+    head of the sample would seed duplicate centroids that persist
+    forever — argmin ties go low, empty clusters keep their centroid —
+    silently wasting codebook capacity; ADVICE r5), cycling the distinct
+    rows if fewer than k exist. Ties in assignment break to the lowest
+    centroid index (numpy argmin), and empty clusters keep their previous
+    centroid — every step is deterministic, so the codebook (and
     therefore every assigned code) is reproducible across runs/executors.
     """
     import numpy as np
@@ -553,7 +557,10 @@ def _pq_train(sample, m, k, iters):
     books = np.empty((m, k, d_sub))
     for mi in range(m):
         x = sample[:, mi * d_sub:(mi + 1) * d_sub]
-        cent = x[:k].copy()
+        # first-k-distinct init, preserving sample order
+        _, first_idx = np.unique(x, axis=0, return_index=True)
+        distinct = x[np.sort(first_idx)]
+        cent = np.resize(distinct, (k, d_sub)).copy()
         for _ in range(iters):
             d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
             assign = d2.argmin(axis=1)

@@ -77,22 +77,21 @@ def widen(df: DataFrame) -> DataFrame:
     return df
 
 
-# Session id → sf_dir whose views are currently registered. View names are
-# session-global, so only the LAST registered sf_dir is live; re-register
-# whenever the requested dir differs (a later call with the old dir must
-# re-point the views, so a plain per-(session, dir) memo would be wrong).
-_views_current: dict[int, str] = {}
-
-
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view (for ``spark.sql`` query rows).
 
     Memoized per session: dialect-shared SQL queries call this on every
     invocation, and 10 ``createOrReplaceTempView`` py4j round-trips per
     call are pure overhead when the views already point at ``sf_dir``.
+    The memo is an attribute ON the session object (not an id()-keyed
+    dict: CPython reuses addresses of collected sessions, so a fresh
+    session could falsely hit a stale memo and skip registration —
+    ADVICE r5), so it dies with the session. View names are
+    session-global, so only the LAST registered sf_dir is live;
+    re-register whenever the requested dir differs.
     """
-    if _views_current.get(id(spark)) == sf_dir:
+    if getattr(spark, "_xps_views_sf_dir", None) == sf_dir:
         return
     for name in TABLES:
         table(spark, sf_dir, name).createOrReplaceTempView(name)
-    _views_current[id(spark)] = sf_dir
+    spark._xps_views_sf_dir = sf_dir

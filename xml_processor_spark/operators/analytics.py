@@ -192,15 +192,16 @@ def q_events_funnel(spark, sf_dir):
     """,
     doc="Cohort retention: cohort = each user's first active day; count "
         "distinct users active at day offsets 0..7. The cohort table is a "
-        "per-user aggregate (small — |users|, not |events|) broadcast back "
-        "onto the event scan; one shuffle for the final distinct-count.",
+        "per-user aggregate (|users|, not |events| — smaller but unbounded, "
+        "so no forced broadcast; AQE broadcasts at test SFs, shuffle-joins "
+        "at scale); one shuffle for the final distinct-count.",
 )
 def q_events_retention(spark, sf_dir):
     ev = table(spark, sf_dir, "events")
     cohort = ev.groupBy("user_id").agg(
         F.min(F.date_trunc("day", "ts")).cast("date").alias("cohort_day")
     )
-    joined = ev.join(F.broadcast(cohort), "user_id").select(
+    joined = ev.join(cohort, "user_id").select(
         "cohort_day",
         F.datediff(F.date_trunc("day", "ts").cast("date"), F.col("cohort_day")).alias(
             "day_offset"

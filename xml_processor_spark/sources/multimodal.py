@@ -280,9 +280,11 @@ def _image_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             out["thumb_min"].append(float(thumb.min()))
             out["thumb_max"].append(float(thumb.max()))
             # Fixed-point digest of the full pixel vector: the comparator
-            # can hash a string where it cannot hash array<float>; the
-            # digest still pins every pooled pixel value.
-            fixed = (thumb.ravel() * 1000).astype(np.int64)
+            # can hash a string where it cannot hash array<float>. rint,
+            # not truncation — astype alone maps 0.153*1000 = 152.999…
+            # to 152, colliding with 0.152 (ADVICE r5); rounding pins
+            # every 3-dp pooled pixel value uniquely.
+            fixed = np.rint(thumb.ravel() * 1000).astype(np.int64)
             out["thumb_digest"].append(
                 hashlib.md5(fixed.tobytes()).hexdigest()
             )
