@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import duckdb
+import pytest
 
 from tests.conftest import SF_SMALL
 
@@ -83,6 +84,27 @@ def test_oracle_outputs_are_hashable_scalars(spark):
             if f.dataType.typeName() in ("array", "map", "struct")
         ]
         assert not bad, f"{key}: non-scalar output columns {bad}"
+
+
+@pytest.mark.slow
+def test_every_query_executes_against_current_testdata(spark, queries):
+    """Driver-error regression guard (VERDICT r5 #8): execute EVERY
+    registered callable end-to-end once, in one session, at sf0.001.
+    The r4 failure mode — the driver regenerated testdata with a changed
+    parquet type (events.ts nanos→micros) and 7 keys raised only at the
+    driver — surfaces here as a pytest failure instead. Smoke only:
+    exceptions and empty-schema drift, no oracle compare (verify_local
+    owns value correctness); limit(3) bounds driver transfer while still
+    executing the full plan."""
+    errs = []
+    for key, fn in queries.items():
+        try:
+            df = fn(spark, SF_SMALL)
+            assert len(df.schema.fields) > 0, "empty schema"
+            df.limit(3).collect()
+        except Exception as e:  # noqa: BLE001
+            errs.append(f"{key}: {type(e).__name__}: {e}")
+    assert not errs, f"{len(errs)} keys raised:\n" + "\n".join(errs[:10])
 
 
 def test_survey_totals_match_registry():

@@ -153,33 +153,35 @@ def e_minhash_lsh(spark, sf_dir):
     # spreading the scan output first is a measured 3x on local[32]
     # (fresh-process medians: 6.5s -> 2.0s at sf0.1).
     dt = widen(d).select("doc_id", F.explode(shingles(F.col("text"))).alias("tok"))
-    # 32 deterministic hash functions from two independent xxhash64 values
-    # mixed bitwise (h1 XOR rotate(h2, r_i)) — 2 string hashes per shingle
-    # instead of 32 (double-hashing family), and bit ops can't overflow
-    # under ANSI mode. 16x less hashing on the 100 TB path.
+    # 32 deterministic hash functions: ONE string hash per shingle
+    # (h1 = xxhash64(tok)), then h_i = xxhash64(i, h1) — a JVM long-input
+    # hash per function, so the expensive string hashing happens once and
+    # the 32 derived values are fully re-mixed. NOT a bitwise-mix family
+    # (the r5 implementation used h1 XOR rotate(h2, r_i)): sharing the
+    # same (h1, h2) ranks across all 32 functions leaves the 4 bands
+    # strongly POSITIVELY correlated — per-band match probability is the
+    # ideal J^rows, but one unlucky element wins the min in many
+    # functions at once, so P(any band matches) collapses from
+    # 1-(1-J^8)^4 = 0.9997 to a measured 0.933 at J = 0.983 (caught by
+    # tests/test_stress_scale.py at the 10x corpus; numpy simulation
+    # confirms 0.9995 ideal / 0.933 XOR-rotate / 0.9995 re-mixed).
+    # A 64-bit h1 collision merges two shingles corpus-wide — negligible
+    # for Jaccard even at trillions of distinct shingles.
     #
     # Deliberately explode + hash-aggregate rather than computing the
-    # signature with array higher-order functions: exploded-row xxhash64 +
-    # bit-mixing is whole-stage-codegen'd, while transform/zip_with lambdas
-    # are interpreted per element AND CollapseProject would inline the
+    # signature with array higher-order functions: exploded-row xxhash64
+    # is whole-stage-codegen'd, while transform/zip_with lambdas are
+    # interpreted per element AND CollapseProject would inline the
     # shared hash arrays into all 32 signature columns (measured 3-5x
     # slower). The hash agg does partial (map-side) min, so the shuffle is
     # |docs| x 32 longs, not |docs x shingles|.
-    hashed = dt.select(
-        "doc_id",
-        F.xxhash64("tok").alias("h1"),
-        F.xxhash64(F.concat(F.lit("x"), F.col("tok"))).alias("h2"),
-    )
-
-    def _mix(i: int):
-        if i == 0:
-            return F.col("h1")
-        r = (7 * i) % 63 + 1
-        rot = F.expr(f"shiftleft(h2, {r}) | shiftrightunsigned(h2, {64 - r})")
-        return F.expr("h1").bitwiseXOR(rot)
+    hashed = dt.select("doc_id", F.xxhash64("tok").alias("h1"))
 
     mins = hashed.groupBy("doc_id").agg(
-        *[F.min(_mix(i)).alias(f"h{i}") for i in range(_N_HASHES)]
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("h1"))).alias(f"h{i}")
+            for i in range(_N_HASHES)
+        ]
     )
     rows_per_band = _N_HASHES // _N_BANDS
     band_cols = [
