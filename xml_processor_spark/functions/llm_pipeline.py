@@ -504,3 +504,159 @@ def e_shard_write(spark, sf_dir):
             F.max("doc_id").alias("max_doc_id"),
         )
     )
+
+
+# --- r6 additions: split assignment, contamination fraction, top-quality ---
+
+from xml_processor_spark.functions.deterministic import phash60, phash60_sql  # noqa: E402
+
+_SPLIT_TRAIN_PCT = 90
+_SPLIT_VAL_PCT = 5  # test = the remaining 5%
+
+
+@register(
+    "q_split_assign",
+    oracle=f"""
+        WITH b AS (
+            SELECT doc_id, text,
+                   {phash60_sql('text')} % 100 AS bucket
+            FROM documents
+        )
+        SELECT CASE WHEN bucket < {_SPLIT_TRAIN_PCT} THEN 'train'
+                    WHEN bucket < {_SPLIT_TRAIN_PCT + _SPLIT_VAL_PCT} THEN 'val'
+                    ELSE 'test' END AS split,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+               min(doc_id) AS min_doc_id,
+               max(doc_id) AS max_doc_id
+        FROM b GROUP BY 1
+    """,
+    origin="LLM",
+    doc=f"Deterministic train/val/test split ({_SPLIT_TRAIN_PCT}/"
+        f"{_SPLIT_VAL_PCT}/{100 - _SPLIT_TRAIN_PCT - _SPLIT_VAL_PCT}) by "
+        "CONTENT hash, never rand() or row position: a document lands in "
+        "the same split across reruns, repartitionings, and corpus "
+        "versions (content-keyed, so an identical doc re-crawled later "
+        "cannot leak from train into test). Scan-side expression + one "
+        "map-side-combined 3-row aggregate — zero extra shuffle at any "
+        "scale.",
+)
+def q_split_assign(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    bucket = phash60("text") % 100
+    split = (
+        F.when(bucket < _SPLIT_TRAIN_PCT, "train")
+        .when(bucket < _SPLIT_TRAIN_PCT + _SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    return (
+        d.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split("text", " ")).cast("long")).alias("n_tokens"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
+@register(
+    "q_decontaminate_frac",
+    oracle=f"""
+        WITH sh AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       generate_series(1, len(string_split(text,' ')) - 2),
+                       i -> string_split(text,' ')[i] || ' ' ||
+                            string_split(text,' ')[i+1] || ' ' ||
+                            string_split(text,' ')[i+2]))) AS s
+            FROM documents
+        ),
+        bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % {_DECON_MOD} = 0),
+        tot AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM sh
+            WHERE doc_id % {_DECON_MOD} <> 0 GROUP BY doc_id
+        ),
+        shared AS (
+            SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+            FROM sh JOIN bench ON sh.s = bench.s
+            WHERE sh.doc_id % {_DECON_MOD} <> 0
+            GROUP BY sh.doc_id
+        )
+        SELECT t.doc_id, t.n_shingles, s.n_shared,
+               round(s.n_shared / CAST(t.n_shingles AS DOUBLE), 6)
+                   AS contam_frac
+        FROM tot t JOIN shared s ON t.doc_id = s.doc_id
+    """,
+    origin="LLM",
+    doc="Graded decontamination — q_decontaminate reports the shared-"
+        "shingle COUNT; real pipelines threshold on the contamination "
+        "FRACTION (shared / total distinct shingles of the doc), which "
+        "separates a quoted sentence from a wholesale benchmark copy. "
+        "Probe set broadcasts (bounded: a real benchmark); the per-doc "
+        "totals side is corpus-sized, so its join carries NO broadcast "
+        "hint — it shuffle-joins on doc_id at scale (both sides already "
+        "aggregate by doc_id), AQE-broadcasts at test SFs.",
+)
+def q_decontaminate_frac(spark, sf_dir):
+    from xml_processor_spark.functions.llm_dedup import shingles
+
+    d = widen(table(spark, sf_dir, "documents"))
+    sh = d.select("doc_id", F.explode(shingles(F.col("text"))).alias("s"))
+    train = sh.filter(F.col("doc_id") % _DECON_MOD != 0)
+    bench = sh.filter(F.col("doc_id") % _DECON_MOD == 0).select("s").distinct()
+    tot = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    shared = (
+        train.join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return tot.join(shared, "doc_id").select(
+        "doc_id",
+        "n_shingles",
+        "n_shared",
+        r6(F.col("n_shared") / F.col("n_shingles").cast("double")).alias(
+            "contam_frac"
+        ),
+    )
+
+
+_TOPQ_FRAC = 0.1  # keep the top decile per source
+
+
+@register(
+    "q_sample_topquality",
+    oracle=f"""
+        SELECT doc_id, source, n_chars FROM (
+            SELECT doc_id, source, n_chars,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY n_chars DESC, doc_id) AS rn,
+                   count(*) OVER (PARTITION BY source) AS cnt
+            FROM documents
+        ) WHERE rn <= CAST(ceil({_TOPQ_FRAC} * cnt) AS BIGINT)
+    """,
+    origin="LLM",
+    doc=f"Quality-curated selection: keep the top {int(_TOPQ_FRAC * 100)}% "
+        "of documents PER SOURCE by a deterministic quality key (n_chars "
+        "desc, doc_id tie-break — rank-based, so it needs no tuned "
+        "threshold and adapts to each source's distribution). Per-stratum "
+        "windows — the rank and the stratum count share one "
+        "partitionBy(source) exchange, never a global sort.",
+)
+def q_sample_topquality(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    wc = Window.partitionBy("source")
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wc).alias("cnt"),
+        )
+        .filter(F.col("rn") <= F.ceil(_TOPQ_FRAC * F.col("cnt")).cast("long"))
+        .select("doc_id", "source", "n_chars")
+    )

@@ -612,3 +612,105 @@ def q_text_bm25(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.round(F.sum(score_term), 6).alias("bm25"))
     )
+
+
+# --- r6 additions: calibrated quality score, boilerplate n-gram mining ----
+
+# Logistic quality model: fixed interpretable weights over the exact
+# features q_text_quality exposes. A stand-in for the fastText-style
+# quality classifier of a production pipeline — the Spark-side shape
+# (scan-side features -> scalar score -> threshold) is identical.
+_QL_BIAS = -2.0
+_QL_W_LEN, _QL_W_UNIQ, _QL_W_TOK = 2.5, 1.5, 1.0
+
+
+@register(
+    "q_quality_logistic",
+    oracle=f"""
+        SELECT doc_id, quality_score, (quality_score >= 0.5) AS keep FROM (
+            SELECT doc_id,
+                   round(1.0 / (1.0 + exp(-({_QL_BIAS}
+                       + {_QL_W_LEN} * (least(n_chars, 1000) / 1000.0)
+                       + {_QL_W_UNIQ} * (len(list_distinct(string_split(text, ' ')))
+                             / CAST(len(string_split(text, ' ')) AS DOUBLE))
+                       + {_QL_W_TOK} * (least((length(text) - len(string_split(text, ' ')) + 1)
+                             / CAST(len(string_split(text, ' ')) AS DOUBLE), 8.0) / 8.0)
+                   ))), 6) AS quality_score
+            FROM documents
+        )
+    """,
+    origin="LLM",
+    doc="Calibrated document quality: logistic(w . features) over the "
+        "exact quality features (capped length, type/token ratio, capped "
+        "mean token length) with fixed published weights, plus the "
+        "keep/drop decision at 0.5 — the quality-classifier gate of a "
+        "training pipeline. Purely scan-side scalar math (one exp per "
+        "row, zero shuffle); the keep flag derives from the ROUNDED score "
+        "so both engines threshold the identical 6-dp value and a 1-ulp "
+        "libm exp() difference cannot flip it.",
+)
+def q_quality_logistic(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    len_score = F.least(F.col("n_chars"), F.lit(1000)) / F.lit(1000.0)
+    uniq_ratio = F.size(F.array_distinct(toks)) / n.cast("double")
+    tok_norm = (
+        F.least((F.length("text") - n + 1) / n.cast("double"), F.lit(8.0))
+        / F.lit(8.0)
+    )
+    z = (
+        F.lit(_QL_BIAS)
+        + _QL_W_LEN * len_score
+        + _QL_W_UNIQ * uniq_ratio
+        + _QL_W_TOK * tok_norm
+    )
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return d.select("doc_id", score.alias("quality_score")).select(
+        "doc_id",
+        "quality_score",
+        (F.col("quality_score") >= 0.5).alias("keep"),
+    )
+
+
+_BP_MIN_DOCS = 5  # an n-gram in >= 5 distinct docs is template/boilerplate
+
+
+@register(
+    "q_text_boilerplate",
+    oracle=f"""
+        WITH sh AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       generate_series(1, len(string_split(text,' ')) - 2),
+                       i -> string_split(text,' ')[i] || ' ' ||
+                            string_split(text,' ')[i+1] || ' ' ||
+                            string_split(text,' ')[i+2]))) AS ngram
+            FROM documents
+        )
+        SELECT ngram, CAST(count(*) AS BIGINT) AS n_docs,
+               min(doc_id) AS first_doc_id
+        FROM sh GROUP BY ngram HAVING count(*) >= {_BP_MIN_DOCS}
+    """,
+    origin="LLM",
+    doc=f"Boilerplate n-gram mining: 3-word shingles appearing in >= "
+        f"{_BP_MIN_DOCS} DISTINCT documents (per-doc-distinct shingles, "
+        "so the groupBy count IS document frequency), with the earliest "
+        "doc as provenance — the discovery pass behind template/"
+        "navigation-chrome removal in web-corpus cleaning. One map-side-"
+        "combined groupBy on the shingle stream; the HAVING filter "
+        "prunes the long unique tail before any further join.",
+)
+def q_text_boilerplate(spark, sf_dir):
+    from xml_processor_spark.functions.llm_dedup import shingles
+
+    d = widen(table(spark, sf_dir, "documents"))
+    sh = d.select("doc_id", F.explode(shingles(F.col("text"))).alias("ngram"))
+    return (
+        sh.groupBy("ngram")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+        .filter(F.col("n_docs") >= _BP_MIN_DOCS)
+    )

@@ -471,3 +471,40 @@ def q_sample_weighted(spark, sf_dir):
     return d.filter(u < p).select(
         "doc_id", "n_chars", F.round(p, 6).alias("p_include")
     )
+
+
+@register(
+    "q_domain_stats",
+    oracle="""
+        SELECT source, lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+               round(avg(n_chars), 6) AS avg_chars,
+               max(n_chars) AS max_chars,
+               round(avg(CASE WHEN n_chars < 100 THEN 1.0 ELSE 0.0 END), 6)
+                   AS short_frac
+        FROM documents
+        GROUP BY source, lang
+    """,
+    origin="LLM",
+    doc="Per-(source, language) corpus profile: doc/token volume, mean and "
+        "max length, short-doc fraction — the curation dashboard that "
+        "decides per-domain mixture weights and which sources need "
+        "filtering. One map-side-combined groupBy; every aggregate is an "
+        "exact integer (or 0/1) sum below 2^53, so the 6-dp rounding is "
+        "order-independent by construction.",
+)
+def q_domain_stats(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split("text", " ")).cast("long")).alias("n_tokens"),
+            r6(F.avg("n_chars")).alias("avg_chars"),
+            F.max("n_chars").alias("max_chars"),
+            r6(
+                F.avg((F.col("n_chars") < 100).cast("double"))
+            ).alias("short_frac"),
+        )
+    )
