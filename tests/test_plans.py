@@ -460,3 +460,53 @@ def test_bm25_broadcasts_stats_and_stays_jvm(spark, queries):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_split_assign_is_single_aggregation(spark, queries):
+    """The split manifest must be scan-side expr + one partial+final agg —
+    one shuffle of at most 3 rows per task, no window, no join."""
+    plan = explain(queries["q_split_assign"](spark, SF_MID))
+    assert plan.count("HashAggregate") >= 2
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_topquality_windows_share_one_exchange(spark, queries):
+    """row_number and the per-source count must share ONE
+    partitionBy(source) exchange, and nothing may collapse to a single
+    partition (a global sort would serialize the corpus onto one task)."""
+    plan = explain(queries["q_sample_topquality"](spark, SF_MID))
+    assert "SinglePartition" not in plan
+    exchanges = [l for l in plan.splitlines() if l.strip().startswith(f"({'' }")]
+    # formatted output lists each physical node once in the numbered
+    # details; count Exchange node ids, not tree-art mentions
+    n_exchange = sum(
+        1 for l in plan.splitlines()
+        if l.strip().split(" ")[-1] == "Exchange" and l.strip().startswith("(")
+    )
+    assert n_exchange == 1, f"expected one shared window exchange, got {n_exchange}"
+
+
+def test_quality_logistic_is_scan_side(spark, queries):
+    """The quality gate is per-row scalar math: zero shuffle, zero Python."""
+    plan = explain(queries["q_quality_logistic"](spark, SF_MID))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_boilerplate_has_partial_agg(spark, queries):
+    """Doc-frequency mining must map-side combine before the shingle
+    shuffle (partial + final HashAggregate)."""
+    plan = explain(queries["q_text_boilerplate"](spark, SF_MID))
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_count" in plan
+
+
+def test_decontaminate_frac_single_grouped_pass(spark, queries):
+    """Both counts must come from ONE groupBy over the marker-joined
+    shingle stream: exactly one broadcast (the probe set) and no join of
+    two corpus-sized aggregates (which would show a second non-broadcast
+    join after the aggregation)."""
+    plan = explain(queries["q_decontaminate_frac"](spark, SF_MID))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -594,10 +594,11 @@ def q_split_assign(spark, sf_dir):
         "shingle COUNT; real pipelines threshold on the contamination "
         "FRACTION (shared / total distinct shingles of the doc), which "
         "separates a quoted sentence from a wholesale benchmark copy. "
-        "Probe set broadcasts (bounded: a real benchmark); the per-doc "
-        "totals side is corpus-sized, so its join carries NO broadcast "
-        "hint — it shuffle-joins on doc_id at scale (both sides already "
-        "aggregate by doc_id), AQE-broadcasts at test SFs.",
+        "Probe set broadcasts (bounded: a real benchmark) as a LEFT-join "
+        "marker onto the corpus shingle stream, then ONE map-side-combined "
+        "groupBy computes both counts — a single corpus pass and a single "
+        "shuffle, instead of joining two corpus-sized per-doc aggregates "
+        "(the oracle keeps the two-CTE form; same rows either way).",
 )
 def q_decontaminate_frac(spark, sf_dir):
     from xml_processor_spark.functions.llm_dedup import shingles
@@ -605,20 +606,28 @@ def q_decontaminate_frac(spark, sf_dir):
     d = widen(table(spark, sf_dir, "documents"))
     sh = d.select("doc_id", F.explode(shingles(F.col("text"))).alias("s"))
     train = sh.filter(F.col("doc_id") % _DECON_MOD != 0)
-    bench = sh.filter(F.col("doc_id") % _DECON_MOD == 0).select("s").distinct()
-    tot = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    shared = (
-        train.join(F.broadcast(bench), "s")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+    bench = (
+        sh.filter(F.col("doc_id") % _DECON_MOD == 0)
+        .select("s")
+        .distinct()
+        .withColumn("hit", F.lit(1))
     )
-    return tot.join(shared, "doc_id").select(
-        "doc_id",
-        "n_shingles",
-        "n_shared",
-        r6(F.col("n_shared") / F.col("n_shingles").cast("double")).alias(
-            "contam_frac"
-        ),
+    return (
+        train.join(F.broadcast(bench), "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("hit").alias("n_shared"),
+        )
+        .filter(F.col("n_shared") > 0)
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_shared",
+            r6(F.col("n_shared") / F.col("n_shingles").cast("double")).alias(
+                "contam_frac"
+            ),
+        )
     )
 
 
