@@ -151,3 +151,21 @@ def test_emb_lsh_bounds_hold_at_4x(spark, queries, stress_dir):
     frac = _emb_lsh_candidates(spark, stress_dir).count() / (m * (m - 1) / 2)
     assert recall >= 0.99, f"emb-lsh recall {recall:.4f} at 4x corpus"
     assert frac < 0.6, f"emb-lsh candidate fraction {frac:.3f} at 4x corpus"
+
+
+@pytest.mark.slow
+def test_dedup_spans_exact_at_10x(spark, queries, stress_dir):
+    """Span detection at 50k docs has a fully known answer: each injected
+    pair shares exactly its 60 leading tokens (the appended 61st token
+    breaks the final anchor), so the anchor-join + diagonal merge must
+    emit exactly one span per injected pair — (start_a=1, start_b=1,
+    span_tokens=60) — and nothing else (8-token anchors over a
+    10,000-word vocabulary make accidental cross-doc anchors
+    astronomically unlikely). Verifies the gaps-and-islands merge at
+    ~265k anchor rows, 10x the tuned corpus."""
+    out = queries["q_dedup_spans"](spark, stress_dir).toPandas()
+    assert len(out) == _N_DUP_DOCS, f"expected {_N_DUP_DOCS} spans, got {len(out)}"
+    assert (out["span_tokens"] == _DOC_TOKENS).all()
+    assert (out["start_a"] == 1).all() and (out["start_b"] == 1).all()
+    got = set(zip(out["doc_a"], out["doc_b"]))
+    assert got == {(i, _N_UNIQ_DOCS + i) for i in range(_N_DUP_DOCS)}
