@@ -119,6 +119,8 @@ HEADLINE = [
     "q_tpch_q22",
     "q_join_bloom",
     "q_zonemap",
+    # r6 addition: Z-order clustering manifest (lake-layout family).
+    "q_zorder_manifest",
     "q_incremental_agg",
     "q_resample_ohlc",
     "q_heavy_hitters",

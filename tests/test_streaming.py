@@ -264,3 +264,22 @@ def test_stream_static_enrichment_matches_batch(spark, queries):
     # The stream may withhold only windows still open at end-of-input; with
     # availableNow + a final watermark advance past max(ts), all close.
     assert got == expect
+
+
+def test_dedup_ttl_output_is_exactly_distinct(spark, queries):
+    """dropDuplicatesWithinWatermark must neutralize BOTH duplicate
+    channels: in-watermark duplicate deliveries (dropped by dedup state)
+    and stale re-deliveries beyond the watermark (discarded as late) —
+    so the streamed output equals the batch distinct set exactly, while
+    state stays bounded by the watermark window."""
+    got = {
+        (r.event_id, r.event_type, r.value)
+        for r in queries["E-DEDUP-TTL"](spark, SF_SMALL).collect()
+    }
+    ev = table(spark, SF_SMALL, "events").filter(F.col("user_id") < 30)
+    expect = {
+        (r.event_id, r.event_type, r.value)
+        for r in ev.select("event_id", "event_type", "value").collect()
+    }
+    assert expect, "batch golden unexpectedly empty"
+    assert got == expect

@@ -346,3 +346,99 @@ def q_join_dpp(spark, sf_dir):
             (F.sum(cents("o_totalprice")).cast("double") / 1e2).alias("total"),
         )
     )
+
+
+# --- Z-order clustering manifest (multi-dimensional data skipping) --------
+
+_Z_BITS = 8  # per-dimension quantization (8 bits -> 16-bit z-value)
+_Z_PREFIX_SHIFT = 10  # bucket = top 6 z-bits -> <= 64 files
+
+
+def _z_interleave(a, b):
+    """Bit-interleave two 8-bit columns into a 16-bit Z-value (a odd bits,
+    b even bits) with plain shift/mask arithmetic — JVM codegen, and the
+    identical expression is generated as SQL for the oracle."""
+    z = F.lit(0)
+    for i in range(_Z_BITS):
+        z = z + F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        z = z + F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i)
+    return z
+
+
+def _z_interleave_sql(a: str, b: str) -> str:
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i})")
+    return " + ".join(terms)
+
+
+@register(
+    "q_zorder_manifest",
+    oracle=f"""
+        WITH bounds AS (
+            SELECT min(l_orderkey) AS omin, max(l_orderkey) AS omax,
+                   min(l_partkey) AS pmin, max(l_partkey) AS pmax
+            FROM lineitem
+        ), q AS (
+            SELECT l_orderkey, l_partkey,
+                   CAST(floor((l_orderkey - omin) * 256.0
+                              / (omax - omin + 1)) AS BIGINT) AS qo,
+                   CAST(floor((l_partkey - pmin) * 256.0
+                              / (pmax - pmin + 1)) AS BIGINT) AS qp
+            FROM lineitem, bounds
+        )
+        SELECT ({_z_interleave_sql('qo', 'qp')}) >> {_Z_PREFIX_SHIFT}
+                   AS zbucket,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               min(l_orderkey) AS min_orderkey, max(l_orderkey) AS max_orderkey,
+               min(l_partkey) AS min_partkey, max(l_partkey) AS max_partkey
+        FROM q GROUP BY 1
+    """,
+    doc="Z-order clustering manifest — multi-dimensional data skipping "
+        "(the OPTIMIZE ZORDER BY of lakehouse table formats): both join "
+        "keys quantized to 8 bits against corpus bounds (1-row broadcast), "
+        "bit-interleaved into a 16-bit Z-value, grouped by the 6-bit "
+        "Z-prefix = target file. The manifest's per-file min/max of BOTH "
+        "dimensions stay narrow simultaneously — the property that lets a "
+        "scan on EITHER key (or both) skip most files, where a plain sort "
+        "clusters only its leading key. At scale the layout write is "
+        "repartitionByRange(zval) + sortWithinPartitions(zval) — ranged "
+        "shuffle, never a global sort; this query is the resulting "
+        "zonemap, one map-side-combined groupBy.",
+)
+def q_zorder_manifest(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    bounds = li.agg(
+        F.min("l_orderkey").alias("omin"), F.max("l_orderkey").alias("omax"),
+        F.min("l_partkey").alias("pmin"), F.max("l_partkey").alias("pmax"),
+    )
+    q = li.crossJoin(F.broadcast(bounds)).select(
+        "l_orderkey",
+        "l_partkey",
+        F.floor(
+            (F.col("l_orderkey") - F.col("omin")) * 256.0
+            / (F.col("omax") - F.col("omin") + 1)
+        ).alias("qo"),
+        F.floor(
+            (F.col("l_partkey") - F.col("pmin")) * 256.0
+            / (F.col("pmax") - F.col("pmin") + 1)
+        ).alias("qp"),
+    )
+    return (
+        q.select(
+            "l_orderkey",
+            "l_partkey",
+            F.shiftright(
+                _z_interleave(F.col("qo"), F.col("qp")), _Z_PREFIX_SHIFT
+            ).alias("zbucket"),
+        )
+        .groupBy("zbucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_orderkey").alias("min_orderkey"),
+            F.max("l_orderkey").alias("max_orderkey"),
+            F.min("l_partkey").alias("min_partkey"),
+            F.max("l_partkey").alias("max_partkey"),
+        )
+    )

@@ -291,3 +291,39 @@ def e_stream_static(spark, sf_dir):
         )
     )
     return run_to_memory(agg, "e_stream_static_sink", "append")
+
+
+@register(
+    "E-DEDUP-TTL",
+    oracle=None,
+    doc="Streaming dedup with BOUNDED state — dropDuplicatesWithinWatermark "
+        "(the TTL successor to plain streaming dropDuplicates, whose "
+        "per-key state grows forever on an infinite stream): duplicate "
+        "deliveries arriving WITHIN the 10-minute watermark are dropped by "
+        "the dedup state; stale re-deliveries arriving after the watermark "
+        "has passed their event time are discarded as late data — so the "
+        "output is exactly the distinct event set while state size is "
+        "bounded by the watermark window, the property that makes "
+        "streaming dedup viable on an unbounded 100 TB/day feed. "
+        "tests/test_streaming.py asserts output ≡ batch distinct despite "
+        "both duplicate channels.",
+)
+def e_dedup_ttl(spark, sf_dir):
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    # Channel 1: duplicate delivery at the SAME event time — lands in the
+    # same replay bucket, well inside the watermark; dedup state drops it.
+    inline_dup = ev.filter(F.col("event_id") % 7 == 0)
+    # Channel 2: stale re-delivery — the whole month has streamed by the
+    # time these arrive (last file), so the watermark has passed their
+    # event times and they are discarded as late, never re-emitted.
+    stale_dup = ev.filter(F.col("event_id") % 11 == 0)
+    src = write_replay_files(
+        ev.unionAll(inline_dup), n_buckets=6, late_rows=stale_dup
+    )
+    stream = read_replay_stream(spark, src)
+    out = (
+        stream.withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "event_type", "value")
+    )
+    return run_to_memory(out, "e_dedup_ttl_sink", "append")
