@@ -629,3 +629,84 @@ def e_emb_pq(spark, sf_dir):
     return e.select("vec_id", "embedding").mapInPandas(
         assign, schema="vec_id long, m int, code int"
     )
+
+
+# --- r6 addition: Matryoshka truncation fidelity ---------------------------
+
+_MRL_DIMS = (16, 32)  # prefix dims evaluated against the full 64
+
+
+def _mrl_dev(k: int):
+    """|cos over first k dims - cos over all dims|, rounded to 6 dp."""
+    ea, eb = F.col("ea"), F.col("eb")
+    sa, sb = F.slice(ea, 1, k), F.slice(eb, 1, k)
+    cos_k = _dot(sa, sb) / F.sqrt(_norm2(sa)) / F.sqrt(_norm2(sb))
+    cos_full = _dot(ea, eb) / F.sqrt(_norm2(ea)) / F.sqrt(_norm2(eb))
+    return F.round(F.abs(cos_k - cos_full), 6)
+
+
+def _mrl_dev_sql(k: int) -> str:
+    d = _DOT.format(a=f"ea[1:{k}]", b=f"eb[1:{k}]")
+    na = _NORM2.format(a=f"ea[1:{k}]")
+    nb = _NORM2.format(a=f"eb[1:{k}]")
+    df = _DOT.format(a="ea", b="eb")
+    nfa = _NORM2.format(a="ea")
+    nfb = _NORM2.format(a="eb")
+    return (
+        f"round(abs({d} / sqrt({na}) / sqrt({nb})"
+        f" - {df} / sqrt({nfa}) / sqrt({nfb})), 6)"
+    )
+
+
+@register(
+    "q_emb_mrl",
+    oracle=f"""
+        WITH pairs AS (
+            SELECT a.embedding AS ea, b.embedding AS eb
+            FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+            WHERE a.vec_id % 2 = 0
+        ), devs AS (
+            SELECT {_mrl_dev_sql(16)} AS d16, {_mrl_dev_sql(32)} AS d32
+            FROM pairs
+        )
+        SELECT 16 AS trunc_dim, CAST(count(*) AS BIGINT) AS n_pairs,
+               round(avg(d16), 6) AS avg_abs_dev, max(d16) AS max_abs_dev
+        FROM devs
+        UNION ALL
+        SELECT 32, CAST(count(*) AS BIGINT), round(avg(d32), 6), max(d32)
+        FROM devs
+    """,
+    origin="LLM",
+    doc="Matryoshka truncation fidelity: how much cosine similarity "
+        "drifts when embeddings are cut to their first 16/32 of 64 "
+        "dims — the evaluation behind MRL-style dimension reduction, "
+        "where a cheap prefix index prefilters and the full vector "
+        "rescored. Pairs are adjacent vec_ids (deterministic, size-"
+        "independent); per-pair deviations fix to 6 dp before the "
+        "order-insensitive avg/max. The equi self-join shifts by one "
+        "key — hash join, never a cross product; at scale this runs on "
+        "a hash-sampled pair subset, same plan.",
+)
+def q_emb_mrl(spark, sf_dir):
+    e = widen(table(spark, sf_dir, "embeddings"))
+    a = e.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("ka"), F.col("embedding").alias("ea")
+    )
+    b = e.select(F.col("vec_id").alias("kb"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("kb") == F.col("ka") + 1)
+    devs = pairs.select(
+        _mrl_dev(16).alias("d16"), _mrl_dev(32).alias("d32")
+    )
+    agg16 = devs.agg(
+        F.lit(16).alias("trunc_dim"),
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.avg("d16"), 6).alias("avg_abs_dev"),
+        F.max("d16").alias("max_abs_dev"),
+    )
+    agg32 = devs.agg(
+        F.lit(32).alias("trunc_dim"),
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.avg("d32"), 6).alias("avg_abs_dev"),
+        F.max("d32").alias("max_abs_dev"),
+    )
+    return agg16.unionAll(agg32)

@@ -148,3 +148,90 @@ def q_scd2_intervals(spark, sf_dir):
         F.lead("ts_s").over(w2).alias("valid_to"),
         F.row_number().over(w2).cast("long").alias("version"),
     )
+
+
+# --- r6 addition: snapshot diff (the inverse of the CDC merge) ------------
+
+_SD_CENTS = "CAST(round(c_acctbal * 100) AS BIGINT)"
+
+
+@register(
+    "q_snapshot_diff",
+    oracle=f"""
+        WITH v1 AS (
+            SELECT c_custkey AS k, {_SD_CENTS} AS bal FROM customer
+        ), v2 AS (
+            SELECT c_custkey AS k,
+                   CASE WHEN c_custkey % 10 = 0 THEN {_SD_CENTS} + 10000
+                        ELSE {_SD_CENTS} END AS bal
+            FROM customer WHERE c_custkey % 97 <> 0
+            UNION ALL
+            SELECT c_custkey + 10000000, {_SD_CENTS} // 2
+            FROM customer WHERE c_custkey % 53 = 0
+        )
+        SELECT change_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(abs_delta) AS BIGINT) AS total_abs_delta_cents
+        FROM (
+            SELECT CASE WHEN v1.k IS NULL THEN 'added'
+                        WHEN v2.k IS NULL THEN 'removed'
+                        WHEN v1.bal <> v2.bal THEN 'changed'
+                        ELSE 'unchanged' END AS change_type,
+                   CASE WHEN v1.k IS NOT NULL AND v2.k IS NOT NULL
+                        THEN abs(v2.bal - v1.bal) ELSE 0 END AS abs_delta
+            FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
+        )
+        GROUP BY change_type
+    """,
+    doc="Snapshot diff — the INVERSE of the CDC merge: given two table "
+        "versions (v2 synthesized deterministically from v1: %97 keys "
+        "deleted, %10 balances shifted, %53 keys cloned as inserts), "
+        "recover the change set as added/removed/changed/unchanged counts "
+        "plus the total absolute balance drift, the reconciliation report "
+        "a warehouse runs to validate a replicated or migrated table. "
+        "One key-partitioned full-outer join (no broadcast assumption — "
+        "both snapshots are table-sized) + one map-side-combined "
+        "aggregate; all value compares in exact integer cents.",
+)
+def q_snapshot_diff(spark, sf_dir):
+    from xml_processor_spark.functions.deterministic import cents
+
+    c = table(spark, sf_dir, "customer")
+    v1 = c.select(F.col("c_custkey").alias("k"), cents("c_acctbal").alias("bal"))
+    v2 = (
+        c.filter(F.col("c_custkey") % 97 != 0)
+        .select(
+            F.col("c_custkey").alias("k"),
+            F.when(
+                F.col("c_custkey") % 10 == 0, cents("c_acctbal") + 10000
+            ).otherwise(cents("c_acctbal")).alias("bal"),
+        )
+        .unionAll(
+            c.filter(F.col("c_custkey") % 53 == 0).select(
+                (F.col("c_custkey") + 10_000_000).alias("k"),
+                F.expr("CAST(round(c_acctbal * 100) AS BIGINT) DIV 2").alias(
+                    "bal"
+                ),
+            )
+        )
+    )
+    j = v1.alias("v1").join(
+        v2.alias("v2"), F.col("v1.k") == F.col("v2.k"), "full_outer"
+    )
+    change_type = (
+        F.when(F.col("v1.k").isNull(), "added")
+        .when(F.col("v2.k").isNull(), "removed")
+        .when(F.col("v1.bal") != F.col("v2.bal"), "changed")
+        .otherwise("unchanged")
+    )
+    abs_delta = F.when(
+        F.col("v1.k").isNotNull() & F.col("v2.k").isNotNull(),
+        F.abs(F.col("v2.bal") - F.col("v1.bal")),
+    ).otherwise(F.lit(0))
+    return (
+        j.select(change_type.alias("change_type"), abs_delta.alias("abs_delta"))
+        .groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("abs_delta").alias("total_abs_delta_cents"),
+        )
+    )
