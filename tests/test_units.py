@@ -1,0 +1,90 @@
+"""Pure-helper unit properties — no SparkSession, so these run in
+milliseconds and catch cross-dialect generator drift (the Python
+expression builders and their generated-SQL twins must be the same
+function) plus driver-side numeric invariants."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+
+
+def _z_ref(a: int, b: int, bits: int = 8) -> int:
+    """Independent bit-interleave reference (a odd bits, b even bits)."""
+    z = 0
+    for i in range(bits):
+        z |= ((a >> i) & 1) << (2 * i + 1)
+        z |= ((b >> i) & 1) << (2 * i)
+    return z
+
+
+def test_zorder_sql_generator_matches_reference():
+    """The generated DuckDB interleave arithmetic must equal the
+    independent Python reference on a dense sample of the 8-bit x 8-bit
+    domain (every bit position exercised both set and clear)."""
+    from xml_processor_spark.operators.lakeops import _z_interleave_sql
+
+    con = duckdb.connect()
+    expr = _z_interleave_sql("a", "b")
+    rows = con.execute(
+        f"SELECT a, b, {expr} AS z FROM generate_series(0, 255, 7) t(a), "
+        "generate_series(0, 255, 11) u(b)"
+    ).fetchall()
+    assert rows, "empty interleave sample"
+    for a, b, z in rows:
+        assert z == _z_ref(a, b), f"interleave({a},{b}) = {z} != {_z_ref(a, b)}"
+
+
+def test_zorder_interleave_is_injective_on_corners():
+    """Distinct (a, b) pairs must map to distinct z-values (bit
+    interleaving is a bijection onto 16 bits)."""
+    pts = [0, 1, 2, 127, 128, 254, 255]
+    zs = {_z_ref(a, b) for a in pts for b in pts}
+    assert len(zs) == len(pts) ** 2
+
+
+def test_pq_train_is_deterministic_and_shaped():
+    """Codebooks must be bit-identical across calls on the same sample
+    (executors rely on this for reproducible codes) with shape
+    (m, k, dim//m)."""
+    from xml_processor_spark.functions.llm_vectors import _pq_train
+
+    rng = np.random.default_rng(11)
+    sample = rng.standard_normal((200, 16))
+    b1 = _pq_train(sample, m=4, k=8, iters=5)
+    b2 = _pq_train(sample.copy(), m=4, k=8, iters=5)
+    assert b1.shape == (4, 8, 4)
+    assert np.array_equal(b1, b2)
+
+
+def test_pq_train_dedupes_duplicate_init_rows():
+    """A sample whose head is all-duplicate rows must still seed k
+    DISTINCT centroids when enough distinct rows exist later in the
+    sample (the ADVICE r5 fix: first-k init on duplicated heads wasted
+    codebook capacity forever)."""
+    from xml_processor_spark.functions.llm_vectors import _pq_train
+
+    rng = np.random.default_rng(12)
+    distinct = rng.standard_normal((8, 4))
+    # head: the same row 10 times, then 8 distinct rows
+    sample = np.vstack([np.tile(distinct[0], (10, 1)), distinct])
+    books = _pq_train(sample, m=1, k=8, iters=0)  # iters=0 → raw init
+    init = books[0]
+    assert len(np.unique(init, axis=0)) == 8, "duplicate centroids seeded"
+
+
+def test_shard_and_split_sql_twins_agree_with_python():
+    """The md5-derived shard/split bucket SQL must reproduce Python's
+    hashlib on sample strings — the cross-engine determinism everything
+    hash-routed rests on."""
+    import hashlib
+
+    from xml_processor_spark.functions.deterministic import phash60_sql
+
+    con = duckdb.connect()
+    for s in ("", "a", "hello world", "batch part spark line", "w123 " * 50):
+        got = con.execute(
+            f"SELECT {phash60_sql('?')} ", [s]
+        ).fetchone()[0]
+        want = int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+        assert got == want, f"phash60 mismatch for {s!r}"
