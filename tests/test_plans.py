@@ -510,3 +510,34 @@ def test_decontaminate_frac_single_grouped_pass(spark, queries):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_snapshot_diff_full_outer_not_broadcast(spark, queries):
+    """Both snapshots are table-sized: the diff must be a partitioned
+    full-outer join (SMJ or shuffled hash), never broadcast (a 100 TB
+    snapshot cannot broadcast) and never a nested loop."""
+    df = queries["q_snapshot_diff"](spark, SF_MID)
+    logical = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in logical
+    plan = explain(df)
+    assert "FullOuter" in plan or "full_outer" in plan.lower()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_emb_mrl_pair_join_is_equi(spark, queries):
+    """The shift-by-one pair generation must plan as an equi join (hash
+    or SMJ) — never the cross product an inequality pairing would be."""
+    plan = explain(queries["q_emb_mrl"](spark, SF_MID))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_zorder_manifest_single_agg_after_bounds(spark, queries):
+    """The Z-value is scan-side arithmetic against 1-row broadcast
+    bounds; the manifest is ONE map-side-combined aggregation and the
+    fact side never collapses to a single partition."""
+    plan = explain(queries["q_zorder_manifest"](spark, SF_MID))
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan  # bounds attach via broadcast NLJ-free cross
