@@ -466,3 +466,74 @@ def q_xml_namespaces(spark, sf_dir):
         F.expr(f'xpath_int(x, "{meta}/@size")').alias("psize"),
         F.expr(f"xpath_string(x, \"{meta}/*[local-name()='brand']\")").alias("brand"),
     )
+
+
+# --- r6 addition: JSON schema-drift detection -----------------------------
+
+
+@register(
+    "q_json_schema_drift",
+    oracle="""
+        WITH built AS (
+            SELECT CASE WHEN event_id % 2 = 0 THEN 'old' ELSE 'new' END
+                       AS epoch,
+                   CASE WHEN event_id % 2 = 0
+                        THEN json_object('k', event_id, 'v', value)
+                        ELSE json_object('k', event_id, 'unit', event_type,
+                                         'ts_ms', epoch_ms(ts))
+                   END AS js
+            FROM events
+        ), keys AS (
+            SELECT epoch, unnest(json_keys(js)) AS field FROM built
+        )
+        SELECT field,
+               CAST(count(*) FILTER (WHERE epoch = 'old') AS BIGINT) AS n_old,
+               CAST(count(*) FILTER (WHERE epoch = 'new') AS BIGINT) AS n_new,
+               CASE WHEN count(*) FILTER (WHERE epoch = 'old') = 0
+                        THEN 'added'
+                    WHEN count(*) FILTER (WHERE epoch = 'new') = 0
+                        THEN 'removed'
+                    ELSE 'stable' END AS drift
+        FROM keys GROUP BY field
+    """,
+    doc="Schema-drift detection over a semi-structured feed — the "
+        "evolution half of the envelope's type-mapping concern: two "
+        "epochs of JSON records are synthesized from the fixture (old "
+        "carries k+v; new drops v and adds unit+ts_ms), per-record key "
+        "sets come from the engine's native JSON-key inference "
+        "(json_object_keys / json_keys — no regex, no Python), and one "
+        "grouped count classifies every field as added/removed/stable "
+        "with its per-epoch frequencies. Scan-side inference + one "
+        "map-side-combined groupBy on a |fields|-sized key space — the "
+        "report stays tiny at any corpus size.",
+)
+def q_json_schema_drift(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    old_js = F.to_json(F.struct(F.col("event_id").alias("k"), F.col("value").alias("v")))
+    new_js = F.to_json(
+        F.struct(
+            F.col("event_id").alias("k"),
+            F.col("event_type").alias("unit"),
+            (F.unix_millis("ts")).alias("ts_ms"),
+        )
+    )
+    built = e.select(
+        F.when(F.col("event_id") % 2 == 0, "old").otherwise("new").alias("epoch"),
+        F.when(F.col("event_id") % 2 == 0, old_js).otherwise(new_js).alias("js"),
+    )
+    keys = built.select("epoch", F.explode(F.json_object_keys("js")).alias("field"))
+    n_old = F.count(F.when(F.col("epoch") == "old", 1))
+    n_new = F.count(F.when(F.col("epoch") == "new", 1))
+    return (
+        keys.groupBy("field")
+        .agg(n_old.alias("n_old"), n_new.alias("n_new"))
+        .select(
+            "field",
+            "n_old",
+            "n_new",
+            F.when(F.col("n_old") == 0, "added")
+            .when(F.col("n_new") == 0, "removed")
+            .otherwise("stable")
+            .alias("drift"),
+        )
+    )
