@@ -508,3 +508,50 @@ def q_domain_stats(spark, sf_dir):
             ).alias("short_frac"),
         )
     )
+
+
+@register(
+    "q_events_rolling_active",
+    oracle="""
+        WITH daily AS (
+            SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d,
+                            user_id
+            FROM events
+        ), spine AS (SELECT DISTINCT d FROM daily)
+        SELECT s.d,
+               CAST(count(DISTINCT CASE WHEN a.d = s.d THEN a.user_id END)
+                    AS BIGINT) AS dau,
+               CAST(count(DISTINCT a.user_id) AS BIGINT) AS wau7
+        FROM spine s JOIN daily a
+          ON a.d BETWEEN s.d - INTERVAL 6 DAY AND s.d
+        GROUP BY s.d
+    """,
+    doc="Rolling active users — DAU and trailing-7-day WAU per day. "
+        "Distinct-over-a-sliding-window has no window-function form, so "
+        "the scale shape is: dedup events to (day, user) FIRST (the big "
+        "map-side-combined reduction — |days|x|users| rows out of "
+        "|events|), then range-join the deduped stream against the tiny "
+        "day spine and count distinct per day. The range join fans each "
+        "(day, user) row into <= 7 spine days — bounded amplification, "
+        "shuffle ∝ 7x|daily|, never |events| re-scanned per day.",
+)
+def q_events_rolling_active(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    daily = ev.select(
+        F.date_trunc("day", "ts").cast("date").alias("d"), "user_id"
+    ).distinct()
+    spine = daily.select(F.col("d").alias("sd")).distinct()
+    joined = spine.join(
+        daily,
+        (F.col("d") >= F.col("sd") - F.expr("INTERVAL 6 DAY"))
+        & (F.col("d") <= F.col("sd")),
+    )
+    return (
+        joined.groupBy(F.col("sd").alias("d"))
+        .agg(
+            F.count_distinct(
+                F.when(F.col("d") == F.col("sd"), F.col("user_id"))
+            ).alias("dau"),
+            F.count_distinct("user_id").alias("wau7"),
+        )
+    )
