@@ -555,3 +555,64 @@ def q_events_rolling_active(spark, sf_dir):
             F.count_distinct("user_id").alias("wau7"),
         )
     )
+
+
+@register(
+    "q_events_funnel_ordered",
+    oracle="""
+        WITH s1 AS (
+            SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ), s2 AS (
+            SELECT e.user_id, min(e.ts) AS t2
+            FROM events e JOIN s1 ON e.user_id = s1.user_id
+            WHERE e.event_type = 'click' AND e.ts > s1.t1
+            GROUP BY e.user_id
+        ), s3 AS (
+            SELECT e.user_id, min(e.ts) AS t3
+            FROM events e JOIN s2 ON e.user_id = s2.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+            GROUP BY e.user_id
+        )
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_view,
+               (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n_view_click,
+               (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n_view_click_purchase
+    """,
+    doc="Strictly-ordered 3-step funnel (view -> click -> purchase, each "
+        "step after the previous step's FIRST occurrence): per-user "
+        "min-ts chaining — stage k is a per-user aggregate joined back "
+        "to the event stream with a ts > prior-stage filter, so each "
+        "stage is one key-partitioned join + map-side-combined min, and "
+        "all stages share the user_id partitioning (no broadcast "
+        "assumption: stage survivor sets are user-dimension-sized). The "
+        "window-free formulation is the one that scales — a per-user "
+        "sort + sessionize would work but shuffles full event payloads.",
+)
+def q_events_funnel_ordered(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_view_click")))
+        .crossJoin(
+            s3.agg(F.count(F.lit(1)).alias("n_view_click_purchase"))
+        )
+    )
