@@ -541,3 +541,12 @@ def test_zorder_manifest_single_agg_after_bounds(spark, queries):
     assert plan.count("HashAggregate") >= 2
     assert "partial_count" in plan
     assert "CartesianProduct" not in plan  # bounds attach via broadcast NLJ-free cross
+
+
+def test_skew_stats_topn_is_take_ordered(spark, queries):
+    """The top-10 heaviest keys must come from a distributed
+    TakeOrderedAndProject over the per-key aggregate — a global window
+    over |keys| rows would single-partition a dimension-sized table."""
+    plan = explain(queries["q_skew_stats"](spark, SF_MID))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 2

@@ -520,3 +520,123 @@ def q_agg_histogram(spark, sf_dir):
             F.round(F.max("o_totalprice"), 2).alias("hi_val"),
         )
     )
+
+
+# --- r6 additions: weighted aggregates, join-key skew diagnostic ----------
+
+
+@register(
+    "q_agg_weighted",
+    oracle="""
+        WITH t AS (
+            SELECT l_returnflag,
+                   CAST(l_quantity AS BIGINT) AS w,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS xc
+            FROM lineitem
+        )
+        SELECT l_returnflag,
+               CAST(sum(w) AS BIGINT) AS total_w,
+               round(CAST(sum(w * xc) AS DOUBLE)
+                     / CAST(sum(w) AS DOUBLE) / 100, 6) AS wmean_price,
+               round((CAST(sum(CAST(w AS DECIMAL(38,0))
+                               * CAST(xc AS DECIMAL(38,0))
+                               * CAST(xc AS DECIMAL(38,0))) AS DOUBLE)
+                      / CAST(sum(w) AS DOUBLE)
+                      - (CAST(sum(w * xc) AS DOUBLE)
+                         / CAST(sum(w) AS DOUBLE)) ^ 2) / 10000, 4)
+                   AS wvar_price
+        FROM t GROUP BY l_returnflag
+    """,
+    doc="Quantity-weighted price mean and population variance per flag — "
+        "the weighted aggregates behind mixture-weighted corpus stats. "
+        "Every sum is exact integer/decimal arithmetic (weights are "
+        "integer-valued, prices fixed to cents; the w*x^2 sum runs in "
+        "DECIMAL(38) because cents^2 x quantity x rows overflows int64), "
+        "so group results are order-independent at any partitioning; the "
+        "single float division + rounding happens once per group.",
+)
+def q_agg_weighted(spark, sf_dir):
+    from xml_processor_spark.functions.deterministic import cents
+
+    li = table(spark, sf_dir, "lineitem")
+    w = F.col("l_quantity").cast("long")
+    xc = cents("l_extendedprice")
+    t = li.select(
+        "l_returnflag",
+        w.alias("w"),
+        xc.alias("xc"),
+    )
+    sum_w = F.sum("w")
+    sum_wx = F.sum(F.col("w") * F.col("xc"))
+    sum_wx2 = F.sum(
+        F.col("w").cast("decimal(38,0)")
+        * F.col("xc").cast("decimal(38,0)")
+        * F.col("xc").cast("decimal(38,0)")
+    )
+    wmean_cents = sum_wx.cast("double") / sum_w.cast("double")
+    return t.groupBy("l_returnflag").agg(
+        sum_w.alias("total_w"),
+        F.round(wmean_cents / 100, 6).alias("wmean_price"),
+        F.round(
+            (sum_wx2.cast("double") / sum_w.cast("double") - wmean_cents ** 2)
+            / 10000,
+            4,
+        ).alias("wvar_price"),
+    )
+
+
+_SKEW_TOP = 10
+
+
+@register(
+    "q_skew_stats",
+    oracle=f"""
+        WITH per_key AS (
+            SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS n
+            FROM orders GROUP BY o_custkey
+        ), g AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                   round(avg(n), 6) AS avg_n
+            FROM per_key
+        )
+        SELECT rank, k, n, n_keys, avg_n,
+               round(n / avg_n, 6) AS skew_vs_avg
+        FROM (
+            SELECT k, n, row_number() OVER (ORDER BY n DESC, k) AS rank
+            FROM per_key
+        ), g
+        WHERE rank <= {_SKEW_TOP}
+    """,
+    doc=f"Join-key skew diagnostic: per-key cardinality of the orders "
+        f"custkey (the join key the salted operators protect), top-"
+        f"{_SKEW_TOP} heaviest keys with their skew factor vs the mean — "
+        "the measurement a pipeline runs BEFORE choosing between plain "
+        "hash join, AQE skew handling, and explicit salting "
+        "(q_join_salted / q_agg_salted_skew). One map-side-combined "
+        "count, then a distributed TakeOrderedAndProject for the top-10 "
+        "— NEVER a global window over the per-key table (|keys| is "
+        "customer-dimension-sized; the rank is assigned on the already-"
+        f"limited {_SKEW_TOP}-row result, where a single partition is a "
+        "constant). The 1-row global stats broadcast.",
+)
+def q_skew_stats(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    per_key = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    g = per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.round(F.avg("n"), 6).alias("avg_n"),
+    )
+    top = per_key.orderBy(F.col("n").desc(), "k").limit(_SKEW_TOP)
+    w = Window.orderBy(F.col("n").desc(), "k")  # over <= _SKEW_TOP rows
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .crossJoin(F.broadcast(g))
+        .select(
+            "rank", "k", "n", "n_keys", "avg_n",
+            F.round(F.col("n") / F.col("avg_n"), 6).alias("skew_vs_avg"),
+        )
+    )
