@@ -669,3 +669,114 @@ def q_sample_topquality(spark, sf_dir):
         .filter(F.col("rn") <= F.ceil(_TOPQ_FRAC * F.col("cnt")).cast("long"))
         .select("doc_id", "source", "n_chars")
     )
+
+
+# --- r6 additions: URL/domain extraction, mixture rebalancing -------------
+
+_URL_HOST_RE = "https?://([^/]+)"
+_URL_PATH_RE = "://[^/]+(/[^?]*)"
+_URL_DOMAIN_RE = r"([^.]+\.[^.]+)$"
+
+
+@register(
+    "q_url_parse",
+    oracle=f"""
+        WITH u AS (
+            SELECT doc_id,
+                   'https://' || source || '.example.com/docs/'
+                       || CAST(doc_id AS VARCHAR) || '?lang=' || lang AS url
+            FROM documents
+        )
+        SELECT doc_id,
+               regexp_extract(url, '{_URL_HOST_RE}', 1) AS host,
+               regexp_extract(url, '{_URL_PATH_RE}', 1) AS path,
+               regexp_extract(regexp_extract(url, '{_URL_HOST_RE}', 1),
+                              '{_URL_DOMAIN_RE}', 1) AS domain
+        FROM u
+    """,
+    origin="LLM",
+    doc="URL parsing for web-corpus curation: host, path, and registered "
+        "domain extracted from a synthesized per-doc URL (the fixture has "
+        "no URL column; the envelope pattern — synthesize from columns, "
+        "parse back — keeps it oracle-checkable). The SAME regexes run in "
+        "both dialects (not parse_url, whose edge-case semantics differ "
+        "from any regex). Scan-side, zero shuffle; per-domain rollups "
+        "compose with q_domain_stats downstream.",
+)
+def q_url_parse(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"), F.lit("?lang="), F.col("lang"),
+    )
+    host = F.regexp_extract(url, _URL_HOST_RE, 1)
+    return d.select(
+        "doc_id",
+        host.alias("host"),
+        F.regexp_extract(url, _URL_PATH_RE, 1).alias("path"),
+        F.regexp_extract(host, _URL_DOMAIN_RE, 1).alias("domain"),
+    )
+
+
+# Target training-mixture fractions; languages outside the plan get a
+# floor share so an unexpected stratum cannot silently dominate.
+_MIX_TARGETS = {"en": 0.40, "de": 0.20, "fr": 0.15, "zh": 0.15}
+_MIX_DEFAULT = 0.05
+
+
+def _mix_target_sql() -> str:
+    whens = " ".join(
+        f"WHEN '{lang}' THEN {t}" for lang, t in sorted(_MIX_TARGETS.items())
+    )
+    return f"CASE lang {whens} ELSE {_MIX_DEFAULT} END"
+
+
+@register(
+    "q_lang_mix_rebalance",
+    oracle=f"""
+        WITH counts AS (
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   {_mix_target_sql()} AS target_frac
+            FROM documents GROUP BY lang
+        ), feasible AS (
+            SELECT min(n_docs / target_frac) AS f FROM counts
+        )
+        SELECT lang, n_docs, round(target_frac, 6) AS target_frac,
+               CAST(floor(f * target_frac) AS BIGINT) AS n_keep,
+               round(floor(f * target_frac) / n_docs, 6) AS keep_rate
+        FROM counts, feasible
+    """,
+    origin="LLM",
+    doc="Training-mixture rebalancing plan: given target language "
+        "fractions, compute the largest corpus satisfying them exactly "
+        "(feasible scale F = min over strata of n/target — the binding "
+        "stratum keeps ~100%) and each stratum's keep count and rate. "
+        "This is the PLANNING half; q_sample_stratified is the execution "
+        "half (content-hash keep decisions). One map-side-combined "
+        "groupBy over |langs| rows + a 1-row broadcast scalar; floor() "
+        "on an exact integer-ratio product keeps both engines identical.",
+)
+def q_lang_mix_rebalance(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    target = None
+    for lang, t in sorted(_MIX_TARGETS.items()):
+        target = (
+            F.when(F.col("lang") == lang, t)
+            if target is None
+            else target.when(F.col("lang") == lang, t)
+        )
+    target = target.otherwise(_MIX_DEFAULT)
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs")).select(
+        "lang", "n_docs", target.alias("target_frac")
+    )
+    feasible = counts.agg(
+        F.min(F.col("n_docs") / F.col("target_frac")).alias("f")
+    )
+    n_keep = F.floor(F.col("f") * F.col("target_frac"))
+    return counts.crossJoin(F.broadcast(feasible)).select(
+        "lang",
+        "n_docs",
+        F.round("target_frac", 6).alias("target_frac"),
+        n_keep.cast("long").alias("n_keep"),
+        F.round(n_keep / F.col("n_docs"), 6).alias("keep_rate"),
+    )
