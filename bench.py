@@ -176,15 +176,35 @@ def main() -> None:
         timings[key] = round(min(runs), 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    total = round(sum(timings.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_total_wall_clock",
-                "value": round(sum(timings.values()), 3),
+                "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "total_sec": round(sum(timings.values()), 3),
+                "sf": sf_val,
+                "total_sec": total,
+            }
+        )
+    )
+    # The full line above is ~2.7 kB (92 per-query timings) and the driver
+    # captures only a 2,000-char stdout tail, so its head — and the JSON
+    # opening brace — is lost and the parse fails (BENCH_r05/r06
+    # "parsed": null). This final line is < 200 chars, complete inside any
+    # tail capture, and is the LAST line, so a last-line JSON parse
+    # succeeds regardless of truncation (VERDICT r6 #5).
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "sf": sf_val,
+                "n_queries": len(timings),
+                "total_sec": total,
             }
         )
     )

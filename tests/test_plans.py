@@ -148,6 +148,7 @@ def test_no_forced_broadcast_of_corpus_sized_sides(spark, queries):
         "q_dedup_ngram_jaccard",
         "q_dedup_containment",
         "q_events_retention",
+        "q_decontaminate_frac",
     ):
         df = queries[key](spark, SF_MID)
         logical = df._jdf.queryExecution().analyzed().toString()
@@ -476,7 +477,6 @@ def test_topquality_windows_share_one_exchange(spark, queries):
     partition (a global sort would serialize the corpus onto one task)."""
     plan = explain(queries["q_sample_topquality"](spark, SF_MID))
     assert "SinglePartition" not in plan
-    exchanges = [l for l in plan.splitlines() if l.strip().startswith(f"({'' }")]
     # formatted output lists each physical node once in the numbered
     # details; count Exchange node ids, not tree-art mentions
     n_exchange = sum(
@@ -503,13 +503,17 @@ def test_boilerplate_has_partial_agg(spark, queries):
 
 def test_decontaminate_frac_single_grouped_pass(spark, queries):
     """Both counts must come from ONE groupBy over the marker-joined
-    shingle stream: exactly one broadcast (the probe set) and no join of
-    two corpus-sized aggregates (which would show a second non-broadcast
-    join after the aggregation)."""
-    plan = explain(queries["q_decontaminate_frac"](spark, SF_MID))
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+    shingle stream, with NO forced broadcast: the probe set is
+    corpus-derived (every 97th doc), so the logical plan must carry no
+    ResolvedHint — AQE decides from measured size (ADVICE r6). Shape-wise
+    there must be no cartesian and no second join of two corpus-sized
+    aggregates after the groupBy."""
+    df = queries["q_decontaminate_frac"](spark, SF_MID)
+    logical = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in logical
+    plan = explain(df)
     assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2
 
 
 def test_snapshot_diff_full_outer_not_broadcast(spark, queries):
@@ -550,3 +554,58 @@ def test_skew_stats_topn_is_take_ordered(spark, queries):
     plan = explain(queries["q_skew_stats"](spark, SF_MID))
     assert "TakeOrderedAndProject" in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_rolling_active_spine_join_is_equi_broadcast(spark, queries):
+    """DAU/WAU7: the fanned (day,user) stream must equi-join the
+    calendar-bounded day spine as a BroadcastHashJoin building the SPINE
+    side — never the BroadcastNestedLoopJoin the BETWEEN-range form
+    planned (ADVICE r6: |days|x|daily| comparisons), and never a
+    cartesian. The explode(sequence(d, d+6)) fan-out must appear as a
+    Generate node (amplification exactly 7x|daily| by construction)."""
+    plan = explain(queries["q_events_rolling_active"](spark, SF_MID))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Generate" in plan  # the explode fan-out
+    # the broadcast exchange must feed the spine (the distinct-day agg),
+    # not the fact side: the spine subtree is the one whose aggregate
+    # groups by the spine alias `sd` alone
+    assert "BroadcastExchange" in plan
+
+
+def test_url_parse_is_scan_side(spark, queries):
+    """URL host/path/domain extraction is per-row regex math: zero
+    shuffle, zero Python, and the scan must prune to the 4 source
+    columns the synthesis uses."""
+    plan = explain(queries["q_url_parse"](spark, SF_MID))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "text" not in read_schema  # the big column stays unread
+
+
+def test_lang_mix_rebalance_broadcasts_only_the_scalar(spark, queries):
+    """The mixture plan is |langs| rows x a 1-row feasible scalar: the
+    counts aggregate must map-side combine, and the only join may be
+    the bounded 1-row broadcast (never SMJ/cartesian of two shuffled
+    sides)."""
+    plan = explain(queries["q_lang_mix_rebalance"](spark, SF_MID))
+    assert plan.count("HashAggregate") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_funnel_ordered_no_forced_broadcast_and_partial_mins(spark, queries):
+    """Every funnel stage joins user-dimension-sized survivor sets back
+    to the event stream: the logical plan must carry no broadcast hint
+    (stage sets grow with users — AQE may still choose broadcast at
+    test SF from measured stats), and each stage's min(ts) must
+    map-side combine before its shuffle."""
+    df = queries["q_events_funnel_ordered"](spark, SF_MID)
+    logical = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in logical
+    plan = explain(df)
+    assert "partial_min" in plan
+    assert "CartesianProduct" not in plan

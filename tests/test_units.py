@@ -88,3 +88,35 @@ def test_shard_and_split_sql_twins_agree_with_python():
         ).fetchone()[0]
         want = int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
         assert got == want, f"phash60 mismatch for {s!r}"
+
+
+def test_table_cache_hangs_off_the_session_object(monkeypatch):
+    """The DataFrame cache must live ON the session object, never in an
+    id()-keyed module dict: CPython reuses addresses of collected
+    sessions, so an id()-keyed memo can hand a fresh session a dead
+    session's handle (VERDICT r6 #2). Two distinct session objects must
+    get independent caches, and a repeat call must return the SAME
+    cached object (identity, not re-load)."""
+    from xml_processor_spark import io as xio
+
+    loads = []
+
+    def fake_load(spark, path, name):
+        loads.append((id(spark), path))
+        return object()  # unique sentinel per load
+
+    monkeypatch.setattr(xio, "_load", fake_load)
+
+    class FakeSession:
+        pass
+
+    s1, s2 = FakeSession(), FakeSession()
+    a = xio.table(s1, "/sf", "region")
+    assert xio.table(s1, "/sf", "region") is a  # memo hit, no second load
+    assert len(loads) == 1
+    b = xio.table(s2, "/sf", "region")
+    assert b is not a  # distinct session -> distinct cache
+    assert len(loads) == 2
+    # the memo dies with the session: it is an attribute, not module state
+    assert getattr(s1, "_xps_df_cache", None) is not None
+    assert s1._xps_df_cache is not s2._xps_df_cache

@@ -594,11 +594,14 @@ def q_split_assign(spark, sf_dir):
         "shingle COUNT; real pipelines threshold on the contamination "
         "FRACTION (shared / total distinct shingles of the doc), which "
         "separates a quoted sentence from a wholesale benchmark copy. "
-        "Probe set broadcasts (bounded: a real benchmark) as a LEFT-join "
-        "marker onto the corpus shingle stream, then ONE map-side-combined "
-        "groupBy computes both counts — a single corpus pass and a single "
-        "shuffle, instead of joining two corpus-sized per-doc aggregates "
-        "(the oracle keeps the two-CTE form; same rows either way).",
+        "The probe set here is corpus-derived (every 97th doc's shingles), "
+        "so it is NOT force-broadcast — AQE picks the join strategy from "
+        "measured size (a real benchmark suite would be bounded and "
+        "broadcastable, but the plan must not assume it). The LEFT-join "
+        "marker feeds ONE map-side-combined groupBy computing both counts "
+        "— a single corpus pass and a single shuffle, instead of joining "
+        "two corpus-sized per-doc aggregates (the oracle keeps the "
+        "two-CTE form; same rows either way).",
 )
 def q_decontaminate_frac(spark, sf_dir):
     from xml_processor_spark.functions.llm_dedup import shingles
@@ -613,7 +616,7 @@ def q_decontaminate_frac(spark, sf_dir):
         .withColumn("hit", F.lit(1))
     )
     return (
-        train.join(F.broadcast(bench), "s", "left")
+        train.join(bench, "s", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),

@@ -17,23 +17,28 @@ TABLES = (
 )
 
 
-# (session id, path) → DataFrame. DataFrames are immutable logical plans;
-# re-creating one per call pays file listing + footer/schema reads + a Py4J
-# round-trip (~0.1-0.2 s each on local). Keyed by session so a new driver
-# session never sees a stale handle.
-_df_cache: dict[tuple[int, str], DataFrame] = {}
+# path → DataFrame, stored as an attribute ON the session object (not an
+# id()-keyed module dict: CPython reuses addresses of collected sessions, so
+# a fresh session could falsely hit a dead session's handle — same hazard
+# ADVICE r5 flagged for register_views). DataFrames are immutable logical
+# plans; re-creating one per call pays file listing + footer/schema reads +
+# a Py4J round-trip (~0.1-0.2 s each on local). The cache dies with the
+# session it hangs off.
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
-    key = (id(spark), path)
-    cached = _df_cache.get(key)
+    cache = getattr(spark, "_xps_df_cache", None)
+    if cache is None:
+        cache = {}
+        spark._xps_df_cache = cache
+    cached = cache.get(path)
     if cached is not None:
         return cached
     df = _load(spark, path, name)
-    _df_cache[key] = df
+    cache[path] = df
     return df
 
 

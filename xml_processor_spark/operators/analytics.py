@@ -530,10 +530,13 @@ def q_domain_stats(spark, sf_dir):
         "Distinct-over-a-sliding-window has no window-function form, so "
         "the scale shape is: dedup events to (day, user) FIRST (the big "
         "map-side-combined reduction — |days|x|users| rows out of "
-        "|events|), then range-join the deduped stream against the tiny "
-        "day spine and count distinct per day. The range join fans each "
-        "(day, user) row into <= 7 spine days — bounded amplification, "
-        "shuffle ∝ 7x|daily|, never |events| re-scanned per day.",
+        "|events|), then EXPLODE each (day, user) row into the <= 7 spine "
+        "days it covers (F.sequence(d, d+6)) and equi-join that against "
+        "the calendar-bounded day spine — a BroadcastHashJoin on the day "
+        "key, never a nested-loop/range join (ADVICE r6: the BETWEEN form "
+        "planned as a |days|x|daily| BroadcastNestedLoopJoin). "
+        "Amplification is exactly 7x|daily| rows by construction; the "
+        "spine broadcast is bounded by calendar days, not data volume.",
 )
 def q_events_rolling_active(spark, sf_dir):
     ev = table(spark, sf_dir, "events")
@@ -541,11 +544,14 @@ def q_events_rolling_active(spark, sf_dir):
         F.date_trunc("day", "ts").cast("date").alias("d"), "user_id"
     ).distinct()
     spine = daily.select(F.col("d").alias("sd")).distinct()
-    joined = spine.join(
-        daily,
-        (F.col("d") >= F.col("sd") - F.expr("INTERVAL 6 DAY"))
-        & (F.col("d") <= F.col("sd")),
+    fanned = daily.select(
+        "d",
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+        ).alias("sd"),
     )
+    joined = fanned.join(F.broadcast(spine), "sd")
     return (
         joined.groupBy(F.col("sd").alias("d"))
         .agg(

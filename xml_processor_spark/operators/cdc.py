@@ -166,7 +166,11 @@ _SD_CENTS = "CAST(round(c_acctbal * 100) AS BIGINT)"
                         ELSE {_SD_CENTS} END AS bal
             FROM customer WHERE c_custkey % 97 <> 0
             UNION ALL
-            SELECT c_custkey + 10000000, {_SD_CENTS} // 2
+            -- clone keys are NEGATED, not offset: a constant offset
+            -- collides with real custkeys once SF grows past the offset
+            -- (customer = 150k x SF rows), silently corrupting the
+            -- added/changed counts; -k can never collide at any SF
+            SELECT -c_custkey, {_SD_CENTS} // 2
             FROM customer WHERE c_custkey % 53 = 0
         )
         SELECT change_type, CAST(count(*) AS BIGINT) AS n,
@@ -207,7 +211,7 @@ def q_snapshot_diff(spark, sf_dir):
         )
         .unionAll(
             c.filter(F.col("c_custkey") % 53 == 0).select(
-                (F.col("c_custkey") + 10_000_000).alias("k"),
+                (-F.col("c_custkey")).alias("k"),
                 F.expr("CAST(round(c_acctbal * 100) AS BIGINT) DIV 2").alias(
                     "bal"
                 ),

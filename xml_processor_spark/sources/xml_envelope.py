@@ -477,10 +477,16 @@ def q_xml_namespaces(spark, sf_dir):
         WITH built AS (
             SELECT CASE WHEN event_id % 2 = 0 THEN 'old' ELSE 'new' END
                        AS epoch,
+                   -- payloads are null-coalesced in BOTH dialects: Spark's
+                   -- to_json DROPS null struct fields while DuckDB's
+                   -- json_object emits the key with a null value, so one
+                   -- null row would shift per-field counts between engines
                    CASE WHEN event_id % 2 = 0
-                        THEN json_object('k', event_id, 'v', value)
-                        ELSE json_object('k', event_id, 'unit', event_type,
-                                         'ts_ms', epoch_ms(ts))
+                        THEN json_object('k', event_id,
+                                         'v', coalesce(value, 0.0))
+                        ELSE json_object('k', event_id,
+                                         'unit', coalesce(event_type, ''),
+                                         'ts_ms', coalesce(epoch_ms(ts), 0))
                    END AS js
             FROM events
         ), keys AS (
@@ -509,12 +515,20 @@ def q_xml_namespaces(spark, sf_dir):
 )
 def q_json_schema_drift(spark, sf_dir):
     e = table(spark, sf_dir, "events")
-    old_js = F.to_json(F.struct(F.col("event_id").alias("k"), F.col("value").alias("v")))
+    # coalesce payloads (mirrored in the oracle): to_json drops null
+    # struct fields, json_object keeps them — a null row would otherwise
+    # flip a field's per-epoch counts between engines
+    old_js = F.to_json(
+        F.struct(
+            F.col("event_id").alias("k"),
+            F.coalesce(F.col("value"), F.lit(0.0)).alias("v"),
+        )
+    )
     new_js = F.to_json(
         F.struct(
             F.col("event_id").alias("k"),
-            F.col("event_type").alias("unit"),
-            (F.unix_millis("ts")).alias("ts_ms"),
+            F.coalesce(F.col("event_type"), F.lit("")).alias("unit"),
+            F.coalesce(F.unix_millis("ts"), F.lit(0)).alias("ts_ms"),
         )
     )
     built = e.select(
