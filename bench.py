@@ -65,6 +65,9 @@ HEADLINE = [
     # only); its scale path E-EMB-LSH (sign-LSH banded equi join) benches
     # as the representative so the set keeps its no-quadratic-ops claim.
     "E-EMB-LSH",
+    # Realistic-τ scale path (r7): tight band family, ~5e-4 candidate
+    # fraction — the shape that actually runs at 100 TB.
+    "E-EMB-LSH-HI",
     "E-KNN-IVF",
     "q_text_chunk",
     "q_text_repetition",

@@ -190,6 +190,15 @@ def test_emb_lsh_band_join_is_equi(spark, queries):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_emb_lsh_hi_band_join_is_equi(spark, queries):
+    """The realistic-τ path must keep the same no-all-pairs shape: band
+    candidates via equi join, rescore via vec_id joins, and the planted
+    near-dup union must not defeat any of it."""
+    plan = explain(queries["E-EMB-LSH-HI"](spark, SF_MID))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_stratified_sample_is_scan_side(spark, queries):
     """Stratified sampling is a deterministic filter — no shuffle, no
     Python; the whole mixture decision rides the scan."""

@@ -169,3 +169,43 @@ def test_dedup_spans_exact_at_10x(spark, queries, stress_dir):
     assert (out["start_a"] == 1).all() and (out["start_b"] == 1).all()
     got = set(zip(out["doc_a"], out["doc_b"]))
     assert got == {(i, _N_UNIQ_DOCS + i) for i in range(_N_DUP_DOCS)}
+
+
+@pytest.mark.slow
+def test_emb_lsh_hi_bounds_hold_at_4x(spark, queries, stress_dir):
+    """The realistic-τ scale path (VERDICT r6 #3): at the declared
+    operating point (τ=0.9, 16-bit x 32-band) the candidate fraction
+    must be < 0.01 (theory: 32·2^-16 ≈ 5e-4 for random pairs — three
+    orders tighter than the τ=0.35 family's 0.53 geometry floor) and
+    recall ≥ 0.9 over the known-by-construction truth: the query's own
+    planted pairs (cos ≈ 0.978, every 5th vector, negated ids) plus the
+    stress corpus's 200 injected cos~0.9998 dups — both far enough above
+    τ that band-survival probability is ≈ 1. Runs on the 8k-vector 4x
+    corpus → 9.6k rows after planting → 4.6e7 possible pairs."""
+    from xml_processor_spark.functions.llm_dedup import (
+        _EMB_HI_BANDS,
+        _EMB_HI_BITS,
+        _EMB_SEED,
+        _emb_hi_corpus,
+        _sign_lsh_pairs,
+    )
+
+    out = (
+        queries["E-EMB-LSH-HI"](spark, stress_dir)
+        .select("id_a", "id_b")
+        .toPandas()
+    )
+    got = set(zip(out["id_a"], out["id_b"]))
+    m = _N_UNIQ_VECS + _N_DUP_VECS
+    planted = {(-(i + 1), i) for i in range(0, m, 5)}
+    injected = {(i, _N_UNIQ_VECS + i) for i in range(_N_DUP_VECS)}
+    truth = planted | injected
+    recall = len(truth & got) / len(truth)
+    corpus = _emb_hi_corpus(spark, stress_dir)
+    n = m + len(planted)
+    frac = (
+        _sign_lsh_pairs(corpus, _EMB_HI_BANDS, _EMB_HI_BITS, _EMB_SEED).count()
+        / (n * (n - 1) / 2)
+    )
+    assert recall >= 0.9, f"emb-lsh-hi recall {recall:.4f} at 4x corpus"
+    assert frac < 0.01, f"emb-lsh-hi candidate fraction {frac:.2e} at 4x corpus"

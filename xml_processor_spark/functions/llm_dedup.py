@@ -499,34 +499,36 @@ _EMB_BAND_BITS = 6
 _EMB_SEED = 1234
 
 
-def _emb_lsh_candidates(spark, sf_dir):
+def _sign_lsh_pairs(vecs, bands: int, band_bits: int, seed: int):
     """Candidate (id_a, id_b) pairs colliding in >= 1 sign-LSH band.
 
-    The 288 hyperplane projections are one Arrow-batched numpy matmul per
-    batch (288 interpreted zip_with/aggregate folds per row would be the
-    slow path); banding, the equi join, and dedup stay JVM-side.
-    """
-    e = widen(table(spark, sf_dir, "embeddings"))
+    ``vecs`` is a DataFrame of (vec_id, embedding). The hyperplane
+    projections are one Arrow-batched numpy matmul per batch (interpreted
+    zip_with/aggregate folds per row would be the slow path); banding, the
+    equi join, and dedup stay JVM-side. The band family (bands x band_bits)
+    is the τ knob: per-hyperplane agreement for a pair at angle θ is
+    1 - θ/π, so tight thresholds (small θ) support many bits per band —
+    which is what crushes the random-pair collision rate (0.5^bits)."""
 
     @F.pandas_udf("array<int>")
-    def band_codes(vecs: pd.Series) -> pd.Series:
+    def band_codes(batch: pd.Series) -> pd.Series:
         import numpy as np
 
-        if len(vecs) == 0:
+        if len(batch) == 0:
             return pd.Series([], dtype=object)
-        mat = np.stack([np.asarray(v, dtype="float64") for v in vecs])
+        mat = np.stack([np.asarray(v, dtype="float64") for v in batch])
         # Deterministic plane family — same on every executor, every run.
         # Row count follows the incoming dimensionality (seeded draws are
         # dim-prefix-stable only in shape, but every batch draws the same
         # (dim, planes) matrix, which is all determinism requires).
-        rng = np.random.RandomState(_EMB_SEED)
-        planes = rng.standard_normal((mat.shape[1], _EMB_BANDS * _EMB_BAND_BITS))
+        rng = np.random.RandomState(seed)
+        planes = rng.standard_normal((mat.shape[1], bands * band_bits))
         bits = (mat @ planes) > 0
-        weights = 1 << np.arange(_EMB_BAND_BITS - 1, -1, -1)
-        codes = bits.reshape(len(mat), _EMB_BANDS, _EMB_BAND_BITS) @ weights
+        weights = 1 << np.arange(band_bits - 1, -1, -1)
+        codes = bits.reshape(len(mat), bands, band_bits) @ weights
         return pd.Series([row.astype("int32").tolist() for row in codes])
 
-    banded = e.select(
+    banded = vecs.select(
         "vec_id", F.posexplode(band_codes("embedding")).alias("band", "code")
     )
     a = banded.select(F.col("vec_id").alias("id_a"), "band", "code")
@@ -539,20 +541,11 @@ def _emb_lsh_candidates(spark, sf_dir):
     )
 
 
-@register(
-    "E-EMB-LSH",
-    oracle=None,
-    origin="LLM",
-    doc="Bucketed embedding near-dup — the scale path for "
-        "q_dedup_emb_cosine: random-hyperplane sign-band candidates "
-        f"({_EMB_BAND_BITS}-bit x {_EMB_BANDS} bands, equi join, no "
-        "cartesian) + exact double-precision cosine rescore at the same "
-        "0.35 threshold. Precision 1.0 by construction (every emitted pair "
-        "is exactly rescored); recall >= 0.9 vs the all-pairs truth "
-        "asserted in tests/test_llm.py.",
-)
-def e_emb_lsh(spark, sf_dir):
-    e = widen(table(spark, sf_dir, "embeddings"))
+def _cosine_rescore(cand, vecs, tau: float):
+    """Exact double-precision cosine over candidate pairs, kept if >= tau.
+
+    Precision 1.0 by construction: every emitted pair is exactly scored.
+    JVM higher-order functions (zip_with/aggregate), no Python."""
     dot = F.aggregate(
         F.zip_with(
             F.col("ea"), F.col("eb"),
@@ -566,24 +559,123 @@ def e_emb_lsh(spark, sf_dir):
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    va = e.select(
+    va = vecs.select(
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("ea"),
         F.sqrt(norm2(F.col("embedding"))).alias("na"),
     )
-    vb = e.select(
+    vb = vecs.select(
         F.col("vec_id").alias("id_b"),
         F.col("embedding").alias("eb"),
         F.sqrt(norm2(F.col("embedding"))).alias("nb"),
     )
     return (
-        _emb_lsh_candidates(spark, sf_dir)
-        .join(va, "id_a")
+        cand.join(va, "id_a")
         .join(vb, "id_b")
         .withColumn("sim_raw", dot / F.col("na") / F.col("nb"))
-        .filter(F.col("sim_raw") >= _COS_TAU)
+        .filter(F.col("sim_raw") >= tau)
         .select("id_a", "id_b", F.round("sim_raw", 6).alias("sim"))
     )
+
+
+def _emb_lsh_candidates(spark, sf_dir):
+    """The 48x6 (τ=0.35) candidate stream over the fixture embeddings."""
+    e = widen(table(spark, sf_dir, "embeddings"))
+    return _sign_lsh_pairs(e, _EMB_BANDS, _EMB_BAND_BITS, _EMB_SEED)
+
+
+@register(
+    "E-EMB-LSH",
+    oracle=None,
+    origin="LLM",
+    doc="Bucketed embedding near-dup — the scale path for "
+        "q_dedup_emb_cosine: random-hyperplane sign-band candidates "
+        f"({_EMB_BAND_BITS}-bit x {_EMB_BANDS} bands, equi join, no "
+        "cartesian) + exact double-precision cosine rescore at the same "
+        "0.35 threshold. Precision 1.0 by construction (every emitted pair "
+        "is exactly rescored); recall >= 0.9 vs the all-pairs truth "
+        "asserted in tests/test_llm.py. CAVEAT (VERDICT r6): τ=0.35 is "
+        "69.5° — sign-LSH cannot band that tightly (candidate fraction "
+        "0.53 on i.i.d. geometry, measured at 4x stress), and neither can "
+        "IVF coarse partitioning (measured recall 0.29-0.83 at fraction "
+        "0.03-0.46 on this fixture — the τ=0.35 pairs here are "
+        "near-random geometry, not cluster structure). This key is the "
+        "fixture-bound exact-parity twin of q_dedup_emb_cosine; the "
+        "realistic-τ scale path is E-EMB-LSH-HI (fraction ~5e-4).",
+)
+def e_emb_lsh(spark, sf_dir):
+    e = widen(table(spark, sf_dir, "embeddings"))
+    return _cosine_rescore(_emb_lsh_candidates(spark, sf_dir), e, _COS_TAU)
+
+
+# Realistic near-dup operating point: embedding near-dups in production
+# corpora sit at cos >= ~0.9 (a paraphrase/re-crawl, not a random
+# neighbor). At θ = acos(0.9) = 25.8° the per-hyperplane agreement is
+# 1 - θ/π = 0.857, so 16-bit bands are affordable: a τ-pair survives a
+# band with p = 0.857^16 ≈ 0.084 → 32 bands give ≈ 1-(1-0.084)^32 ≈ 0.94
+# recall at the threshold (higher above it), while a random pair collides
+# with p = 32 x 0.5^16 ≈ 4.9e-4 — a ~1000x candidate cut vs the τ=0.35
+# family. The fixture has no pairs above 0.52, so the query PLANTS
+# deterministic near-dups (every 5th vector, coordinate-wise
+# (1 + 0.3·sin(vec_id + i)) scaling → cos ≈ 0.978) with negated ids —
+# ground truth by construction, no quadratic oracle.
+_EMB_HI_TAU = 0.9
+_EMB_HI_BANDS = 32
+_EMB_HI_BITS = 16
+_EMB_HI_AMP = 0.3
+_EMB_HI_EVERY = 5
+
+
+def _emb_hi_corpus(spark, sf_dir):
+    """Fixture embeddings (as double arrays) + planted near-dups.
+
+    Clone ids are -(vec_id+1): negation can never collide with a real id
+    at any SF (the q_snapshot_diff lesson); +1 keeps vec_id=0 distinct.
+    The perturbation is JVM-side deterministic math — no rand()."""
+    e = widen(table(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    pert = F.transform(
+        "embedding",
+        lambda x, i: x
+        * (
+            F.lit(1.0)
+            + F.lit(_EMB_HI_AMP)
+            * F.sin(F.col("vec_id").cast("double") + i.cast("double"))
+        ),
+    )
+    dups = e.filter(F.col("vec_id") % _EMB_HI_EVERY == 0).select(
+        (-(F.col("vec_id") + 1)).alias("vec_id"), pert.alias("embedding")
+    )
+    return e.unionByName(dups)
+
+
+@register(
+    "E-EMB-LSH-HI",
+    oracle=None,
+    origin="LLM",
+    doc="Embedding near-dup at the REALISTIC operating point — the "
+        f"100 TB scale path (VERDICT r6 #3): τ={_EMB_HI_TAU} with a "
+        f"{_EMB_HI_BITS}-bit x {_EMB_HI_BANDS}-band sign-LSH family "
+        "(equi join on (band, code), no cartesian) + exact "
+        "double-precision rescore. Tight τ is what makes banding work: "
+        "random-pair candidate fraction ≈ 32·2^-16 ≈ 5e-4 (vs 0.53 for "
+        "the τ=0.35 family — sign-LSH cannot band 69.5°), so the rescore "
+        "is ~n·5e-4·n/2 — linear-ish in corpus at realistic dup rates. "
+        "The fixture's max pairwise cos is 0.51, so the query plants "
+        "deterministic near-dups (every 5th vector, coordinate-wise "
+        "(1+0.3·sin(vec_id+i)) scaling, negated ids → cos ≈ 0.978): "
+        "ground truth by construction; recall ≥ 0.9 and candidate "
+        "fraction < 0.01 asserted at 4x stress in "
+        "tests/test_stress_scale.py.",
+)
+def e_emb_lsh_hi(spark, sf_dir):
+    corpus = _emb_hi_corpus(spark, sf_dir)
+    cand = _sign_lsh_pairs(corpus, _EMB_HI_BANDS, _EMB_HI_BITS, _EMB_SEED)
+    return _cosine_rescore(cand, corpus, _EMB_HI_TAU)
 
 
 _CC_MAX_ROUNDS = 20
