@@ -209,3 +209,53 @@ def test_emb_lsh_hi_bounds_hold_at_4x(spark, queries, stress_dir):
     )
     assert recall >= 0.9, f"emb-lsh-hi recall {recall:.4f} at 4x corpus"
     assert frac < 0.01, f"emb-lsh-hi candidate fraction {frac:.2e} at 4x corpus"
+
+
+@pytest.mark.slow
+def test_dedup_cluster_converges_in_diameter_rounds_at_10x(spark, queries, stress_dir):
+    """Label propagation is the one operator whose ITERATION COUNT is
+    data-dependent (VERDICT r6 #8). Contract: rounds <= component
+    diameter + 1 (min label travels one hop per round; the +1 is the
+    zero-changed-rows fixpoint confirmation). The 10x corpus's pair
+    graph is 5,000 diameter-1 components (each injected dup pairs with
+    exactly its source doc), so the walk must finish in <= 2 rounds —
+    and every pair must resolve to root = the smaller doc_id."""
+    from pyspark.sql import functions as F
+
+    from xml_processor_spark.functions.llm_dedup import (
+        _min_label_propagate,
+        q_dedup_ngram_jaccard,
+    )
+
+    pairs = q_dedup_ngram_jaccard(spark, stress_dir).select("id_a", "id_b")
+    labels, rounds = _min_label_propagate(spark, pairs)
+    assert rounds <= 2, f"diameter-1 graph took {rounds} rounds"
+    got = {(r["id"], r["root"]) for r in labels.collect()}
+    want = set()
+    for i in range(_N_DUP_DOCS):
+        want.add((i, i))
+        want.add((_N_UNIQ_DOCS + i, i))
+    assert got == want
+
+
+def test_min_label_propagation_rounds_track_path_diameter(spark):
+    """Synthetic pin of the rounds-vs-diameter contract on a shape the
+    corpus never produces: a 10-node path (diameter 9) chained to a
+    4-node star (diameter 2). The path must take 9-10 rounds (one hop
+    per round — a propagation rewrite that silently stopped early would
+    mislabel the far end), the star <= 3, and both components must
+    resolve to their min id."""
+    from pyspark.sql import functions as F
+
+    from xml_processor_spark.functions.llm_dedup import _min_label_propagate
+
+    path = [(i, i + 1) for i in range(100, 109)]          # 100-...-109
+    star = [(200, 201), (200, 202), (200, 203)]           # center 200
+    pairs = spark.createDataFrame(path + star, ["id_a", "id_b"])
+    labels, rounds = _min_label_propagate(spark, pairs)
+    assert rounds <= 10, f"path diameter 9 took {rounds} rounds"
+    assert rounds >= 9, f"path cannot converge in {rounds} < 9 rounds"
+    got = {(r["id"], r["root"]) for r in labels.collect()}
+    assert got == {(i, 100) for i in range(100, 110)} | {
+        (i, 200) for i in range(200, 204)
+    }

@@ -681,6 +681,61 @@ def e_emb_lsh_hi(spark, sf_dir):
 _CC_MAX_ROUNDS = 20
 
 
+def _min_label_propagate(spark, pairs, max_rounds=_CC_MAX_ROUNDS):
+    """Iterative min-label propagation over an undirected pair graph.
+
+    ``pairs`` is a DataFrame of (id_a, id_b). Returns ``(labels, rounds)``
+    where labels maps every id appearing in pairs to its component root
+    (the component's min id) and ``rounds`` counts propagation rounds
+    actually run. Convergence contract (stress-asserted in
+    tests/test_stress_scale.py): the min label travels one hop per round,
+    so rounds <= component diameter + 1 (the +1 is the zero-changed-rows
+    fixpoint confirmation). Raises past ``max_rounds`` — near-dup cluster
+    graphs are shallow; a deeper graph needs the alternating
+    large-star/small-star variant (O(log n) rounds adversarially).
+    """
+    sc = spark.sparkContext
+    if sc.getCheckpointDir() is None:
+        import tempfile
+
+        sc.setCheckpointDir(tempfile.mkdtemp(prefix="xps-ckpt-"))
+    edges = pairs.union(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).persist()  # reused every round; lineage kept → executor-loss safe
+    labels = (
+        edges.select(F.col("id_a").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("root"))
+        .checkpoint()
+    )
+    rounds = 0
+    for _ in range(max_rounds):
+        nbr = (
+            edges.join(labels, edges.id_a == labels.id)
+            .groupBy(F.col("id_b").alias("nid"))
+            .agg(F.min("root").alias("nbr_root"))
+        )
+        upd = (
+            labels.join(nbr, labels.id == nbr.nid, "left")
+            .select(
+                "id",
+                F.col("root").alias("old_root"),
+                F.least(F.col("root"), F.coalesce("nbr_root", "root")).alias("root"),
+            )
+            .checkpoint()  # truncate lineage; durable on a real cluster
+        )
+        # Roots only ever decrease ⇒ zero strictly-decreased rows ⇔ fixpoint.
+        changed = upd.filter(F.col("root") < F.col("old_root")).count()
+        labels = upd.select("id", "root")
+        rounds += 1
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"label propagation not converged in {max_rounds}")
+    edges.unpersist()
+    return labels, rounds
+
+
 @register(
     "q_dedup_cluster",
     oracle=f"""
@@ -719,44 +774,8 @@ _CC_MAX_ROUNDS = 20
         "sum(root), so no ANSI int64-overflow exposure on wide id spaces.",
 )
 def q_dedup_cluster(spark, sf_dir):
-    sc = spark.sparkContext
-    if sc.getCheckpointDir() is None:
-        import tempfile
-
-        sc.setCheckpointDir(tempfile.mkdtemp(prefix="xps-ckpt-"))
     pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
-    edges = pairs.union(
-        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
-    ).persist()  # reused every round; lineage kept → executor-loss safe
-    labels = (
-        edges.select(F.col("id_a").alias("id"))
-        .distinct()
-        .select("id", F.col("id").alias("root"))
-        .checkpoint()
-    )
-    for _ in range(_CC_MAX_ROUNDS):
-        nbr = (
-            edges.join(labels, edges.id_a == labels.id)
-            .groupBy(F.col("id_b").alias("nid"))
-            .agg(F.min("root").alias("nbr_root"))
-        )
-        upd = (
-            labels.join(nbr, labels.id == nbr.nid, "left")
-            .select(
-                "id",
-                F.col("root").alias("old_root"),
-                F.least(F.col("root"), F.coalesce("nbr_root", "root")).alias("root"),
-            )
-            .checkpoint()  # truncate lineage; durable on a real cluster
-        )
-        # Roots only ever decrease ⇒ zero strictly-decreased rows ⇔ fixpoint.
-        changed = upd.filter(F.col("root") < F.col("old_root")).count()
-        labels = upd.select("id", "root")
-        if changed == 0:
-            break
-    else:
-        raise RuntimeError(f"label propagation not converged in {_CC_MAX_ROUNDS}")
-    edges.unpersist()
+    labels, _ = _min_label_propagate(spark, pairs)
     d = table(spark, sf_dir, "documents")
     return d.join(labels, d.doc_id == labels.id, "left").select(
         "doc_id", F.coalesce("root", "doc_id").alias("root")
