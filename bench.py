@@ -150,6 +150,12 @@ HEADLINE = [
     "E-EMB-PQ",
     "q_join_fuzzy",
     "q_text_bm25",
+    # r7 additions: prefix dedup, rule-based quality gate, compaction
+    # planner, and the SCD2 point-in-interval lookup.
+    "q_dedup_prefix",
+    "q_quality_rules",
+    "q_compaction_plan",
+    "q_join_interval",
 ]
 
 

@@ -148,6 +148,7 @@ def test_no_forced_broadcast_of_corpus_sized_sides(spark, queries):
         "q_dedup_ngram_jaccard",
         "q_dedup_containment",
         "q_events_retention",
+        "q_decontaminate",
         "q_decontaminate_frac",
     ):
         df = queries[key](spark, SF_MID)
@@ -618,3 +619,43 @@ def test_funnel_ordered_no_forced_broadcast_and_partial_mins(spark, queries):
     plan = explain(df)
     assert "partial_min" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_join_interval_is_keyed_on_user(spark, queries):
+    """The SCD2 lookup must hash/sort-merge on the user_id equality with
+    the range predicate as a residual — never a nested loop (both sides
+    are fact-sized at 100 TB), and no broadcast hint anywhere."""
+    df = queries["q_join_interval"](spark, SF_MID)
+    logical = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in logical
+    plan = explain(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_dedup_prefix_single_hash_shuffle(spark, queries):
+    """Prefix dedup is a groupBy on the 16-byte prefix hash + an equi
+    join back — map-side combined, no pairwise join, no cartesian."""
+    plan = explain(queries["q_dedup_prefix"](spark, SF_MID))
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_compaction_plan_window_is_manifest_sized(spark, queries):
+    """The fact scan must reduce map-side to |shards| manifest rows
+    BEFORE the packing window: partial+final aggregate, and the one
+    single-partition window runs over the 83-row manifest (calendar-
+    bounded), which the plan shows as the window AFTER the aggregate."""
+    plan = explain(queries["q_compaction_plan"](spark, SF_MID))
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_count" in plan
+    assert "Window" in plan
+
+
+def test_quality_rules_is_scan_side(spark, queries):
+    """The rule gate is per-row scalar math: zero shuffle, zero Python."""
+    plan = explain(queries["q_quality_rules"](spark, SF_MID))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -1217,3 +1217,66 @@ def q_dedup_spans(spark, sf_dir):
         )
         .select("doc_a", "doc_b", "start_a", "start_b", "span_tokens")
     )
+
+
+# ---------------------------------------------------------------------------
+# Prefix dedup (the C4/RefinedWeb head-duplicate scrub).
+# ---------------------------------------------------------------------------
+
+_PREFIX_TOKENS = 32  # leading tokens hashed for prefix identity
+
+
+@register(
+    "q_dedup_prefix",
+    oracle=f"""
+        WITH p AS (
+            SELECT doc_id,
+                   md5(array_to_string(
+                       string_split(text, ' ')[1:{_PREFIX_TOKENS}], ' '))
+                       AS prefix_hash
+            FROM documents
+        ), g AS (
+            SELECT prefix_hash,
+                   CAST(count(*) AS BIGINT) AS n_members,
+                   min(doc_id) AS keeper_id
+            FROM p GROUP BY prefix_hash HAVING count(*) >= 2
+        )
+        SELECT p.doc_id, g.keeper_id, g.n_members,
+               p.doc_id = g.keeper_id AS is_keeper
+        FROM p JOIN g ON p.prefix_hash = g.prefix_hash
+    """,
+    origin="LLM",
+    doc=f"Prefix dedup — the head-duplicate scrub real pipelines run "
+        "between whole-doc md5 and shingle near-dup (mirrored-site and "
+        "templated-page families share their opening passage even when "
+        f"tails diverge): hash the first {_PREFIX_TOKENS} tokens, group, "
+        "flag every member of a >= 2 group with its keeper (min doc_id). "
+        "Scale shape: one map-side-combined groupBy on the 16-byte prefix "
+        "hash + an equi join back — shuffle ∝ |docs|, never pairwise; "
+        "short docs hash their full token list (slice past the end is the "
+        "identity in both engines).",
+)
+def q_dedup_prefix(spark, sf_dir):
+    d = widen(table(spark, sf_dir, "documents"))
+    p = d.select(
+        "doc_id",
+        F.md5(
+            F.array_join(
+                F.slice(F.split("text", " "), 1, _PREFIX_TOKENS), " "
+            )
+        ).alias("prefix_hash"),
+    )
+    g = (
+        p.groupBy("prefix_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("doc_id").alias("keeper_id"),
+        )
+        .filter(F.col("n_members") >= 2)
+    )
+    return p.join(g, "prefix_hash").select(
+        "doc_id",
+        "keeper_id",
+        "n_members",
+        (F.col("doc_id") == F.col("keeper_id")).alias("is_keeper"),
+    )

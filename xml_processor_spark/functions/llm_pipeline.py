@@ -307,8 +307,10 @@ def q_sample_stratified(spark, sf_dir):
 
 
 # Benchmark probe set for decontamination: a deterministic slice standing in
-# for an eval benchmark (at 100 TB this is a real benchmark file, tiny
-# either way — always the broadcast side).
+# for an eval benchmark. Because the stand-in derives from the corpus, it is
+# NOT force-broadcast anywhere — AQE decides from measured size (a real
+# benchmark file is tiny and gets broadcast at runtime; a hint would bake in
+# an assumption the plan can't verify).
 _DECON_MOD = 97
 
 
@@ -333,10 +335,13 @@ _DECON_MOD = 97
     origin="LLM",
     doc="Benchmark decontamination — flag training documents sharing any "
         "3-word shingle with the eval probe set, with the shared-shingle "
-        "count as evidence. The probe shingle set broadcasts (benchmarks "
-        "are tiny); candidate matching is a broadcast hash semi-join "
-        "against the corpus shingle stream — no shuffle of the corpus "
-        "side. Downstream: anti-join survivors continue to training.",
+        "count as evidence. The probe set here is corpus-derived (every "
+        "97th doc's shingles), so it carries NO broadcast hint — AQE "
+        "picks the join strategy from measured size (a real benchmark "
+        "suite is tiny and AQE broadcasts it at runtime; a hint would "
+        "assume that of an unbounded side — the q_decontaminate_frac "
+        "lesson, ADVICE r6). Downstream: anti-join survivors continue "
+        "to training.",
 )
 def q_decontaminate(spark, sf_dir):
     from xml_processor_spark.functions.llm_dedup import shingles
@@ -348,7 +353,7 @@ def q_decontaminate(spark, sf_dir):
     )
     return (
         sh.filter(F.col("doc_id") % _DECON_MOD != 0)
-        .join(F.broadcast(bench), "s")
+        .join(bench, "s")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )

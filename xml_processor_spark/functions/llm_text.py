@@ -714,3 +714,82 @@ def q_text_boilerplate(spark, sf_dir):
         )
         .filter(F.col("n_docs") >= _BP_MIN_DOCS)
     )
+
+
+# ---------------------------------------------------------------------------
+# Rule-based quality gate (the Gopher/C4 hard-filter pattern).
+# ---------------------------------------------------------------------------
+
+# Gopher-style bounds, adapted to the fixture's synthetic text. Each rule is
+# a named boolean so downstream can report per-rule kill counts (the way
+# curation dashboards attribute losses), not just a survivor set.
+_QR_MIN_TOKENS, _QR_MAX_TOKENS = 50, 100_000
+_QR_MIN_WLEN, _QR_MAX_WLEN = 3.0, 10.0
+_QR_MIN_UNIQ = 0.3
+_QR_MIN_ALPHA = 0.6
+
+
+@register(
+    "q_quality_rules",
+    oracle=f"""
+        WITH m AS (
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   (length(text) - len(string_split(text, ' ')) + 1)
+                       / CAST(len(string_split(text, ' ')) AS DOUBLE)
+                       AS mean_wlen,
+                   len(list_distinct(string_split(text, ' ')))
+                       / CAST(len(string_split(text, ' ')) AS DOUBLE)
+                       AS uniq_ratio,
+                   len(regexp_extract_all(text, '[a-z]'))
+                       / CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                       AS alpha_frac
+            FROM documents
+        )
+        SELECT doc_id,
+               n_tokens BETWEEN {_QR_MIN_TOKENS} AND {_QR_MAX_TOKENS}
+                   AS r_len,
+               mean_wlen BETWEEN {_QR_MIN_WLEN} AND {_QR_MAX_WLEN}
+                   AS r_word_len,
+               uniq_ratio >= {_QR_MIN_UNIQ} AS r_uniq,
+               alpha_frac >= {_QR_MIN_ALPHA} AS r_alpha,
+               (n_tokens BETWEEN {_QR_MIN_TOKENS} AND {_QR_MAX_TOKENS})
+                   AND mean_wlen BETWEEN {_QR_MIN_WLEN} AND {_QR_MAX_WLEN}
+                   AND uniq_ratio >= {_QR_MIN_UNIQ}
+                   AND alpha_frac >= {_QR_MIN_ALPHA} AS keep
+        FROM m
+    """,
+    origin="LLM",
+    doc="Rule-based quality gate — the Gopher/C4 hard-filter pattern "
+        "complementing q_text_quality's metrics and q_quality_logistic's "
+        "calibrated score: four named boolean rules (token-count bounds, "
+        "mean-word-length bounds, type/token floor, alphabetic-character "
+        "floor) plus their conjunction as the keep flag, so downstream "
+        "can attribute kill counts per rule. Boundary compares happen on "
+        "UNROUNDED doubles identically in both dialects (same exact "
+        "integer-ratio arithmetic), so flags cannot flip between engines. "
+        "Scan-side scalar math, zero shuffle, zero Python.",
+)
+def q_quality_rules(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    mean_wlen = (F.length("text") - n + 1) / n.cast("double")
+    uniq = F.size(F.array_distinct(toks)) / n.cast("double")
+    alpha = F.size(
+        F.regexp_extract_all("text", F.lit("[a-z]"), F.lit(0))
+    ) / F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast(
+        "double"
+    )
+    r_len = n.between(_QR_MIN_TOKENS, _QR_MAX_TOKENS)
+    r_wlen = mean_wlen.between(_QR_MIN_WLEN, _QR_MAX_WLEN)
+    r_uniq = uniq >= _QR_MIN_UNIQ
+    r_alpha = alpha >= _QR_MIN_ALPHA
+    return d.select(
+        "doc_id",
+        r_len.alias("r_len"),
+        r_wlen.alias("r_word_len"),
+        r_uniq.alias("r_uniq"),
+        r_alpha.alias("r_alpha"),
+        (r_len & r_wlen & r_uniq & r_alpha).alias("keep"),
+    )

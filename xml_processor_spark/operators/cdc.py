@@ -100,10 +100,10 @@ def q_cdc_upsert(spark, sf_dir):
     )
 
 
-@register(
-    "q_scd2_intervals",
-    oracle="""
-        WITH ordered AS (
+# Shared CTE block: the SCD2 interval construction, reused verbatim by the
+# q_scd2_intervals oracle and as the dimension side of q_join_interval's.
+_SCD2_CTES = """
+        ordered AS (
             SELECT user_id, event_type,
                    date_trunc('second', ts) AS ts_s,
                    event_id,
@@ -114,13 +114,23 @@ def q_cdc_upsert(spark, sf_dir):
             SELECT user_id, event_type, ts_s, event_id
             FROM ordered
             WHERE prev_type IS NULL OR event_type <> prev_type
+        ), intervals AS (
+            SELECT user_id, event_type,
+                   ts_s AS valid_from,
+                   lead(ts_s) OVER w AS valid_to,
+                   CAST(row_number() OVER w AS BIGINT) AS version
+            FROM changes
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
         )
-        SELECT user_id, event_type,
-               ts_s AS valid_from,
-               lead(ts_s) OVER w AS valid_to,
-               CAST(row_number() OVER w AS BIGINT) AS version
-        FROM changes
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+"""
+
+
+@register(
+    "q_scd2_intervals",
+    oracle=f"""
+        WITH {_SCD2_CTES}
+        SELECT user_id, event_type, valid_from, valid_to, version
+        FROM intervals
     """,
     origin="CORE",
     doc="SCD type-2 interval building: per user, collapse the event stream "
@@ -147,6 +157,55 @@ def q_scd2_intervals(spark, sf_dir):
         F.col("ts_s").alias("valid_from"),
         F.lead("ts_s").over(w2).alias("valid_to"),
         F.row_number().over(w2).cast("long").alias("version"),
+    )
+
+
+@register(
+    "q_join_interval",
+    oracle=f"""
+        WITH {_SCD2_CTES}
+        SELECT e.event_id, e.user_id,
+               date_trunc('second', e.ts) AS ts_s,
+               i.event_type AS state, i.version
+        FROM events e JOIN intervals i
+          ON e.user_id = i.user_id
+         AND date_trunc('second', e.ts) >= i.valid_from
+         AND (i.valid_to IS NULL
+              OR date_trunc('second', e.ts) < i.valid_to)
+    """,
+    origin="CORE",
+    doc="Point-in-interval enrichment — the lookup half of SCD2: every "
+        "event joined to the validity interval [valid_from, valid_to) "
+        "containing its (seconds-truncated) timestamp, yielding the "
+        "dimension state and version in effect at event time. Exactly "
+        "one non-empty interval covers each event by construction "
+        "(intervals partition each user's timeline from the first "
+        "event; an empty [x, x) interval matches nothing). Scale shape: "
+        "the user_id equality is the JOIN KEY — a key-partitioned hash/"
+        "sort-merge join with the range predicate as a residual filter, "
+        "never a nested loop (plan-asserted): per-user interval lists "
+        "are version-history-sized, so the residual scans a handful of "
+        "rows per probe. No broadcast assumption — at 100 TB both the "
+        "event stream and the interval dimension are fact-sized.",
+)
+def q_join_interval(spark, sf_dir):
+    e = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", ts_sec("ts").alias("ts_s")
+    )
+    iv = q_scd2_intervals(spark, sf_dir).select(
+        F.col("user_id").alias("iv_user"),
+        F.col("event_type").alias("state"),
+        "valid_from",
+        "valid_to",
+        "version",
+    )
+    cond = (
+        (e.user_id == iv.iv_user)
+        & (e.ts_s >= iv.valid_from)
+        & (iv.valid_to.isNull() | (e.ts_s < iv.valid_to))
+    )
+    return e.join(iv, cond).select(
+        "event_id", "user_id", "ts_s", "state", "version"
     )
 
 

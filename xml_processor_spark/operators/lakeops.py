@@ -442,3 +442,72 @@ def q_zorder_manifest(spark, sf_dir):
             F.max("l_partkey").alias("max_partkey"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction planner (the OPTIMIZE bin-packing half; Z-order is
+# the clustering half in q_zorder_manifest).
+# ---------------------------------------------------------------------------
+
+_COMPACT_BINS = 8  # target output file count
+
+
+@register(
+    "q_compaction_plan",
+    oracle=f"""
+        WITH shards AS (
+            SELECT strftime(l_shipdate, '%Y-%m') AS shard,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM lineitem GROUP BY 1
+        ), tot AS (SELECT sum(n_rows) AS t FROM shards),
+        planned AS (
+            SELECT shard, n_rows,
+                   sum(n_rows) OVER (ORDER BY shard
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS cum_before,
+                   t
+            FROM shards, tot
+        )
+        SELECT shard, n_rows,
+               CAST(floor(coalesce(cum_before, 0)
+                          / ceil(t / {_COMPACT_BINS}.0)) AS BIGINT)
+                   AS target_file
+        FROM planned
+    """,
+    doc="Small-file compaction planner — the OPTIMIZE bin-packing step of "
+        "lake maintenance: per ship-month shard row counts (the manifest "
+        "q_zonemap builds) greedily packed in shard order into "
+        f"~{_COMPACT_BINS} target files of ceil(total/{_COMPACT_BINS}) "
+        "rows each (target_file = floor(exclusive-running-sum / target "
+        "size) — sequential first-fit, so time-adjacent shards land in "
+        "the same output file and zone maps stay tight after the "
+        "rewrite). The plan is pure metadata: the window runs over "
+        "|shards| manifest rows (83 here, bounded by calendar months x "
+        "partitions at any corpus size), NEVER the fact table — the fact "
+        "scan is the one map-side-combined count, and the actual rewrite "
+        "is a partitioned write the plan drives. Exact integer row "
+        "counts make the greedy assignment engine-independent.",
+)
+def q_compaction_plan(spark, sf_dir):
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    shards = li.groupBy(
+        F.date_format("l_shipdate", "yyyy-MM").alias("shard")
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    tot = shards.agg(F.sum("n_rows").alias("t"))
+    w = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    planned = shards.crossJoin(F.broadcast(tot)).select(
+        "shard",
+        "n_rows",
+        F.sum("n_rows").over(w).alias("cum_before"),
+        "t",
+    )
+    target = F.ceil(F.col("t") / float(_COMPACT_BINS))
+    return planned.select(
+        "shard",
+        "n_rows",
+        F.floor(F.coalesce(F.col("cum_before"), F.lit(0)) / target)
+        .cast("long")
+        .alias("target_file"),
+    )
