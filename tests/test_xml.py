@@ -85,3 +85,50 @@ def test_failfast_raises_on_malformed(spark):
         .collect()
     )
     assert all(r.p.okey is not None for r in ok_rows)
+
+
+def test_json_schema_drift_null_payloads_agree(spark, queries, tmp_path_factory):
+    """ADVICE r6: Spark's to_json DROPS null struct fields while DuckDB's
+    json_object emits the key with a null value — the operator coalesces
+    payloads in both dialects so one null row cannot shift per-field
+    counts. The fixture is null-free, so this synthesizes an events
+    table with nulls in value AND event_type (both epochs hit) and
+    asserts the two engines produce identical drift rows."""
+    import datetime
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from xml_processor_spark.registry import REGISTRY
+
+    d = tmp_path_factory.mktemp("drift_nulls")
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "ts": pa.array(
+                [datetime.datetime(2025, 1, 1, 0, 0, i) for i in range(4)],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([1, 1, 2, 2], pa.int64()),
+            "event_type": pa.array(["view", None, "click", None], pa.string()),
+            "value": pa.array([1.5, None, None, 2.5], pa.float64()),
+            "props": pa.array(["{}"] * 4, pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(d / "events.parquet"))
+
+    sdf = queries["q_json_schema_drift"](spark, str(d))
+    cols = sorted(sdf.columns)
+    got = {tuple(r[c] for c in cols) for r in sdf.collect()}
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')"
+    )
+    cur = con.execute(REGISTRY["q_json_schema_drift"].oracle)
+    ocols = [c[0] for c in cur.description]
+    order = sorted(range(len(ocols)), key=lambda i: ocols[i])
+    want = {tuple(row[i] for i in order) for row in cur.fetchall()}
+    assert sorted(ocols) == cols
+    assert got == want
