@@ -156,6 +156,8 @@ HEADLINE = [
     "q_quality_rules",
     "q_compaction_plan",
     "q_join_interval",
+    "q_ppl_bucket",
+    "q_orders_rfm",
 ]
 
 

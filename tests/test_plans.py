@@ -659,3 +659,29 @@ def test_quality_rules_is_scan_side(spark, queries):
     plan = explain(queries["q_quality_rules"](spark, SF_MID))
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ppl_bucket_window_is_per_lang(spark, queries):
+    """CCNet-style bucketing must ntile per language — an empty window
+    partition spec would serialize the corpus onto one task. (The plan's
+    only SinglePartition exchanges belong to 1-row global aggregates —
+    the LM's vocab size — which is fine; the check is on the WINDOW
+    spec.)"""
+    import re
+
+    plan = explain(queries["q_ppl_bucket"](spark, SF_MID))
+    specs = re.findall(r"windowspecdefinition\((\w+)#", plan)
+    assert specs and all(s == "lang" for s in specs), specs
+
+
+def test_rfm_windows_are_per_segment(spark, queries):
+    """All three RFM ntiles run within c_mktsegment partitions — never a
+    global sort over |customers|. The 1-row max-date scalar attach is
+    the only SinglePartition aggregate allowed."""
+    import re
+
+    plan = explain(queries["q_orders_rfm"](spark, SF_MID))
+    assert plan.count("ntile") >= 3
+    specs = re.findall(r"windowspecdefinition\((\w+)#", plan)
+    assert specs and all(s == "c_mktsegment" for s in specs), specs
+    assert "CartesianProduct" not in plan

@@ -448,10 +448,11 @@ def q_text_entropy(spark, sf_dir):
 _LP_SCALE = 1_000_000  # fixed-point 1e-6 units → order-independent sums
 
 
-@register(
-    "q_text_bigram_logprob",
-    oracle=f"""
-        WITH bg AS (
+# Shared CTE block: the add-one-smoothed char-bigram LM scoring, reused
+# verbatim by the q_text_bigram_logprob oracle and as the scoring stage of
+# q_ppl_bucket's (the CCNet-style perplexity-bucket curation step).
+_BIGRAM_LP_CTES = f"""
+        bg AS (
             SELECT doc_id, substring(text, i, 2) AS bg
             FROM documents,
                  LATERAL (SELECT unnest(generate_series(1, len(text) - 1))
@@ -474,13 +475,22 @@ _LP_SCALE = 1_000_000  # fixed-point 1e-6 units → order-independent sums
             JOIN m12 ON m12.bg = b.bg
             JOIN m1 ON m1.c1 = substring(b.bg, 1, 1)
             CROSS JOIN v
+        ), scored AS (
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_bigrams,
+                   round(CAST(sum(t) AS DOUBLE) / {_LP_SCALE} / count(*), 6)
+                       AS avg_logprob
+            FROM terms
+            GROUP BY doc_id
         )
-        SELECT doc_id,
-               CAST(count(*) AS BIGINT) AS n_bigrams,
-               round(CAST(sum(t) AS DOUBLE) / {_LP_SCALE} / count(*), 6)
-                   AS avg_logprob
-        FROM terms
-        GROUP BY doc_id
+"""
+
+
+@register(
+    "q_text_bigram_logprob",
+    oracle=f"""
+        WITH {_BIGRAM_LP_CTES}
+        SELECT doc_id, n_bigrams, avg_logprob FROM scored
     """,
     origin="LLM",
     doc="Character-bigram language-model score — the in-corpus proxy for "
@@ -533,6 +543,53 @@ def q_text_bigram_logprob(spark, sf_dir):
         F.round(
             F.sum("t").cast("double") / _LP_SCALE / F.count(F.lit(1)), 6
         ).alias("avg_logprob"),
+    )
+
+
+@register(
+    "q_ppl_bucket",
+    oracle=f"""
+        WITH {_BIGRAM_LP_CTES}
+        SELECT s.doc_id, d.lang, s.avg_logprob,
+               CASE ntile(3) OVER (PARTITION BY d.lang
+                                   ORDER BY s.avg_logprob DESC, s.doc_id)
+                    WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                    ELSE 'tail' END AS ppl_bucket
+        FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+    """,
+    origin="LLM",
+    doc="CCNet-style perplexity bucketing — the curation step downstream "
+        "of the LM score: per LANGUAGE, rank documents by bigram-LM score "
+        "(high score = low perplexity) and split into head/middle/tail "
+        "thirds; pipelines keep head+middle and drop or re-weight tail. "
+        "ntile runs per-language with a unique (score, doc_id) tie-break, "
+        "so bucket assignment is deterministic on any engine/partitioning "
+        "and no global sort exists (the same per-stratum window discipline "
+        "as q_sample_topquality). Sub-2-char docs have no bigrams and are "
+        "excluded by the scoring join in both dialects.",
+)
+def q_ppl_bucket(spark, sf_dir):
+    from pyspark.sql import Window
+
+    scored = q_text_bigram_logprob(spark, sf_dir).select(
+        "doc_id", "avg_logprob"
+    )
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("avg_logprob"), F.col("doc_id")
+    )
+    tile = F.ntile(3).over(w)
+    return (
+        scored.join(d, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "avg_logprob",
+            F.when(tile == 1, "head")
+            .when(tile == 2, "middle")
+            .otherwise("tail")
+            .alias("ppl_bucket"),
+        )
     )
 
 

@@ -622,3 +622,91 @@ def q_events_funnel_ordered(spark, sf_dir):
             s3.agg(F.count(F.lit(1)).alias("n_view_click_purchase"))
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation (the classic warehouse scoring query).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_orders_rfm",
+    oracle="""
+        WITH rfm AS (
+            SELECT o_custkey,
+                   date_diff('day', max(o_orderdate),
+                             (SELECT max(o_orderdate) FROM orders))
+                       AS recency_days,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS monetary_cents
+            FROM orders GROUP BY o_custkey
+        ), seg AS (
+            SELECT r.*, c.c_mktsegment
+            FROM rfm r JOIN customer c ON c.c_custkey = r.o_custkey
+        )
+        SELECT o_custkey, c_mktsegment, recency_days, n_orders,
+               monetary_cents,
+               CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+                    ORDER BY recency_days, o_custkey) AS BIGINT) AS r_score,
+               CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+                    ORDER BY n_orders DESC, o_custkey) AS BIGINT) AS f_score,
+               CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+                    ORDER BY monetary_cents DESC, o_custkey) AS BIGINT)
+                   AS m_score
+        FROM seg
+    """,
+    doc="RFM customer segmentation — the classic warehouse scoring query: "
+        "per customer, recency (days since last order vs the corpus max "
+        "date), frequency (order count), monetary (exact integer-cents "
+        "lifetime total), each quartile-scored 1-4 WITHIN the customer's "
+        "market segment (segment-relative scoring — and the per-stratum "
+        "window discipline: all three ntiles share ONE c_mktsegment hash "
+        "partitioning, never a global sort over |customers|). Unique "
+        "(metric, custkey) tie-breaks make every score deterministic on "
+        "any engine/partitioning; the global max date is a 1-row "
+        "broadcast scalar. The orders->customer join is key-partitioned "
+        "with no broadcast assumption (both are fact-sized at 100 TB).",
+)
+def q_orders_rfm(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from xml_processor_spark.functions.deterministic import cents
+
+    o = table(spark, sf_dir, "orders")
+    ref = o.agg(F.max("o_orderdate").alias("ref_date"))
+    rfm = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents("o_totalprice")).alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(ref))
+        .select(
+            "o_custkey",
+            F.datediff("ref_date", "last_order").cast("long").alias(
+                "recency_days"
+            ),
+            "n_orders",
+            "monetary_cents",
+        )
+    )
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    seg = rfm.join(c, "o_custkey")
+    by_seg = Window.partitionBy("c_mktsegment")
+    r_w = by_seg.orderBy("recency_days", "o_custkey")
+    f_w = by_seg.orderBy(F.desc("n_orders"), F.col("o_custkey"))
+    m_w = by_seg.orderBy(F.desc("monetary_cents"), F.col("o_custkey"))
+    return seg.select(
+        "o_custkey",
+        "c_mktsegment",
+        "recency_days",
+        "n_orders",
+        "monetary_cents",
+        F.ntile(4).over(r_w).cast("long").alias("r_score"),
+        F.ntile(4).over(f_w).cast("long").alias("f_score"),
+        F.ntile(4).over(m_w).cast("long").alias("m_score"),
+    )
