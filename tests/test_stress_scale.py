@@ -22,6 +22,11 @@ Corpus design (seed 7, regenerated only if the parquet is absent):
    exact-rescore stage is O(candidates), so 4x already exercises the
    off-corpus behavior while keeping the test under ~a minute; the 10x
    blow-up is carried by the documents side.
+ - events: ~100k rows / 1,000 users over 100 days with a CLOSED-FORM
+   activity pattern (user u active on day d iff (u+d)%3==0; types cycle
+   so every event is an SCD2 change point) — rolling-active DAU/WAU and
+   the point-in-interval join have exact expected values at 10x the
+   sf0.01 event volume, no oracle needed.
 
 Measured at seed 7 (first run of this test, recorded per VERDICT r5 #7):
  - E-MINHASH-LSH @ 50k docs: recall 1.0 (5000/5000 injected pairs),
@@ -104,12 +109,65 @@ def _generate(path: str) -> None:
         os.path.join(path, "embeddings.parquet"),
     )
 
+    # --- events ------------------------------------------------------
+    # Fully deterministic activity pattern (no rng): user u is active on
+    # day d (of _EV_DAYS) iff (u + d) % 3 == 0 — every DAU/WAU value is
+    # computable in closed form. Each active (u, d) carries _EV_PER_DAY
+    # events at distinct within-day seconds (u*80 + i < 86400) whose
+    # types cycle (d + i) % 3; consecutive events of a user ALWAYS change
+    # type (within a day the cycle steps; across active days d -> d+3 the
+    # last type (d+2)%3 differs from the next first d%3), so every event
+    # is an SCD2 change point — exact interval-join truth by construction.
+    _generate_events(path)
+
+
+_EV_USERS = 1_000
+_EV_DAYS = 100
+_EV_PER_DAY = 3
+_EV_TYPES = ("view", "click", "purchase")
+_EV_BASE = np.datetime64("2025-01-01T00:00:00", "us")
+
+
+def _generate_events(path: str) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows_u, rows_ts, rows_ty = [], [], []
+    for u in range(_EV_USERS):
+        for d in range(_EV_DAYS):
+            if (u + d) % 3 != 0:
+                continue
+            for i in range(_EV_PER_DAY):
+                rows_u.append(u)
+                rows_ts.append(
+                    _EV_BASE
+                    + np.timedelta64(d, "D")
+                    + np.timedelta64(u * 80 + i, "s")
+                )
+                rows_ty.append(_EV_TYPES[(d + i) % 3])
+    n = len(rows_u)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(n), type=pa.int64()),
+                "ts": pa.array(rows_ts, type=pa.timestamp("us")),
+                "user_id": pa.array(rows_u, type=pa.int64()),
+                "event_type": pa.array(rows_ty, type=pa.string()),
+                "value": pa.array(
+                    [float(i % 7) for i in range(n)], type=pa.float64()
+                ),
+                "props": pa.array(["{}"] * n, type=pa.string()),
+            }
+        ),
+        os.path.join(path, "events.parquet"),
+    )
+
 
 @pytest.fixture(scope="module")
 def stress_dir():
-    if not (
-        os.path.exists(os.path.join(STRESS_DIR, "documents.parquet"))
-        and os.path.exists(os.path.join(STRESS_DIR, "embeddings.parquet"))
+    if not all(
+        os.path.exists(os.path.join(STRESS_DIR, f"{t}.parquet"))
+        for t in ("documents", "embeddings", "events")
     ):
         _generate(STRESS_DIR)
     return STRESS_DIR
@@ -259,3 +317,64 @@ def test_min_label_propagation_rounds_track_path_diameter(spark):
     assert got == {(i, 100) for i in range(100, 110)} | {
         (i, 200) for i in range(200, 204)
     }
+
+
+def _ev_active_days(u: int) -> int:
+    """Days in 0.._EV_DAYS-1 with (u + d) % 3 == 0."""
+    r = (-u) % 3
+    return len(range(r, _EV_DAYS, 3))
+
+
+@pytest.mark.slow
+def test_rolling_active_exact_at_100k_events(spark, queries, stress_dir):
+    """The explode+equi spine rewrite (ADVICE r6) at 100k events has a
+    closed-form answer: user u is active on day d iff (u+d)%3==0, so
+    DAU(d) = 334 when d%3==0 else 333 (the 0-residue class has 334 of
+    1,000 users), and the trailing-7-day WAU covers >= 3 consecutive
+    days for d >= 2 — all three residue classes — so WAU7 = 1,000
+    except the clipped head (334 on day 0, 667 on day 1). Every one of
+    the 100 spine rows must match exactly."""
+    import datetime
+
+    out = queries["q_events_rolling_active"](spark, stress_dir).toPandas()
+    assert len(out) == _EV_DAYS
+    base = datetime.date(2025, 1, 1)
+    for _, row in out.iterrows():
+        d = (row["d"] - base).days if hasattr(row["d"], "days") else (
+            row["d"].toordinal() - base.toordinal()
+        )
+        want_dau = 334 if d % 3 == 0 else 333
+        want_wau = {0: 334, 1: 667}.get(d, 1000)
+        assert row["dau"] == want_dau, f"day {d}: dau {row['dau']} != {want_dau}"
+        assert row["wau7"] == want_wau, f"day {d}: wau7 {row['wau7']} != {want_wau}"
+
+
+@pytest.mark.slow
+def test_join_interval_exact_at_100k_events(spark, queries, stress_dir):
+    """Every stress event is an SCD2 change point by construction
+    (consecutive per-user events always change type), so the
+    point-in-interval lookup must return exactly one row per event
+    whose state equals the event's OWN type, and each user's max
+    version must equal their event count — an exact total check of the
+    interval join at 100k events / 1,000 users."""
+    from pyspark.sql import functions as F
+
+    from xml_processor_spark.io import table
+
+    n_events = sum(_ev_active_days(u) * _EV_PER_DAY for u in range(_EV_USERS))
+    out = queries["q_join_interval"](spark, stress_dir)
+    assert out.count() == n_events
+    ev = table(spark, stress_dir, "events").select("event_id", "event_type")
+    mismatched = (
+        out.join(ev, "event_id")
+        .filter(F.col("state") != F.col("event_type"))
+        .count()
+    )
+    assert mismatched == 0
+    vmax = {
+        r["user_id"]: r["m"]
+        for r in out.groupBy("user_id").agg(F.max("version").alias("m")).collect()
+    }
+    for u in range(_EV_USERS):
+        want = _ev_active_days(u) * _EV_PER_DAY
+        assert vmax[u] == want, f"user {u}: max version {vmax[u]} != {want}"
