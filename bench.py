@@ -158,6 +158,7 @@ HEADLINE = [
     "q_join_interval",
     "q_ppl_bucket",
     "q_orders_rfm",
+    "q_src_text_lines",
 ]
 
 

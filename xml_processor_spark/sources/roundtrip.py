@@ -175,3 +175,36 @@ def q_src_xml_dropmalformed(spark, sf_dir):
         .load(path)
         .select("okey", "status", "total_c")  # drop the partition column
     )
+
+
+@register(
+    "q_src_text_lines",
+    oracle="""
+        SELECT doc_id, text FROM documents
+    """,
+    origin="REF",
+    doc="Plain-text-lines source (spark.read.text — the rawest ingest "
+        "format a corpus pipeline meets, one document per line): write "
+        "tab-joined (doc_id, text) lines via the text sink, read them "
+        "back as `value` strings, split on the first tab and re-type "
+        "doc_id; the oracle projects the original parquet, so a hash "
+        "match proves the line write→read→split path is lossless. The "
+        "fixture text contains no tabs or newlines (single-line docs — "
+        "the format's own precondition, which a real pipeline enforces "
+        "by escaping at write time). Scan-parallel both directions, no "
+        "shuffle.",
+)
+def q_src_text_lines(spark, sf_dir):
+    src = table(spark, sf_dir, "documents").select(
+        F.concat_ws("\t", F.col("doc_id").cast("string"), "text").alias(
+            "value"
+        )
+    )
+    path = artifact_dir(sf_dir, "text")
+    src.write.mode("overwrite").text(path)
+    lines = spark.read.text(path)
+    tab = F.instr("value", "\t")
+    return lines.select(
+        F.substring("value", 1, tab - 1).cast("long").alias("doc_id"),
+        F.substr("value", tab + 1).alias("text"),
+    )
