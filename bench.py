@@ -159,6 +159,7 @@ HEADLINE = [
     "q_ppl_bucket",
     "q_orders_rfm",
     "q_src_text_lines",
+    "q_dedup_degree",
 ]
 
 

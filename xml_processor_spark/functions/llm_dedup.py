@@ -1280,3 +1280,40 @@ def q_dedup_prefix(spark, sf_dir):
         "n_members",
         (F.col("doc_id") == F.col("keeper_id")).alias("is_keeper"),
     )
+
+
+@register(
+    "q_dedup_degree",
+    oracle=f"""
+        WITH pairs AS ({_NGRAM_PAIRS_SQL}),
+        deg AS (
+            SELECT id, CAST(count(*) AS BIGINT) AS degree
+            FROM (SELECT id_a AS id FROM pairs
+                  UNION ALL SELECT id_b FROM pairs)
+            GROUP BY id
+        )
+        SELECT degree, CAST(count(*) AS BIGINT) AS n_docs,
+               min(id) AS example_doc
+        FROM deg GROUP BY degree
+    """,
+    origin="LLM",
+    doc="Near-dup pair-graph degree histogram — the dedup QA report run "
+        "before clustering: per document its number of >= 0.8-Jaccard "
+        "neighbors, aggregated to (degree, doc count, min example doc). "
+        "A heavy tail flags template/boilerplate families (exactly the "
+        "docs that explode connected components and deserve "
+        "q_text_boilerplate treatment before pairwise dedup). Two "
+        "map-side-combined shuffles over the pair list — |pairs| then "
+        "|docs-with-dups| rows; the histogram is max-degree-sized. The "
+        "min-id example is deterministic at any partitioning.",
+)
+def q_dedup_degree(spark, sf_dir):
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    ids = pairs.select(F.col("id_a").alias("id")).unionAll(
+        pairs.select(F.col("id_b").alias("id"))
+    )
+    deg = ids.groupBy("id").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("id").alias("example_doc"),
+    )
