@@ -160,6 +160,7 @@ HEADLINE = [
     "q_orders_rfm",
     "q_src_text_lines",
     "q_dedup_degree",
+    "q_sketch_cms",
 ]
 
 

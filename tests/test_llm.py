@@ -310,3 +310,16 @@ def test_pq_codes_stable_compressive_and_searchable(spark, queries):
         total += 10
     recall = hits / total
     assert recall >= 0.8, f"exact-top-10-in-ADC-top-50 recall {recall:.3f} < 0.8"
+
+
+def test_cms_estimate_dominates_exact(spark, queries):
+    """Count-Min property: the sketch estimate is ALWAYS >= the true
+    count (a cell only ever accumulates extra colliding mass), and on
+    the fixture's ~30-word vocabulary over 512 columns the probes must
+    come back collision-free (est == exact) — any overshoot here means
+    the hash family changed."""
+    rows = queries["q_sketch_cms"](spark, SF_SMALL).collect()
+    assert len(rows) >= 5
+    for r in rows:
+        assert r.cms_est >= r.n_exact, r
+        assert r.cms_est == r.n_exact, f"collision at 30-word vocab: {r}"

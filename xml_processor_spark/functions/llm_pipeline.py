@@ -235,8 +235,9 @@ _CENT_SCALE = 1_000_000  # fixed-point 1e-6 units → order-independent sums
     oracle=f"""
         SELECT label, gs AS pos,
                round(CAST(sum(CAST(round(CAST(e.embedding[u.gs] AS DOUBLE)
-                                         * {_CENT_SCALE}) AS BIGINT)) AS DOUBLE)
-                     / {_CENT_SCALE} / count(*), 6) AS centroid
+                                         * {_CENT_SCALE}) AS BIGINT))
+                          * (1000000 // {_CENT_SCALE}) AS DOUBLE)
+                     / count(*)) / 1e6 AS centroid
         FROM embeddings e,
              LATERAL (SELECT unnest(generate_series(1, len(e.embedding))) AS gs) u
         GROUP BY label, gs
@@ -245,20 +246,32 @@ _CENT_SCALE = 1_000_000  # fixed-point 1e-6 units → order-independent sums
     doc="Per-label embedding centroid, dimension-wise: posexplode to "
         "(label, dim, value), fixed-point integer sums (order-independent "
         "across any partitioning — the float-sum determinism rule of "
-        "deterministic.py applied to vectors), then mean. The shuffle "
-        "carries |labels|×dim partial sums, not vectors — at 100 TB the "
-        "map-side partial aggregation does all the data reduction.",
+        "deterministic.py applied to vectors), then mean. The 6-dp "
+        "rounding happens in INTEGER space — round(S·(1e6/scale)/n)/1e6 "
+        "— because scale-0 ties (k.5) are exactly representable doubles "
+        "both engines round identically, while a round(x, 6) at a "
+        "non-representable x.xxxxxx5 tie splits the engines (Spark "
+        "rounds the shortest decimal repr, DuckDB the binary value — "
+        "sf0.1 finding, r7: S/2e6 at n=2000 lands exactly on 5e-7 "
+        "multiples). The shuffle carries |labels|×dim partial sums, not "
+        "vectors — at 100 TB the map-side partial aggregation does all "
+        "the data reduction.",
 )
 def q_emb_centroid(spark, sf_dir):
     e = widen(table(spark, sf_dir, "embeddings"))
     ex = e.select("label", F.posexplode("embedding").alias("pos0", "x"))
     fx = F.round(F.col("x").cast("double") * _CENT_SCALE, 0).cast("long")
+    mult = 1_000_000 // _CENT_SCALE
     return (
         ex.select("label", (F.col("pos0") + 1).alias("pos"), fx.alias("fx"))
         .groupBy("label", "pos")
         .agg(
-            r6(
-                F.sum("fx").cast("double") / _CENT_SCALE / F.count(F.lit(1))
+            (
+                F.round(
+                    (F.sum("fx") * mult).cast("double") / F.count(F.lit(1)),
+                    0,
+                )
+                / 1e6
             ).alias("centroid")
         )
     )

@@ -352,8 +352,10 @@ def q_emb_quantize(spark, sf_dir):
     "q_emb_gram",
     oracle="""
         SELECT i, j,
-               CAST(SUM(CAST(round(embedding[i + 1] * 1000) AS BIGINT)
-                        * CAST(round(embedding[j + 1] * 1000) AS BIGINT))
+               CAST(SUM(CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1000)
+                             AS BIGINT)
+                        * CAST(round(CAST(embedding[j + 1] AS DOUBLE) * 1000)
+                               AS BIGINT))
                     AS DOUBLE) / 1e6 AS g
         FROM embeddings,
              generate_series(0, 63) s1(i),
@@ -365,6 +367,11 @@ def q_emb_quantize(spark, sf_dir):
     # DuckDB 1.0 can neither parameterize a lateral generate_series by a
     # column nor unnest WITH ORDINALITY (both probed). The Spark side
     # stays dimension-generic via size(embedding).
+    # The CAST to DOUBLE before *1000 is load-bearing (sf0.1 finding,
+    # r7): DuckDB keeps FLOAT * INT in float32, where 319.49999928
+    # rounds UP (it IS 319.5f) while the double path rounds DOWN —
+    # a one-code quantization split that corrupts every cell the
+    # vector touches. Both dialects now quantize in float64.
     origin="LLM",
     doc="Distributed Gram matrix (the covariance/PCA/whitening building "
         "block: G = X^T X accumulated as a sum of per-vector outer "
@@ -379,7 +386,10 @@ def q_emb_quantize(spark, sf_dir):
 )
 def q_emb_gram(spark, sf_dir):
     e = widen(table(spark, sf_dir, "embeddings"))
-    q = "CAST(round(element_at(embedding, {k} + 1) * 1000) AS BIGINT)"
+    q = (
+        "CAST(round(CAST(element_at(embedding, {k} + 1) AS DOUBLE) * 1000) "
+        "AS BIGINT)"
+    )
     pairs = F.expr(
         "flatten(transform(sequence(0, size(embedding) - 1), i -> "
         "transform(sequence(i, size(embedding) - 1), j -> "
@@ -395,17 +405,18 @@ def q_emb_gram(spark, sf_dir):
 @register(
     "q_emb_variance",
     oracle="""
+        WITH fx AS (
+            SELECT i,
+                   CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1000)
+                        AS BIGINT) AS q
+            FROM embeddings, generate_series(0, 63) s(i)
+        )
         SELECT i,
                CAST(count(*) AS BIGINT) AS n,
-               round(CAST(SUM(CAST(round(embedding[i + 1] * 1000) AS BIGINT))
-                          AS DOUBLE) / 1e3 / count(*), 6) AS mean,
-               round((CAST(SUM(CAST(round(embedding[i + 1] * 1000) AS BIGINT)
-                               * CAST(round(embedding[i + 1] * 1000) AS BIGINT))
-                           AS DOUBLE) / 1e6
-                      - count(*) * pow(CAST(SUM(CAST(round(embedding[i + 1]
-                            * 1000) AS BIGINT)) AS DOUBLE) / 1e3 / count(*), 2))
-                     / (count(*) - 1), 6) AS var
-        FROM embeddings, generate_series(0, 63) s(i)
+               round(CAST(sum(q) * 1000 AS DOUBLE) / count(*)) / 1e6 AS mean,
+               round(CAST(count(*) * sum(q * q) - sum(q) * sum(q) AS DOUBLE)
+                     / (count(*) * (count(*) - 1))) / 1e6 AS var
+        FROM fx
         GROUP BY i
     """,
     origin="LLM",
@@ -416,23 +427,35 @@ def q_emb_gram(spark, sf_dir):
         "at any cluster size. One posexplode + map-side-combined "
         "groupBy(pos); shuffle is 64 cells x tasks. Oracle bounds use the "
         "fixture's measured dim=64 (same generate_series constraint as "
-        "q_emb_gram).",
+        "q_emb_gram). Cross-engine float discipline (sf0.1 finding, r7): "
+        "quantization casts to DOUBLE first (DuckDB FLOAT*INT stays "
+        "float32, which flips near-tie codes), and the 6-dp rounding "
+        "happens in INTEGER space — round(S*1000/n) and "
+        "round((n*SS - S^2)/(n(n-1))) then /1e6 — because scale-0 ties "
+        "(k.5) are exactly representable doubles that both engines round "
+        "identically, while 6-dp tie STRINGS (x.xxxxxx5) are not, and "
+        "Spark rounds the shortest decimal repr where DuckDB rounds the "
+        "binary value (they split exactly at such ties; first seen at "
+        "n=2000 where S/2e6 lands on 5e-7 multiples). Headroom: n*SS "
+        "must stay under 2^53 for the exact double cast — at 1e12-row "
+        "scale the same formulas run in DECIMAL(38).",
 )
 def q_emb_variance(spark, sf_dir):
     e = widen(table(spark, sf_dir, "embeddings"))
-    q = F.round(F.col("x") * 1000, 0).cast("long")
+    q = F.round(F.col("x").cast("double") * 1000, 0).cast("long")
     expl = e.select(F.posexplode("embedding").alias("i", "x"))
     n = F.count(F.lit(1))
-    mean = F.sum(q).cast("double") / 1e3 / n
+    s, ss = F.sum(q), F.sum(q * q)
     return (
         expl.groupBy("i")
         .agg(
             n.alias("n"),
-            F.round(mean, 6).alias("mean"),
-            F.round(
-                (F.sum(q * q).cast("double") / 1e6 - n * F.pow(mean, 2))
-                / (n - 1),
-                6,
+            (F.round((s * 1000).cast("double") / n, 0) / 1e6).alias("mean"),
+            (
+                F.round(
+                    (n * ss - s * s).cast("double") / (n * (n - 1)), 0
+                )
+                / 1e6
             ).alias("var"),
         )
     )

@@ -106,3 +106,130 @@ def q_heavy_hitters(spark, sf_dir):
         .orderBy(F.col("n").desc(), "term")
         .limit(_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch: the one-pass MERGEABLE frequency estimator (vs MG's
+# exact-after-recount two-pass).
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4     # hash rows
+_CMS_W = 512   # columns per row
+# Probe terms spanning frequency decades (rare + common) so the error
+# bound is exercised where it matters.
+_CMS_PROBES = ("the", "scan", "dup", "spark", "merge", "window", "key", "batch")
+
+
+@register(
+    "q_sketch_cms",
+    oracle=f"""
+        WITH toks AS (
+            SELECT unnest(string_split(text, ' ')) AS term FROM documents
+        ), cells AS (
+            SELECT r.r,
+                   CAST(concat('0x', substring(
+                       md5(concat(CAST(r.r AS VARCHAR), ':', term)),
+                       1, 15)) AS BIGINT) % {_CMS_W} AS c,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM toks, (SELECT unnest(generate_series(0, {_CMS_D} - 1)) AS r) r
+            GROUP BY 1, 2
+        ), probes AS (
+            SELECT unnest(['{"','".join(_CMS_PROBES)}']) AS term
+        ), est AS (
+            SELECT p.term,
+                   min(cells.n) AS cms_est
+            FROM probes p,
+                 (SELECT unnest(generate_series(0, {_CMS_D} - 1)) AS r) pr
+            JOIN cells
+              ON cells.r = pr.r
+             AND cells.c = CAST(concat('0x', substring(
+                     md5(concat(CAST(pr.r AS VARCHAR), ':', p.term)),
+                     1, 15)) AS BIGINT) % {_CMS_W}
+            GROUP BY p.term
+        ), exact AS (
+            SELECT term, CAST(count(*) AS BIGINT) AS n_exact
+            FROM toks WHERE term IN ('{"','".join(_CMS_PROBES)}')
+            GROUP BY term
+        )
+        SELECT e.term, x.n_exact, e.cms_est
+        FROM est e JOIN exact x ON x.term = e.term
+    """,
+    origin="LLM",
+    doc=f"Count-Min sketch — the one-pass MERGEABLE frequency estimator "
+        f"({_CMS_D} portable-hash rows x {_CMS_W} columns): every token "
+        "increments one cell per row, per-cell counts merge by plain SUM "
+        "at any partitioning (the property that lets a 1000-executor job "
+        "maintain one global sketch with a constant-size shuffle), and a "
+        "term's estimate is the MIN over its row cells — always >= the "
+        "true count, overshooting only by colliding mass (bounded in "
+        "expectation by N/w per row). Output pairs each probe term's "
+        "exact count with its estimate so the error is visible and "
+        "hash-checked. The md5-derived hash family is bit-identical in "
+        "both engines, so the entire sketch (not just its contract) is "
+        "oracle-verified. Scale shape: one map-side-combined groupBy "
+        f"onto <= {_CMS_D * _CMS_W} cells, then an 8-term probe join.",
+)
+def q_sketch_cms(spark, sf_dir):
+    from xml_processor_spark.io import widen
+
+    d = widen(table(spark, sf_dir, "documents"))
+    toks = d.select(F.explode(F.split("text", " ")).alias("term"))
+    rows = F.sequence(F.lit(0), F.lit(_CMS_D - 1))
+    cell = (
+        toks.select("term", F.explode(rows).alias("r"))
+        .select(
+            "r",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":", F.col("r").cast("string"), F.col("term")
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % _CMS_W
+            ).alias("c"),
+        )
+        .groupBy("r", "c")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    probes = spark.createDataFrame(
+        [(t,) for t in _CMS_PROBES], ["term"]
+    ).select("term", F.explode(rows).alias("r"))
+    probes = probes.select(
+        "term",
+        "r",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":", F.col("r").cast("string"), F.col("term")
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _CMS_W
+        ).alias("c"),
+    )
+    est = (
+        probes.join(F.broadcast(cell), ["r", "c"])
+        .groupBy("term")
+        .agg(F.min("n").alias("cms_est"))
+    )
+    exact = (
+        toks.filter(F.col("term").isin(*_CMS_PROBES))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    return exact.join(est, "term").select("term", "n_exact", "cms_est")
