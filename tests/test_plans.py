@@ -685,3 +685,23 @@ def test_rfm_windows_are_per_segment(spark, queries):
     specs = re.findall(r"windowspecdefinition\((\w+)#", plan)
     assert specs and all(s == "c_mktsegment" for s in specs), specs
     assert "CartesianProduct" not in plan
+
+
+def test_dedup_degree_two_grouped_passes(spark, queries):
+    """Degree histogram is two map-side-combined aggregations over the
+    pair list — no pairwise join beyond the (already-blocked) pair
+    generation, no cartesian."""
+    plan = explain(queries["q_dedup_degree"](spark, SF_MID))
+    assert plan.count("HashAggregate") >= 4  # partial+final x two levels
+    assert "CartesianProduct" not in plan
+
+
+def test_cms_sketch_is_bounded_broadcast(spark, queries):
+    """The merged CMS (<= 2048 cells, constant) broadcasts to the probe
+    join; the token stream must reduce map-side before the cell shuffle
+    and never sort-merge against the probes."""
+    plan = explain(queries["q_sketch_cms"](spark, SF_MID))
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_count" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
