@@ -141,8 +141,8 @@ HEADLINE = [
     "q_agg_bool_bit",
     "q_emb_gram",
     "q_tpch_q20",
-    # r5 additions: the last TPC-H shapes (the suite is now complete —
-    # q_agg_group is the Q1 shape) and exact span dedup.
+    # r5 additions: the last TPC-H shapes and exact span dedup (the real
+    # Q1 lands in the r7 batch below).
     "q_tpch_q2",
     "q_tpch_q11",
     "q_tpch_q16",
@@ -161,6 +161,13 @@ HEADLINE = [
     "q_src_text_lines",
     "q_dedup_degree",
     "q_sketch_cms",
+    # r7 additions, second batch: real TPC-H Q1 (the suite's 22/22 row),
+    # single-pass feature-correlation matrix, windowed skyline, cohort
+    # revenue matrix.
+    "q_tpch_q1",
+    "q_agg_corr_matrix",
+    "q_part_skyline",
+    "q_orders_cohort",
 ]
 
 

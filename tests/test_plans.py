@@ -705,3 +705,59 @@ def test_cms_sketch_is_bounded_broadcast(spark, queries):
     assert "partial_count" in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q1_scan_bound_partial_agg(spark, queries):
+    """Q1 must push its shipdate filter to the parquet scan and collapse
+    rows map-side (partial+final HashAggregate) — scan-bound at 100 TB."""
+    plan = explain(queries["q_tpch_q1"](spark, SF_MID))
+    assert "PushedFilters:" in plan
+    pushed = plan.split("PushedFilters:")[1].split("\n")[0]
+    assert "l_shipdate" in pushed
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan
+
+
+def _n_exchanges(plan: str) -> int:
+    """Count physical (Broadcast)Exchange NODES in a formatted plan —
+    each node prints twice (tree line + numbered section), so a raw
+    substring count over-reports by 2x."""
+    import re
+
+    return len(re.findall(r"\(\d+\) (?:Broadcast)?Exchange", plan))
+
+
+def test_corr_matrix_single_pass_no_join(spark, queries):
+    """The correlation matrix is ONE map-side-combined aggregation: a
+    single exchange (to one final partition), no join anywhere, and the
+    pair expansion happens on the 1-row result."""
+    plan = explain(queries["q_agg_corr_matrix"](spark, SF_MID))
+    assert "Join" not in plan
+    assert _n_exchanges(plan) == 1
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_skyline_one_partition_no_self_join(spark, queries):
+    """The skyline re-expression must be windows over ONE p_brand hash
+    partitioning — never the oracle's O(n^2) self-join shape."""
+    plan = explain(queries["q_part_skyline"](spark, SF_MID))
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    assert _n_exchanges(plan) == 1
+    assert "hashpartitioning(p_brand" in plan
+    assert plan.count("Window") >= 2  # both frontier windows, same partition
+
+
+def test_cohort_no_forced_broadcast(spark, queries):
+    """Both cohort join sides are fact-sized at 100 TB: the plan must not
+    carry a broadcast hint (AQE's small-SF broadcast choice is stats-driven
+    and reverses at scale; a hint does not) and never a nested loop. The
+    exchange budget is 4: fact/agg custkey partitioning, the countDistinct
+    expand, and the final months-matrix shuffle."""
+    df = queries["q_orders_cohort"](spark, SF_MID)
+    logical = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in logical
+    plan = explain(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert _n_exchanges(plan) <= 4

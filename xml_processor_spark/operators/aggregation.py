@@ -640,3 +640,108 @@ def q_skew_stats(spark, sf_dir):
             F.round(F.col("n") / F.col("avg_n"), 6).alias("skew_vs_avg"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Pairwise feature-correlation matrix (the pre-training feature scan).
+# ---------------------------------------------------------------------------
+
+# Integer units per column: exact BIGINT sums at any partitioning. The
+# combine step (n*Sxy - Sx*Sy etc.) runs in DOUBLE on both engines — the
+# inputs are identical exact integers, so the IEEE products round
+# identically and the 6-dp corr matches bit-for-bit. int64 headroom:
+# sum(price^2) <= rows * (1e5)^2, safe to ~9e8 rows per Spark task's
+# partial sum; beyond that the same expression lifts to DECIMAL(38,0).
+_CORR_COLS = (
+    ("qty", "CAST(round(l_quantity) AS BIGINT)"),
+    ("price", "CAST(round(l_extendedprice) AS BIGINT)"),
+    ("disc", "CAST(round(l_discount * 100) AS BIGINT)"),
+    ("tax", "CAST(round(l_tax * 100) AS BIGINT)"),
+)
+_CORR_PAIRS = tuple(
+    (_CORR_COLS[i][0], _CORR_COLS[j][0])
+    for i in range(len(_CORR_COLS))
+    for j in range(i + 1, len(_CORR_COLS))
+)
+
+
+def _corr_oracle_sql() -> str:
+    base = ", ".join(f"{expr} AS {name}" for name, expr in _CORR_COLS)
+    sums = ["CAST(count(*) AS BIGINT) AS n"]
+    for name, _ in _CORR_COLS:
+        sums.append(f"sum({name}) AS s_{name}")
+        sums.append(f"sum({name} * {name}) AS ss_{name}")
+    for x, y in _CORR_PAIRS:
+        sums.append(f"sum({x} * {y}) AS sp_{x}_{y}")
+    rows = []
+    for x, y in _CORR_PAIRS:
+        num = (f"(CAST(n AS DOUBLE) * CAST(sp_{x}_{y} AS DOUBLE)"
+               f" - CAST(s_{x} AS DOUBLE) * CAST(s_{y} AS DOUBLE))")
+        dx = (f"(CAST(n AS DOUBLE) * CAST(ss_{x} AS DOUBLE)"
+              f" - CAST(s_{x} AS DOUBLE) * CAST(s_{x} AS DOUBLE))")
+        dy = (f"(CAST(n AS DOUBLE) * CAST(ss_{y} AS DOUBLE)"
+              f" - CAST(s_{y} AS DOUBLE) * CAST(s_{y} AS DOUBLE))")
+        rows.append(
+            f"SELECT '{x}' AS col_x, '{y}' AS col_y, n,"
+            f" round({num} / sqrt({dx} * {dy}), 6) AS corr FROM s"
+        )
+    return (
+        f"WITH t AS (SELECT {base} FROM lineitem), s AS (SELECT "
+        + ", ".join(sums)
+        + " FROM t) "
+        + " UNION ALL ".join(rows)
+    )
+
+
+@register(
+    "q_agg_corr_matrix",
+    oracle=_corr_oracle_sql(),
+    origin="LLM",
+    doc="Pairwise Pearson correlation matrix over the numeric lineitem "
+        "features (quantity, price, discount, tax) — the feature-"
+        "redundancy scan an ML pipeline runs before training. ONE "
+        "map-side-combined pass computes every per-column sum, square "
+        "sum, and the 6 cross-products (15 exact BIGINT aggregates "
+        "total); the correlations are derived on the 1-row result via "
+        "the exact-integer moment identity (n*Sxy - Sx*Sy) / "
+        "sqrt((n*Sxx - Sx^2)(n*Syy - Sy^2)) in DOUBLE, 6-dp rounded. "
+        "Shuffle is one row per partition regardless of data size — the "
+        "same plan at 100 TB; adding a feature adds aggregates, never "
+        "passes.",
+)
+def q_agg_corr_matrix(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    cols = {
+        "qty": F.round(F.col("l_quantity")).cast("long"),
+        "price": F.round(F.col("l_extendedprice")).cast("long"),
+        "disc": F.round(F.col("l_discount") * 100).cast("long"),
+        "tax": F.round(F.col("l_tax") * 100).cast("long"),
+    }
+    t = li.select(*[c.alias(n) for n, c in cols.items()])
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for name in cols:
+        aggs.append(F.sum(name).alias(f"s_{name}"))
+        aggs.append(F.sum(F.col(name) * F.col(name)).alias(f"ss_{name}"))
+    for x, y in _CORR_PAIRS:
+        aggs.append(F.sum(F.col(x) * F.col(y)).alias(f"sp_{x}_{y}"))
+    s = t.agg(*aggs)
+
+    def _d(c):  # exact-integer sum -> DOUBLE, once, like the oracle
+        return F.col(c).cast("double")
+
+    n = _d("n")
+    pair_rows = []
+    for x, y in _CORR_PAIRS:
+        num = n * _d(f"sp_{x}_{y}") - _d(f"s_{x}") * _d(f"s_{y}")
+        dx = n * _d(f"ss_{x}") - _d(f"s_{x}") * _d(f"s_{x}")
+        dy = n * _d(f"ss_{y}") - _d(f"s_{y}") * _d(f"s_{y}")
+        pair_rows.append(
+            F.struct(
+                F.lit(x).alias("col_x"),
+                F.lit(y).alias("col_y"),
+                F.round(num / F.sqrt(dx * dy), 6).alias("corr"),
+            )
+        )
+    return s.select(
+        F.col("n"), F.explode(F.array(*pair_rows)).alias("p")
+    ).select("p.col_x", "p.col_y", "n", "p.corr")

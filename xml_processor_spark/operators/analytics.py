@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from xml_processor_spark.functions.deterministic import dsum, dsum_sql, r6
+from xml_processor_spark.functions.deterministic import cents, dsum, dsum_sql, r6
 from xml_processor_spark.io import table
 from xml_processor_spark.registry import register
 
@@ -709,4 +709,131 @@ def q_orders_rfm(spark, sf_dir):
         F.ntile(4).over(r_w).cast("long").alias("r_score"),
         F.ntile(4).over(f_w).cast("long").alias("f_score"),
         F.ntile(4).over(m_w).cast("long").alias("m_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skyline (Pareto frontier) — dominance analysis per group.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_part_skyline",
+    oracle="""
+        WITH p AS (
+            SELECT p_brand, p_partkey, p_size,
+                   CAST(round(p_retailprice * 100) AS BIGINT) AS price_c
+            FROM part
+        )
+        SELECT a.p_brand, a.p_partkey, a.p_size, a.price_c
+        FROM p a
+        WHERE NOT EXISTS (
+            SELECT 1 FROM p b
+            WHERE b.p_brand = a.p_brand
+              AND b.price_c <= a.price_c AND b.p_size >= a.p_size
+              AND (b.price_c < a.price_c OR b.p_size > a.p_size)
+        )
+    """,
+    doc="Skyline / Pareto-frontier operator: per brand, the parts not "
+        "dominated by any other part on (cheaper-or-equal price, larger-"
+        "or-equal size, strictly better in one). The oracle states the "
+        "O(n^2) NOT-EXISTS dominance definition; the Spark plan re-"
+        "expresses it as two windows sharing ONE p_brand hash partition: "
+        "a RANGE frame (max size over all STRICTLY cheaper rows) and a "
+        "per-(brand, price) max — a row survives iff it beats the first "
+        "and equals the second. O(n log n) per brand, no self-join, no "
+        "pairwise compare; at 100 TB the shuffle is one repartition on "
+        "brand and the frontier math is a sort within partition. Price "
+        "compares in integer cents (float <= is representation-"
+        "dependent); identical (price, size) twins both survive, per the "
+        "strict-dominance definition, in both formulations.",
+)
+def q_part_skyline(spark, sf_dir):
+    from pyspark.sql import Window
+
+    p = table(spark, sf_dir, "part").select(
+        "p_brand", "p_partkey", "p_size", cents("p_retailprice").alias("price_c")
+    )
+    cheaper = (
+        Window.partitionBy("p_brand")
+        .orderBy("price_c")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    same_price = Window.partitionBy("p_brand", "price_c")
+    return (
+        p.withColumn("max_cheaper", F.max("p_size").over(cheaper))
+        .withColumn("max_same", F.max("p_size").over(same_price))
+        .filter(
+            (F.col("max_cheaper").isNull()
+             | (F.col("p_size") > F.col("max_cheaper")))
+            & (F.col("p_size") == F.col("max_same"))
+        )
+        .select("p_brand", "p_partkey", "p_size", "price_c")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort revenue matrix (acquisition-month x months-since).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_orders_cohort",
+    oracle="""
+        WITH m AS (
+            SELECT o_custkey,
+                   CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+                        AS BIGINT) AS ym,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+        ), firsts AS (
+            SELECT o_custkey, min(ym) AS cohort_ym FROM m GROUP BY o_custkey
+        )
+        SELECT CAST(cohort_ym // 12 AS BIGINT) AS cohort_year,
+               CAST(cohort_ym % 12 + 1 AS BIGINT) AS cohort_month,
+               CAST(m.ym - cohort_ym AS BIGINT) AS months_since,
+               CAST(count(DISTINCT m.o_custkey) AS BIGINT) AS n_customers,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               sum(cents) AS revenue_cents
+        FROM m JOIN firsts ON m.o_custkey = firsts.o_custkey
+        GROUP BY cohort_ym, months_since
+    """,
+    doc="Cohort revenue matrix — the canonical retention/LTV rollup: each "
+        "customer is assigned to the month of their first order, then "
+        "(cohort month x months-since-acquisition) cells accumulate "
+        "distinct customers, orders, and exact-cents revenue. Month "
+        "arithmetic is pure integers (y*12+m), immune to engine interval "
+        "semantics. Scale shape: the min-month groupBy and the join back "
+        "both hash on o_custkey — one key partitioning reused across "
+        "both stages (no second shuffle of the fact side under AQE "
+        "exchange reuse), then a tiny (months x months) final aggregate. "
+        "No window over the fact table, no broadcast assumption on "
+        "either side.",
+)
+def q_orders_cohort(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    m = o.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .cast("long")
+        .alias("ym"),
+        cents("o_totalprice").alias("cents"),
+    )
+    firsts = m.groupBy("o_custkey").agg(F.min("ym").alias("cohort_ym"))
+    return (
+        m.join(firsts, "o_custkey")
+        .groupBy("cohort_ym", (F.col("ym") - F.col("cohort_ym")).alias("months_since"))
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+        .select(
+            F.floor(F.col("cohort_ym") / 12).cast("long").alias("cohort_year"),
+            (F.col("cohort_ym") % 12 + 1).cast("long").alias("cohort_month"),
+            F.col("months_since").cast("long"),
+            "n_customers",
+            "n_orders",
+            "revenue_cents",
+        )
     )

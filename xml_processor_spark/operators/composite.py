@@ -697,3 +697,55 @@ _sql_query(
     "a plain left-anti hash join (no null-aware nested loop); the count-"
     "distinct shuffles once on the group keys.",
 )
+
+# Q1 exact-integer discipline: quantity/price/discount/tax all become
+# integer centi-units before any sum, so every aggregate is an exact
+# associative BIGINT reduction; the three derived averages round in
+# INTEGER space (round(sum * 10^k / n), then one /10^6 — the r7
+# emb-moments lesson: scale-0 rounding ties are exactly representable,
+# so both engines break them identically). Largest sum term:
+# price_c * (100-disc_c) * (100+tax_c) <= 1e7 * 100 * 108 ~ 1.1e11 per
+# row — int64 holds ~8e7 such rows per group at the fixture price range;
+# a 100 TB deployment lifts the same expression to DECIMAL(38,0).
+_Q1_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(qty_c) AS DOUBLE) / 100 AS sum_qty,
+           CAST(sum(price_c) AS DOUBLE) / 100 AS sum_base_price,
+           CAST(sum(price_c * (100 - disc_c)) AS DOUBLE) / 1e4
+               AS sum_disc_price,
+           CAST(sum(price_c * (100 - disc_c) * (100 + tax_c)) AS DOUBLE)
+               / 1e6 AS sum_charge,
+           round(CAST(sum(qty_c) AS DOUBLE) * 1e4 / count(*)) / 1e6
+               AS avg_qty,
+           round(CAST(sum(price_c) AS DOUBLE) * 1e4 / count(*)) / 1e6
+               AS avg_price,
+           round(CAST(sum(disc_c) AS DOUBLE) * 1e4 / count(*)) / 1e6
+               AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM (
+        SELECT l_returnflag, l_linestatus,
+               CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+               CAST(round(l_discount * 100) AS BIGINT) AS disc_c,
+               CAST(round(l_tax * 100) AS BIGINT) AS tax_c
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    )
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+"""
+
+_sql_query(
+    "q_tpch_q1",
+    _Q1_SQL,
+    "TPC-H Q1 (pricing summary report) — completes the 22-query TPC-H "
+    "suite: the canonical full-scan aggregation, one shipdate filter "
+    "(pushed to the parquet scan) then eight aggregates over two "
+    "low-cardinality group keys. All sums are exact BIGINT centi-unit "
+    "reductions and the averages round in integer space (see _Q1_SQL "
+    "comment), so the result is bit-identical on any engine or "
+    "partitioning. Scale shape: the defining TPC-H stress of partial "
+    "aggregation — 6 output groups mean map-side combine reduces "
+    "~100% of rows before the one tiny shuffle; at 100 TB the plan is "
+    "scan-bound, exactly as it should be.",
+)
