@@ -168,6 +168,12 @@ HEADLINE = [
     "q_agg_corr_matrix",
     "q_part_skyline",
     "q_orders_cohort",
+    # r7 additions, third batch: batch sessionization, z-score anomaly
+    # scan, Zipf corpus fit, similarity histogram.
+    "q_events_sessionize",
+    "q_events_anomaly",
+    "q_text_zipf",
+    "q_emb_cosine_hist",
 ]
 
 

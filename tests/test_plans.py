@@ -761,3 +761,42 @@ def test_cohort_no_forced_broadcast(spark, queries):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert _n_exchanges(plan) <= 4
+
+
+def test_sessionize_single_user_partitioning(spark, queries):
+    """Sessionization's lag window, running session-id sum, and final
+    groupBy must share one user_id hash partitioning — a single fact
+    shuffle, no join, no global sort."""
+    plan = explain(queries["q_events_sessionize"](spark, SF_MID))
+    assert "Join" not in plan
+    assert _n_exchanges(plan) == 1
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_anomaly_no_forced_broadcast_two_passes(spark, queries):
+    """The z-score scan is two map-side-combined aggregations joined on
+    the bounded type key — hint-free (AQE broadcasts the |types|-row
+    stats side; a hint would force it), never a nested loop."""
+    df = queries["q_events_anomaly"](spark, SF_MID)
+    logical = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in logical
+    plan = explain(df)
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_zipf_topn_is_take_ordered(spark, queries):
+    """The top-1000 term selection must be a distributed TakeOrdered,
+    never a global sort of the term table."""
+    plan = explain(queries["q_text_zipf"](spark, SF_MID))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_cosine_hist_probe_broadcast_bounded_agg(spark, queries):
+    """The probe side is a constant-size broadcast (linear probes x n
+    pair count — the knn shape) and the histogram collapses map-side
+    onto <= 20 cells before its shuffle."""
+    plan = explain(queries["q_emb_cosine_hist"](spark, SF_MID))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2

@@ -850,3 +850,106 @@ def q_quality_rules(spark, sf_dir):
         r_alpha.alias("r_alpha"),
         (r_len & r_wlen & r_uniq & r_alpha).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency fit (corpus-health diagnostic).
+# ---------------------------------------------------------------------------
+
+_ZIPF_TOP = 1000  # fit over the top-N terms by frequency
+
+
+@register(
+    "q_text_zipf",
+    oracle=f"""
+        WITH tf AS (
+            SELECT s AS term, CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT unnest(string_split(text, ' ')) AS s
+                  FROM documents)
+            GROUP BY s
+        ), top AS (
+            SELECT term, n,
+                   row_number() OVER (ORDER BY n DESC, term) AS rank
+            FROM tf
+            ORDER BY n DESC, term
+            LIMIT {_ZIPF_TOP}
+        ), q AS (
+            SELECT CAST(round(ln(rank) * 1e6) AS BIGINT) AS x,
+                   CAST(round(ln(n) * 1e6) AS BIGINT) AS y
+            FROM top
+        ), s AS (
+            SELECT CAST(count(*) AS BIGINT) AS k,
+                   sum(x) AS sx, sum(y) AS sy,
+                   sum(x * x) AS sxx, sum(x * y) AS sxy
+            FROM q
+        )
+        SELECT (SELECT count(*) FROM tf) AS n_terms,
+               k AS n_fit,
+               round((CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+                   AS zipf_slope,
+               round((CAST(sy AS DOUBLE)
+                      - CAST(sx AS DOUBLE)
+                        * ((CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                           / (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))))
+                     / (CAST(k AS DOUBLE) * 1e6), 6) AS zipf_intercept
+        FROM s
+    """,
+    origin="LLM",
+    doc=f"Zipf rank-frequency fit — the corpus-health diagnostic "
+        "(natural text follows slope ~ -1 in log-log rank/frequency; "
+        "machine-generated or template-heavy corpora bend the curve): "
+        f"least-squares slope+intercept of ln(count) vs ln(rank) over "
+        f"the top-{_ZIPF_TOP} terms. Cross-engine float discipline: "
+        "ln values are QUANTIZED to 1e-6 BIGINTs per term before any "
+        "sum, so the regression sums are exact integers and the final "
+        "slope is one identical double expression on both engines "
+        "(float sums in engine-dependent order never happen). Scale "
+        f"shape: term counts are one map-side-combined groupBy; the "
+        f"top-{_ZIPF_TOP} is a distributed TakeOrdered (never a global "
+        "sort); the fit runs on a constant {_ZIPF_TOP}-row table. "
+        "Intercept is reported in ln-count units (y/1e6 descale).",
+)
+def q_text_zipf(spark, sf_dir):
+    d = widen(table(spark, sf_dir, "documents"))
+    tf = (
+        d.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    n_terms = tf.agg(F.count(F.lit(1)).alias("n_terms"))
+    top = tf.orderBy(F.col("n").desc(), "term").limit(_ZIPF_TOP)
+    w = Window.orderBy(F.col("n").desc(), "term")  # over <= _ZIPF_TOP rows
+    q = top.withColumn("rank", F.row_number().over(w)).select(
+        F.round(F.log(F.col("rank")) * 1e6).cast("long").alias("x"),
+        F.round(F.log(F.col("n")) * 1e6).cast("long").alias("y"),
+    )
+    s = q.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    kd = F.col("k").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    sxxd = F.col("sxx").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    slope = (kd * sxyd - sxd * syd) / (kd * sxxd - sxd * sxd)
+    return (
+        F.broadcast(n_terms)
+        .crossJoin(s)
+        .select(
+            "n_terms",
+            F.col("k").alias("n_fit"),
+            F.round(slope, 6).alias("zipf_slope"),
+            F.round((syd - sxd * slope) / (kd * 1e6), 6).alias(
+                "zipf_intercept"
+            ),
+        )
+    )

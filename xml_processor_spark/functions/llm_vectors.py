@@ -733,3 +733,73 @@ def q_emb_mrl(spark, sf_dir):
         F.max("d32").alias("max_abs_dev"),
     )
     return agg16.unionAll(agg32)
+
+
+# ---------------------------------------------------------------------------
+# Pairwise-similarity histogram (embedding-space health diagnostic).
+# ---------------------------------------------------------------------------
+
+_HIST_PROBES = 8  # fixed probe rows; pair count is probes * n (linear)
+_HIST_BUCKETS = 20  # fixed-width buckets over cosine range [-1, 1]
+
+
+@register(
+    "q_emb_cosine_hist",
+    oracle=f"""
+        WITH probes AS (SELECT vec_id AS probe_id, embedding AS pe
+                        FROM embeddings WHERE vec_id < {_HIST_PROBES}),
+        scored AS (
+            SELECT round({_DOT.format(a='p.pe', b='c.embedding')}
+                         / sqrt({_NORM2.format(a='p.pe')})
+                         / sqrt({_NORM2.format(a='c.embedding')}), 6) AS sim
+            FROM probes p JOIN embeddings c ON c.vec_id <> p.probe_id
+        )
+        SELECT CAST(least(floor((sim + 1.0) * 10.0),
+                          {_HIST_BUCKETS - 1}) AS BIGINT) AS bucket,
+               round(least(floor((sim + 1.0) * 10.0),
+                           {_HIST_BUCKETS - 1}) / 10.0 - 1.0, 1) AS lo_edge,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM scored
+        GROUP BY bucket, lo_edge
+    """,
+    origin="LLM",
+    doc=f"Pairwise cosine-similarity histogram — the embedding-space "
+        "health diagnostic behind LSH/dedup threshold tuning (where does "
+        "the similarity mass sit relative to the dedup τ?): "
+        f"{_HIST_PROBES} fixed probe vectors against the whole corpus, "
+        f"cosine bucketed into {_HIST_BUCKETS} fixed-width bins over "
+        "[-1, 1]. Bucketing happens on the 6-dp ROUNDED cosine (already "
+        "the cross-engine-identical value every knn/dedup operator "
+        "reports), so bin assignment cannot split between engines. "
+        "Scale shape: probe set is a constant-size broadcast, pair "
+        "count is probes x n (linear, the q_knn_cosine shape — never "
+        "all-pairs), and the histogram is a map-side-combined groupBy "
+        f"onto <= {_HIST_BUCKETS} cells. The full-corpus pairwise "
+        "version is exactly what E-EMB-LSH-HI avoids; this diagnostic "
+        "is how you pick its operating point.",
+)
+def q_emb_cosine_hist(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < _HIST_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
+    )
+    cand = e.select("vec_id", "embedding")
+    sim = r6(
+        _dot(F.col("pe"), F.col("embedding"))
+        / F.sqrt(_norm2(F.col("pe")))
+        / F.sqrt(_norm2(F.col("embedding")))
+    )
+    bucket = F.least(
+        F.floor((F.col("sim") + 1.0) * 10.0), F.lit(_HIST_BUCKETS - 1)
+    ).cast("long")
+    return (
+        F.broadcast(probes)
+        .join(cand, F.col("vec_id") != F.col("probe_id"))
+        .select(sim.alias("sim"))
+        .select(
+            bucket.alias("bucket"),
+            F.round(bucket / 10.0 - 1.0, 1).alias("lo_edge"),
+        )
+        .groupBy("bucket", "lo_edge")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

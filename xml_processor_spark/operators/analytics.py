@@ -837,3 +837,163 @@ def q_orders_cohort(spark, sf_dir):
             "revenue_cents",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch sessionization (gap-based) and per-type anomaly scan.
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap, in micros
+
+
+@register(
+    "q_events_sessionize",
+    oracle=f"""
+        WITH t AS (
+            SELECT user_id, event_id, event_type, ts,
+                   epoch_us(ts) AS us,
+                   lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+            FROM events
+        ), s AS (
+            SELECT user_id, event_id, event_type, ts, us,
+                   CAST(sum(CASE WHEN prev_us IS NULL
+                                 OR us - prev_us > {_SESSION_GAP_US}
+                                 THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+            FROM t
+        )
+        SELECT user_id, session_idx,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+               min(ts) AS session_start,
+               max(ts) AS session_end,
+               CAST((max(us) - min(us)) // 1000000 AS BIGINT)
+                   AS duration_sec
+        FROM s
+        GROUP BY user_id, session_idx
+    """,
+    doc="Batch gap-based sessionization — the classic clickstream "
+        "operator (the batch twin of the streaming session window "
+        "q_stream_session): a new session starts after a 30-minute "
+        "inactivity gap; per session, event count, distinct types, "
+        "start/end, and duration. Gap and duration arithmetic is exact "
+        "integer MICROSECONDS (epoch_us/unix_micros — no engine "
+        "interval or truncation semantics involved), the event order is "
+        "total ((ts, event_id) tie-break). Scale shape: the lag window, "
+        "the session-id running sum, and the final groupBy all share "
+        "ONE user_id hash partitioning — one shuffle of the fact table, "
+        "then per-user sorted passes; no self-join, no driver state.",
+)
+def q_events_sessionize(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts",
+        F.unix_micros("ts").alias("us"),
+    )
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("us").over(order)
+    is_new = (
+        prev.isNull() | ((F.col("us") - prev) > _SESSION_GAP_US)
+    ).cast("long")
+    sid = F.sum(is_new).over(
+        order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.withColumn("session_idx", sid)
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.floor((F.max("us") - F.min("us")) / 1_000_000)
+            .cast("long")
+            .alias("duration_sec"),
+        )
+    )
+
+
+@register(
+    "q_events_anomaly",
+    oracle="""
+        WITH v AS (
+            SELECT event_type,
+                   CAST(round(value * 100) AS BIGINT) AS vc
+            FROM events WHERE value IS NOT NULL
+        ), stats AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   sum(vc) AS s, sum(vc * vc) AS ss
+            FROM v GROUP BY event_type
+        )
+        SELECT v.event_type, n,
+               round(CAST(s AS DOUBLE) * 1e4 / n) / 1e6 AS mean_value,
+               round(sqrt((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                           - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                          / (CAST(n AS DOUBLE) * (n - 1))) * 1e4) / 1e6
+                   AS std_value,
+               CAST(count(*) FILTER (
+                   abs(CAST(n AS DOUBLE) * vc - CAST(s AS DOUBLE))
+                   > 3.0 * CAST(n AS DOUBLE)
+                       * sqrt((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                               - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                              / (CAST(n AS DOUBLE) * (n - 1)))
+               ) AS BIGINT) AS n_outliers,
+               round(max(abs(CAST(n AS DOUBLE) * vc - CAST(s AS DOUBLE)))
+                     / (CAST(n AS DOUBLE)
+                        * sqrt((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                                - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                               / (CAST(n AS DOUBLE) * (n - 1)))), 6)
+                   AS max_abs_z
+        FROM v JOIN stats ON v.event_type = stats.event_type
+        GROUP BY v.event_type, n, s, ss
+    """,
+    doc="Per-type z-score anomaly scan — the distribution-drift check a "
+        "pipeline runs on every metric column: per event_type, mean/std from "
+        "EXACT integer-cent sums, the 3-sigma outlier count, and the "
+        "max |z|. The z comparison is the exact-integer inequality "
+        "|n*v - S| > 3*n*std (no per-row float mean subtraction): both "
+        "engines derive identical doubles from identical BIGINTs, so "
+        "the flags match bit-for-bit. Two map-side-combined passes "
+        "(stats, then flag+count) joined on the low-cardinality type "
+        "key — no hint; the stats side is |types| rows and AQE "
+        "broadcasts it at any scale. 6-dp moments round in integer "
+        "space (the emb-moments tie lesson).",
+)
+def q_events_anomaly(spark, sf_dir):
+    from xml_processor_spark.functions.deterministic import cents
+
+    v = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", cents("value").alias("vc"))
+    )
+    stats = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vc").alias("s"),
+        F.sum(F.col("vc") * F.col("vc")).alias("ss"),
+    )
+    j = v.join(stats, "event_type")
+    nd = F.col("n").cast("double")
+    sd = F.col("s").cast("double")
+    ssd = F.col("ss").cast("double")
+    std_c = F.sqrt((nd * ssd - sd * sd) / (nd * (F.col("n") - 1)))
+    dev = F.abs(nd * F.col("vc") - sd)
+    return (
+        j.groupBy("event_type", "n", "s", "ss")
+        .agg(
+            F.sum((dev > 3.0 * nd * std_c).cast("long")).alias("n_outliers"),
+            F.max(dev).alias("max_dev"),
+        )
+        .select(
+            "event_type",
+            "n",
+            (F.round(sd * 1e4 / nd) / 1e6).alias("mean_value"),
+            (F.round(std_c * 1e4) / 1e6).alias("std_value"),
+            "n_outliers",
+            F.round(F.col("max_dev") / (nd * std_c), 6).alias("max_abs_z"),
+        )
+    )
