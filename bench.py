@@ -174,6 +174,11 @@ HEADLINE = [
     "q_events_anomaly",
     "q_text_zipf",
     "q_emb_cosine_hist",
+    # r7 additions, fourth batch: triangle census, hive-partitioned
+    # source, tolerance as-of join.
+    "q_graph_triangles",
+    "q_src_hive_partitioned",
+    "q_join_asof_tolerance",
 ]
 
 

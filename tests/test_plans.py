@@ -800,3 +800,37 @@ def test_cosine_hist_probe_broadcast_bounded_agg(spark, queries):
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_triangles_joins_are_equi(spark, queries):
+    """Triangle counting must be equi joins over the oriented pair list —
+    never a nested-loop/cartesian path enumeration."""
+    plan = explain(queries["q_graph_triangles"](spark, SF_MID))
+    assert "CartesianProduct" not in plan
+
+
+def test_hive_partitioned_read_prunes_partitions(spark, queries):
+    """A lang filter over the partitionBy(lang) tree must become a
+    PartitionFilter — pruned at the file-listing level, so other
+    partitions' data files are never opened."""
+    from xml_processor_spark.sources.roundtrip import artifact_dir
+
+    # Run the operator once so the partitioned tree exists.
+    queries["q_src_hive_partitioned"](spark, SF_MID).count()
+    path = artifact_dir(SF_MID, "hivepart")
+    import pyspark.sql.functions as F
+
+    df = spark.read.parquet(path).filter(F.col("lang") == "en")
+    plan = explain(df)
+    assert "PartitionFilters" in plan
+    part = plan.split("PartitionFilters:")[1].split("\n")[0]
+    assert "lang" in part
+
+
+def test_asof_tolerance_keyed_no_cartesian(spark, queries):
+    """The tolerance as-of pair search must join equi on user_id (range
+    bound as residual) and the winner join back equi on purchase_id —
+    never a nested loop over purchases x views."""
+    plan = explain(queries["q_join_asof_tolerance"](spark, SF_MID))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

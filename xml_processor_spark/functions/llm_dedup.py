@@ -1317,3 +1317,91 @@ def q_dedup_degree(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.min("id").alias("example_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle census on the near-dup pair graph (clustering QA, after the
+# degree histogram and before connected components).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_graph_triangles",
+    oracle=f"""
+        WITH pairs AS ({_NGRAM_PAIRS_SQL}),
+        tri AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_triangles
+            FROM pairs e1
+            JOIN pairs e2 ON e2.id_a = e1.id_b
+            JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+        ),
+        deg AS (
+            SELECT id, CAST(count(*) AS BIGINT) AS degree
+            FROM (SELECT id_a AS id FROM pairs
+                  UNION ALL SELECT id_b FROM pairs)
+            GROUP BY id
+        ),
+        w AS (
+            SELECT CAST(sum(degree * (degree - 1)) // 2 AS BIGINT)
+                       AS n_wedges
+            FROM deg
+        ),
+        e AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM pairs)
+        SELECT n_edges, n_wedges, n_triangles,
+               CASE WHEN n_wedges = 0 THEN NULL
+                    ELSE round(3.0 * n_triangles / n_wedges, 6)
+               END AS transitivity
+        FROM e, w, tri
+    """,
+    origin="LLM",
+    doc="Triangle census of the near-dup pair graph — the clustering QA "
+        "step between the degree histogram (q_dedup_degree) and "
+        "connected components (q_dedup_cluster): edge count, wedge "
+        "count (sum deg·(deg−1)/2), triangle count, and the global "
+        "transitivity 3·triangles/wedges. High transitivity means the "
+        "near-dup relation is locally consistent (template families "
+        "form cliques, safe to collapse); low transitivity flags "
+        "chained false merges before label propagation runs. Scale "
+        "shape: the canonical distributed triangle count — edges are "
+        "already oriented (id_a < id_b), so each triangle {{a<b<c}} is "
+        "found EXACTLY once by two equi joins over the (bounded, "
+        "blocked-candidate) pair list; wedge counting is one "
+        "map-side-combined degree aggregation. No per-node adjacency "
+        "materialization, no driver graph.",
+)
+def q_graph_triangles(spark, sf_dir):
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    e1 = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    e2 = pairs.select(F.col("id_a").alias("b2"), F.col("id_b").alias("c"))
+    e3 = pairs.select(F.col("id_a").alias("a3"), F.col("id_b").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    ids = pairs.select(F.col("id_a").alias("id")).unionAll(
+        pairs.select(F.col("id_b").alias("id"))
+    )
+    deg = ids.groupBy("id").agg(F.count(F.lit(1)).alias("degree"))
+    wedges = deg.agg(
+        F.expr("CAST(sum(degree * (degree - 1)) DIV 2 AS BIGINT)").alias(
+            "n_wedges"
+        )
+    )
+    edges = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        edges.crossJoin(wedges)
+        .crossJoin(tri)
+        .select(
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.when(
+                F.col("n_wedges") == 0, F.lit(None).cast("double")
+            )
+            .otherwise(
+                F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6)
+            )
+            .alias("transitivity"),
+        )
+    )

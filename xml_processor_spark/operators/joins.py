@@ -506,3 +506,91 @@ def q_join_fuzzy(spark, sf_dir):
         "key_a", "key_b", "name_a", "name_b",
         F.levenshtein("name_a", "name_b").cast("int").alias("dist"),
     )
+
+
+_ASOF_TOL_US = 2 * 3600 * 1_000_000  # 2-hour backward tolerance, micros
+
+
+@register(
+    "q_join_asof_tolerance",
+    oracle=f"""
+        WITH p AS (
+            SELECT event_id AS purchase_id,
+                   date_trunc('second', ts) AS purchase_ts,
+                   epoch_us(ts) AS p_us, user_id
+            FROM events WHERE event_type = 'purchase'
+        ), best AS (
+            SELECT purchase_id, view_id, view_ts
+            FROM (
+                SELECT p.purchase_id,
+                       v.event_id AS view_id,
+                       date_trunc('second', v.ts) AS view_ts,
+                       row_number() OVER (PARTITION BY p.purchase_id
+                                          ORDER BY v.ts DESC,
+                                                   v.event_id DESC) AS rn
+                FROM p JOIN events v
+                  ON v.user_id = p.user_id
+                 AND v.event_type = 'view'
+                 AND epoch_us(v.ts) <= p.p_us
+                 AND epoch_us(v.ts) > p.p_us - {_ASOF_TOL_US}
+            ) WHERE rn = 1
+        )
+        SELECT p.purchase_id, p.purchase_ts, p.user_id,
+               b.view_id, b.view_ts
+        FROM p LEFT JOIN best b ON b.purchase_id = p.purchase_id
+    """,
+    doc="As-of join WITH TOLERANCE (pandas merge_asof semantics): latest "
+        "view at-or-before each purchase, but only within a 2-hour "
+        "lookback — and LEFT: purchases with no view in the window keep "
+        "a NULL match instead of vanishing (the difference between "
+        "'attribute to the most recent touch' and 'attribute to a "
+        "RECENT touch, else organic' — the attribution-correct form). "
+        "Tolerance compares exact integer microseconds. Scale shape "
+        "matches q_join_asof — the pair search is equi-keyed on "
+        "user_id and the tolerance bound CUTS the per-key fan-out from "
+        "all-history to the window (strictly cheaper); the winner is "
+        "picked by one per-purchase window, the left join back is "
+        "keyed on purchase_id.",
+)
+def q_join_asof_tolerance(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+        F.unix_micros("ts").alias("p_us"),
+        F.col("user_id").alias("user_id"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+        F.unix_micros("ts").alias("v_us"),
+        F.col("user_id").alias("v_user"),
+    )
+    w = Window.partitionBy("purchase_id").orderBy(
+        F.col("v_ts").desc(), F.col("view_id").desc()
+    )
+    best = (
+        p.join(
+            v,
+            (F.col("user_id") == F.col("v_user"))
+            & (F.col("v_us") <= F.col("p_us"))
+            & (F.col("v_us") > F.col("p_us") - _ASOF_TOL_US),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("purchase_id").alias("b_purchase_id"),
+            "view_id",
+            ts_sec("v_ts").alias("view_ts"),
+        )
+    )
+    return (
+        p.join(best, p.purchase_id == best.b_purchase_id, "left")
+        .select(
+            "purchase_id",
+            ts_sec("p_ts").alias("purchase_ts"),
+            "user_id",
+            "view_id",
+            "view_ts",
+        )
+    )

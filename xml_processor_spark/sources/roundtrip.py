@@ -208,3 +208,34 @@ def q_src_text_lines(spark, sf_dir):
         F.substring("value", 1, tab - 1).cast("long").alias("doc_id"),
         F.substr("value", tab + 1).alias("text"),
     )
+
+
+_HIVE_COLS = ["doc_id", "source", "n_chars", "lang"]
+
+
+@register(
+    "q_src_hive_partitioned",
+    oracle="""
+        SELECT doc_id, source, n_chars, lang FROM documents
+    """,
+    origin="REF",
+    doc="Hive-partitioned parquet layout: write documents partitioned by "
+        "lang (one directory per value, the layout every lake table at "
+        "100 TB uses for its coarsest filter column), read the tree "
+        "back, and return the rows — the partition column round-trips "
+        "through DIRECTORY NAMES, not file contents, so a hash match "
+        "proves partition-value encoding/decoding and schema "
+        "reassembly are lossless. The companion plan test filters on "
+        "lang and asserts PartitionFilters prune at the FILE LISTING "
+        "level (zero data files of other partitions are even opened) — "
+        "the property that makes partition layout the first-order "
+        "scale lever. Write and read are scan-parallel; no shuffle.",
+)
+def q_src_hive_partitioned(spark, sf_dir):
+    src = table(spark, sf_dir, "documents").select(*_HIVE_COLS)
+    path = artifact_dir(sf_dir, "hivepart")
+    src.write.mode("overwrite").partitionBy("lang").parquet(path)
+    out = spark.read.parquet(path)
+    # Partition columns come back last and as read-inferred strings;
+    # reassert the source column order and lang's string type (it is one).
+    return out.select(*_HIVE_COLS)
