@@ -834,3 +834,71 @@ def test_asof_tolerance_keyed_no_cartesian(spark, queries):
     plan = explain(queries["q_join_asof_tolerance"](spark, SF_MID))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_basket_self_join_is_equi_on_orderkey(spark, queries):
+    """The pair self-join must be an equi join on l_orderkey with the
+    brand inequality as a residual — never a nested loop (the pre-distinct
+    (order, brand) projection bounds per-key fan-out to <= 78 pairs)."""
+    plan = explain(queries["q_orders_basket"](spark, SF_MID))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # lineitem-part key join + okey self-join, both hash-family
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_backlog_window_is_post_aggregation(spark, queries):
+    """The cumulative open_at_end window runs over the |months| aggregate:
+    the plan must aggregate (partial + final) BEFORE the single-partition
+    window, and no join may appear (the +1/-1 event encoding replaces the
+    interval join entirely)."""
+    plan = explain(queries["q_orders_backlog"](spark, SF_MID))
+    assert "Join" not in plan  # no interval/self join of any kind
+    assert plan.count("HashAggregate") >= 2  # map-side combine
+    # window sorts only the aggregated months, fed by a SinglePartition
+    # exchange placed AFTER the aggregation
+    assert "Window" in plan and "SinglePartition" in plan
+
+
+def test_convert_single_user_agg_no_self_join(spark, queries):
+    """Conversion delay must be ONE per-user aggregate with FILTERed mins
+    — no event-level self-join — and the histogram windows run over the
+    bucket aggregate."""
+    plan = explain(queries["q_events_convert"](spark, SF_MID))
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_min" in plan  # map-side combined firsts
+
+
+def test_ewma_explodes_days_not_events(spark, queries):
+    """The forward-explode must sit ABOVE the daily aggregation (8 rows
+    per day, not per event), and the off=0 real-day marker means NO join
+    back to the day spine — the whole query is two hash aggregations and
+    one Generate, nothing else."""
+    plan = explain(queries["q_events_ewma"](spark, SF_MID))
+    assert "Generate" in plan
+    assert "Join" not in plan
+    # The explode consumes the aggregated daily rows: in the formatted
+    # tree (printed leaves-last within a chain) Generate's child is the
+    # daily HashAggregate, so the first Generate occurrence in the
+    # indented tree sits ABOVE (before) at most two of the four
+    # HashAggregate lines. Assert via the tree section ordering: the
+    # deepest HashAggregate pair feeds Generate.
+    tree = plan.split("(1) Scan")[0]
+    gen_line = next(l for l in tree.splitlines() if "Generate" in l)
+    agg_lines = [l for l in tree.splitlines() if "HashAggregate" in l]
+    # two aggregates are deeper (more indented) than Generate: the daily agg
+    deeper = [l for l in agg_lines if len(l) - len(l.lstrip(" :+-")) > len(gen_line) - len(gen_line.lstrip(" :+-"))]
+    assert len(deeper) >= 2, f"daily agg not below Generate:\n{tree}"
+
+
+def test_maxsim_is_single_projection_no_python(spark, queries):
+    """The 8x8 interaction matrix must be one JVM higher-order-function
+    projection: no Python evaluation, no extra aggregate between the
+    broadcast probe join and the top-k window."""
+    plan = explain(queries["q_emb_maxsim"](spark, SF_MID))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # probe x candidate, BuildLeft
+    assert "BuildLeft" in plan  # the tiny probe side is the build side
+    # score needs no groupBy: the only aggregates allowed are none at all
+    assert "HashAggregate" not in plan

@@ -803,3 +803,103 @@ def q_emb_cosine_hist(spark, sf_dir):
         .groupBy("bucket", "lo_edge")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+# --- q_emb_maxsim: ColBERT-style late-interaction scoring ------------------
+
+_MAXSIM_PROBES = 3
+_MAXSIM_K = 5
+_MAXSIM_SUBS = 8   # sub-vectors per embedding ("token" views)
+_MAXSIM_DIM = 8    # dims per sub-vector (8 x 8 = the 64-d fixture vector)
+
+_MAXSIM_DOT = (
+    "(SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) "
+    "FROM (SELECT unnest(list_slice({a}, s.s * {d} + 1, s.s * {d} + {d})) AS x, "
+    "             unnest(list_slice({b}, t.t * {d} + 1, t.t * {d} + {d})) AS y))"
+)
+
+
+@register(
+    "q_emb_maxsim",
+    oracle=f"""
+        WITH probes AS (SELECT vec_id AS probe_id, embedding AS pe
+                        FROM embeddings WHERE vec_id < {_MAXSIM_PROBES}),
+        parts AS (
+            SELECT p.probe_id, c.vec_id, s.s,
+                   max({_MAXSIM_DOT.format(a='p.pe', b='c.embedding',
+                                           d=_MAXSIM_DIM)}) AS m
+            FROM probes p
+            JOIN embeddings c ON c.vec_id <> p.probe_id
+            CROSS JOIN (SELECT unnest(generate_series(0, {_MAXSIM_SUBS - 1}))
+                        AS s) s
+            CROSS JOIN (SELECT unnest(generate_series(0, {_MAXSIM_SUBS - 1}))
+                        AS t) t
+            GROUP BY 1, 2, 3
+        ),
+        scored AS (
+            SELECT probe_id, vec_id,
+                   CAST(sum(CAST(round(m * 1e6) AS BIGINT)) AS DOUBLE) / 1e6
+                       AS maxsim
+            FROM parts GROUP BY 1, 2
+        )
+        SELECT probe_id, vec_id, maxsim, rn AS rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+                                           ORDER BY maxsim DESC, vec_id) AS rn
+              FROM scored)
+        WHERE rn <= {_MAXSIM_K}
+    """,
+    origin="LLM",
+    doc=f"ColBERT-style late-interaction MaxSim retrieval: each {_MAXSIM_SUBS * _MAXSIM_DIM}-d "
+        f"vector is read as {_MAXSIM_SUBS} sub-vectors of {_MAXSIM_DIM} dims "
+        "(the multi-vector 'token embedding' view); score(q, d) = "
+        "SUM over query sub-vectors of the MAX dot product against any doc "
+        "sub-vector — the retrieval scorer that beats single-vector cosine "
+        "on fine-grained matches. Spark side computes the whole "
+        f"{_MAXSIM_SUBS}x{_MAXSIM_SUBS} interaction matrix per (probe, doc) "
+        "pair INSIDE one JVM higher-order-function expression "
+        "(aggregate over transform/slice) — zero extra shuffle beyond the "
+        "per-probe top-k window; the probe set is a constant-size "
+        "broadcast, so work is probes x n (linear), never all-pairs. "
+        "Cross-engine float discipline: each inner dot is a fixed-order "
+        f"{_MAXSIM_DIM}-term double sum (bit-identical both engines), each "
+        "per-sub max is exact, and the final score sums exact integer "
+        "MICRO-units (round(m*1e6) as BIGINT) so group-order permutation "
+        "cannot perturb the total — the emb-moments integer-space lesson.",
+)
+def q_emb_maxsim(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < _MAXSIM_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
+    )
+    cand = e.select("vec_id", "embedding")
+
+    def _sub(a, i):
+        return F.slice(a, i * _MAXSIM_DIM + 1, _MAXSIM_DIM)
+
+    def _maxdot(s):
+        return F.array_max(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_MAXSIM_SUBS - 1)),
+                lambda t: _dot(_sub(F.col("pe"), s), _sub(F.col("embedding"), t)),
+            )
+        )
+
+    score_int = F.aggregate(
+        F.sequence(F.lit(0), F.lit(_MAXSIM_SUBS - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, s: acc + F.round(_maxdot(s) * 1e6, 0).cast("long"),
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(cand, F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id", "vec_id",
+            (score_int.cast("double") / 1e6).alias("maxsim"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("maxsim").desc(), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _MAXSIM_K)
+        .select("probe_id", "vec_id", "maxsim", "rank")
+    )

@@ -1,0 +1,291 @@
+"""Order-lifecycle & conversion analytics (SURVEY §2.L extension).
+
+Four operators a commerce/product analytics stack runs daily, each expressed
+as the aggregate-first, join-late plan that survives 100 TB:
+
+- market-basket brand affinity (`q_orders_basket`): pre-distinct the
+  (order, brand) projection BEFORE the pair self-join, so fan-out is bounded
+  by brands-per-order (≤13 lineitems ⇒ ≤78 pairs), never |lineitem|².
+- order backlog (`q_orders_backlog`): interval stabbing via +1/−1 event
+  encoding and a cumulative sum over the |months| aggregate — the classic
+  replacement for the quadratic "count intervals covering t" join.
+- conversion delay (`q_events_convert`): one per-user hash aggregate with
+  FILTERed mins, then a |buckets|-row rollup — no event-level self-join.
+- EWMA (`q_events_ewma`): bounded forward-explode (8 rows per DAY, not per
+  event) over the daily aggregate; exact power-of-two integer weights so
+  the smoothed value is bit-identical across engines and partitionings.
+
+All money/value math goes through integer cents (deterministic.cents);
+every float in the output is a ratio of two exact integers rounded to 6 dp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from xml_processor_spark.functions.deterministic import cents, cents_sql, r6
+from xml_processor_spark.io import table
+from xml_processor_spark.registry import register
+
+# EWMA window: 8 trailing days, weight 2^(7-age) for age 0..7 (most recent
+# day weighs 128/255). Powers of two keep every weighted sum an exact
+# integer; the final normalization is one division of two exact BIGINTs.
+_EWMA_SPAN = 8
+
+
+@register(
+    "q_orders_basket",
+    oracle="""
+        WITH ob AS (
+            SELECT DISTINCT l_orderkey AS okey, p_brand AS brand
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+        ),
+        pairs AS (
+            SELECT a.brand AS brand_a, b.brand AS brand_b,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM ob a JOIN ob b
+                 ON a.okey = b.okey AND a.brand < b.brand
+            GROUP BY 1, 2
+        )
+        SELECT brand_a, brand_b, n_orders,
+               round(CAST(n_orders AS DOUBLE)
+                     / CAST(sum(n_orders) OVER () AS DOUBLE), 6) AS share
+        FROM pairs
+    """,
+    doc="Market-basket affinity over brands: which part brands co-occur in "
+        "one order. The scale-critical move is pre-DISTINCTing the "
+        "(order, brand) projection BEFORE the self-join: fan-out is then "
+        "bounded by distinct-brands-per-order (≤13), so the equi self-join "
+        "on l_orderkey shuffles ∝|lineitem| and emits ≤78 pairs per order "
+        "— never an |items|² blow-up. The lineitem⋈part key join carries "
+        "no hint (part ∝ sf; AQE decides). `share` normalizes by the "
+        "all-pairs total via a window over the 300-row (≤25²/2 brands) "
+        "aggregate — integer ratio, cross-engine exact at 6 dp.",
+)
+def q_orders_basket(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pt = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(pt, li["l_partkey"] == pt["p_partkey"])
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    a = ob.select(F.col("okey"), F.col("brand").alias("brand_a"))
+    b = ob.select(F.col("okey").alias("okey_b"), F.col("brand").alias("brand_b"))
+    pairs = (
+        a.join(b, (a["okey"] == b["okey_b"]) & (F.col("brand_a") < F.col("brand_b")))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    total = F.sum("n_orders").over(Window.partitionBy())
+    return pairs.select(
+        "brand_a", "brand_b", "n_orders",
+        r6(F.col("n_orders").cast("double") / total.cast("double")).alias("share"),
+    )
+
+
+@register(
+    "q_orders_backlog",
+    oracle="""
+        WITH closed AS (
+            SELECT l_orderkey AS okey,
+                   CAST(date_trunc('month', max(l_shipdate)) AS DATE) AS m
+            FROM lineitem GROUP BY 1
+        ),
+        ev AS (
+            SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+                   1 AS opened, 0 AS closed
+            FROM orders
+            UNION ALL
+            SELECT m, 0, 1 FROM closed
+        ),
+        monthly AS (
+            SELECT m,
+                   CAST(sum(opened) AS BIGINT) AS n_opened,
+                   CAST(sum(closed) AS BIGINT) AS n_closed
+            FROM ev GROUP BY m
+        )
+        SELECT m AS month, n_opened, n_closed,
+               CAST(sum(n_opened - n_closed)
+                    OVER (ORDER BY m) AS BIGINT) AS open_at_end
+        FROM monthly
+    """,
+    doc="Order-backlog curve: per month, orders opened (o_orderdate), "
+        "orders fully shipped (max l_shipdate over the order's lines), and "
+        "the running count still open at month end. Interval stabbing via "
+        "+1/−1 EVENT ENCODING: instead of the quadratic 'join every month "
+        "against every order whose interval covers it', each order emits "
+        "exactly two events; the cumulative sum runs over the |months| "
+        "aggregate (~80 rows at any sf), so the single-partition window "
+        "is over post-aggregation data, never the fact table. The "
+        "per-order max(l_shipdate) is one map-side-combinable hash "
+        "aggregate, shuffle ∝|orders|.",
+)
+def q_orders_backlog(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    month = lambda c: F.date_trunc("month", c).cast("date")  # noqa: E731
+    opened = orders.select(
+        month(F.col("o_orderdate")).alias("m"),
+        F.lit(1).alias("opened"), F.lit(0).alias("closed"),
+    )
+    closed = (
+        li.groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("ship_end"))
+        .select(
+            month(F.col("ship_end")).alias("m"),
+            F.lit(0).alias("opened"), F.lit(1).alias("closed"),
+        )
+    )
+    monthly = (
+        opened.unionByName(closed)
+        .groupBy("m")
+        .agg(
+            F.sum("opened").alias("n_opened"),
+            F.sum("closed").alias("n_closed"),
+        )
+    )
+    w = Window.partitionBy().orderBy("m")
+    return monthly.select(
+        F.col("m").alias("month"), "n_opened", "n_closed",
+        F.sum(F.col("n_opened") - F.col("n_closed")).over(w)
+        .cast("long").alias("open_at_end"),
+    )
+
+
+@register(
+    "q_events_convert",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id,
+                   min(ts) FILTER (event_type = 'signup') AS t_signup,
+                   min(ts) FILTER (event_type = 'purchase') AS t_purchase
+            FROM events GROUP BY user_id
+        ),
+        conv AS (
+            SELECT (epoch_us(t_purchase) - epoch_us(t_signup))
+                   // 3600000000 AS delay_h
+            FROM per_user
+            WHERE t_signup IS NOT NULL AND t_purchase IS NOT NULL
+                  AND t_purchase >= t_signup
+        ),
+        hist AS (
+            SELECT delay_h, CAST(count(*) AS BIGINT) AS n_users
+            FROM conv GROUP BY delay_h
+        )
+        SELECT delay_h, n_users,
+               round(CAST(sum(n_users) OVER (ORDER BY delay_h) AS DOUBLE)
+                     / CAST(sum(n_users) OVER () AS DOUBLE), 6) AS cum_share
+        FROM hist
+    """,
+    doc="Signup→purchase conversion-delay distribution: per user the first "
+        "signup and first purchase (one hash aggregate with FILTERed mins "
+        "— map-side combinable, shuffle ∝|users|, no event self-join), "
+        "keep users whose first purchase follows their first signup, "
+        "bucket the delay into whole hours in exact integer MICROSECONDS "
+        "(epoch_us // 3600e6 — integer division, no float-boundary "
+        "rounding hazard), then an hour-bucket rollup plus the cumulative "
+        "conversion share. Both windows run over the ≤|hours-span| "
+        "aggregate (≤720 rows for a 30-day corpus), never the fact table; "
+        "cum_share is a ratio of exact BIGINTs rounded at 6 dp.",
+)
+def q_events_convert(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    conv = per_user.filter(
+        F.col("t_signup").isNotNull()
+        & F.col("t_purchase").isNotNull()
+        & (F.col("t_purchase") >= F.col("t_signup"))
+    ).select(
+        F.expr(
+            "(unix_micros(t_purchase) - unix_micros(t_signup)) DIV 3600000000"
+        ).alias("delay_h")
+    )
+    hist = conv.groupBy("delay_h").agg(F.count(F.lit(1)).alias("n_users"))
+    w_cum = Window.partitionBy().orderBy("delay_h")
+    w_all = Window.partitionBy()
+    return hist.select(
+        "delay_h", "n_users",
+        r6(
+            F.sum("n_users").over(w_cum).cast("double")
+            / F.sum("n_users").over(w_all).cast("double")
+        ).alias("cum_share"),
+    )
+
+
+@register(
+    "q_events_ewma",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+                   CAST(sum({cents_sql('value')}) AS BIGINT) AS vc
+            FROM events WHERE value IS NOT NULL GROUP BY 1
+        ),
+        contrib AS (
+            SELECT daily.d + CAST(off AS INTEGER) AS target_d,
+                   vc * (1 << ({_EWMA_SPAN - 1} - off)) AS wv,
+                   (1 << ({_EWMA_SPAN - 1} - off)) AS w,
+                   CASE WHEN off = 0 THEN 1 ELSE 0 END AS is_real
+            FROM daily, (SELECT unnest(generate_series(0, {_EWMA_SPAN - 1}))
+                         AS off)
+        )
+        SELECT target_d AS d,
+               round(CAST(CAST(sum(wv) AS BIGINT) AS DOUBLE)
+                     / CAST(CAST(sum(w) AS BIGINT) AS DOUBLE) / 100, 6)
+                   AS ewma_value
+        FROM contrib
+        GROUP BY 1
+        HAVING max(is_real) = 1
+    """,
+    doc=f"Exponentially-weighted moving average of daily event value "
+        f"(α=1/2, span {_EWMA_SPAN}): smooth the metric a drift monitor "
+        f"alerts on. Aggregate-first (daily integer-cents sums, map-side "
+        f"combined, shuffle ∝|days|), then a bounded FORWARD-EXPLODE of "
+        f"{_EWMA_SPAN} rows per DAY (not per event) carries each day's "
+        f"contribution to the {_EWMA_SPAN} targets it influences — the "
+        f"equi-groupBy replacement for a non-equi range self-join "
+        f"(BroadcastNestedLoopJoin at best). Weights are exact powers of "
+        f"two (2^(7-age)), so wsum/wnorm are exact BIGINTs and the "
+        f"normalized EWMA divides two exact integers — bit-identical "
+        f"across engines and partitionings; edge days renormalize by the "
+        f"weights actually present. Real days are kept via an off=0 "
+        f"marker folded into the SAME groupBy (max(is_real)=1), so no "
+        f"join back to `daily` and no second fact scan — the whole query "
+        f"is two hash aggregations and one {_EWMA_SPAN}-row-per-day "
+        f"Generate.",
+)
+def q_events_ewma(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy(F.date_trunc("day", F.col("ts")).cast("date").alias("d"))
+        .agg(F.sum(cents("value")).alias("vc"))
+    )
+    w_expr = F.expr(f"CAST(shiftleft(1, {_EWMA_SPAN - 1} - off) AS BIGINT)")
+    contrib = daily.select(
+        "d", "vc", F.explode(F.sequence(F.lit(0), F.lit(_EWMA_SPAN - 1))).alias("off")
+    ).select(
+        F.date_add(F.col("d"), F.col("off")).alias("target_d"),
+        (F.col("vc") * w_expr).alias("wv"),
+        w_expr.alias("w"),
+        F.when(F.col("off") == 0, 1).otherwise(0).alias("is_real"),
+    )
+    return (
+        contrib.groupBy(F.col("target_d").alias("d"))
+        .agg(
+            F.sum("wv").alias("wsum"),
+            F.sum("w").alias("wnorm"),
+            F.max("is_real").alias("is_real"),
+        )
+        .filter(F.col("is_real") == 1)
+        .select(
+            "d",
+            r6(
+                F.col("wsum").cast("double") / F.col("wnorm").cast("double") / 100
+            ).alias("ewma_value"),
+        )
+    )
