@@ -179,6 +179,17 @@ HEADLINE = [
     "q_graph_triangles",
     "q_src_hive_partitioned",
     "q_join_asof_tolerance",
+    # r7 additions, fifth batch: market-basket affinity, order backlog,
+    # conversion delay, EWMA, and late-interaction MaxSim.
+    "q_orders_basket",
+    "q_orders_backlog",
+    "q_events_convert",
+    "q_events_ewma",
+    "q_emb_maxsim",
+    # r7 additions, sixth batch: TWAP, weekly seasonality, PageRank.
+    "q_events_twap",
+    "q_events_dow_profile",
+    "q_graph_pagerank",
 ]
 
 

@@ -902,3 +902,37 @@ def test_maxsim_is_single_projection_no_python(spark, queries):
     assert "BuildLeft" in plan  # the tiny probe side is the build side
     # score needs no groupBy: the only aggregates allowed are none at all
     assert "HashAggregate" not in plan
+
+
+def test_twap_window_and_agg_share_partitioning(spark, queries):
+    """TWAP's lead window and final groupBy share the (user_id, day) hash
+    partitioning: exactly ONE fact-side Exchange, and no join."""
+    plan = explain(queries["q_events_twap"](spark, SF_MID))
+    assert "Join" not in plan
+    # one shuffle for the window; the groupBy reuses its partitioning
+    # (partial/final HashAggregate pair sits above the Window, no second
+    # hashpartitioning of the fact table)
+    assert n_exchanges(plan) == 1
+
+
+def test_dow_profile_single_fact_pass(spark, queries):
+    """The per-type totals must come from windows over the <=35-row cell
+    aggregate — one scan, one groupBy, no join back to events."""
+    import re
+
+    plan = explain(queries["q_events_dow_profile"](spark, SF_MID))
+    assert "Join" not in plan
+    # exactly one scan node (formatted output lists each node in the tree
+    # header AND the detail section — count detail ids)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert plan.count("HashAggregate") >= 2  # map-side combined cells
+
+
+def test_pagerank_iterations_are_equi_joins(spark, queries):
+    """Every power-iteration join (edges x ranks, deg x incoming) must be
+    an equi hash/broadcast join over the checkpointed edge list — no
+    nested loop anywhere, and the top-20 uses distributed TakeOrdered."""
+    plan = explain(queries["q_graph_pagerank"](spark, SF_MID))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan

@@ -1405,3 +1405,112 @@ def q_graph_triangles(spark, sf_dir):
             .alias("transitivity"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the near-dup pair graph — pure-integer damping arithmetic.
+# ---------------------------------------------------------------------------
+
+_PR_ITERS = 3
+_PR_Q = 10**12      # rank fixed-point scale (1.0 == 1e12 units)
+_PR_BASE = 15 * _PR_Q // 100   # (1 - d) teleport mass, d = 0.85
+_PR_TOP = 20
+
+
+def _pr_iter_sql(prev: str, out: str) -> str:
+    """One DuckDB PageRank iteration in exact integer units."""
+    return f"""
+        {out} AS (
+            SELECT e.id_b AS id,
+                   {_PR_BASE} + sum((r.r * 17) // (20 * d.degree)) AS r
+            FROM sym e
+            JOIN {prev} r ON r.id = e.id_a
+            JOIN deg d ON d.id = e.id_a
+            GROUP BY 1
+        )"""
+
+
+@register(
+    "q_graph_pagerank",
+    oracle=f"""
+        WITH pairs AS ({_NGRAM_PAIRS_SQL}),
+        sym AS (
+            SELECT id_a, id_b FROM pairs
+            UNION ALL
+            SELECT id_b, id_a FROM pairs
+        ),
+        deg AS (
+            SELECT id_a AS id, CAST(count(*) AS BIGINT) AS degree
+            FROM sym GROUP BY 1
+        ),
+        r0 AS (SELECT id, CAST({_PR_Q} AS BIGINT) AS r FROM deg),
+        {_pr_iter_sql('r0', 'r1')},
+        {_pr_iter_sql('r1', 'r2')},
+        {_pr_iter_sql('r2', 'r3')}
+        SELECT id, degree, round(CAST(r AS DOUBLE) / {_PR_Q}, 6) AS pagerank,
+               rn AS rank
+        FROM (SELECT r3.id, deg.degree, r3.r,
+                     row_number() OVER (ORDER BY r3.r DESC, r3.id) AS rn
+              FROM r3 JOIN deg ON deg.id = r3.id)
+        WHERE rn <= {_PR_TOP}
+    """,
+    origin="LLM",
+    doc=f"PageRank centrality of the near-dup pair graph ({_PR_ITERS} "
+        "damped power iterations, d=0.85) — ranks the 'hub' documents "
+        "whose template spawned the most near-copies; the prioritization "
+        "signal for which duplicate families to audit first. Every rank "
+        f"is an exact BIGINT in 1e-12 units: the damping step is r·17 "
+        "integer-divided by 20·deg (floor — identical in both engines), "
+        "so three iterations of float-free arithmetic produce "
+        "bit-identical ranks under ANY summation order or partitioning "
+        "— no 6-dp truce needed, the equality is exact. Scale shape: "
+        "the classic Pregel loop as dataframes — per-iteration one equi "
+        "join of the persisted symmetric edge list against the current "
+        "rank vector plus one map-side-combined groupBy; contributions "
+        "are computed per SOURCE once (r//deg), shuffle ∝|edges| per "
+        "round, no adjacency list, no driver-side graph. Undirected "
+        "graph ⇒ no dangling nodes, so the unnormalized per-node "
+        "teleport form needs no global mass correction.",
+)
+def q_graph_pagerank(spark, sf_dir):
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    # Eagerly materialize the (tiny relative to the corpus) edge list once:
+    # sym feeds deg + one join per iteration, and a lazily-cached plan still
+    # re-races the whole shingle pipeline across concurrently-launched
+    # stages. localCheckpoint truncates lineage to the stored partitions —
+    # on a real cluster this is an HDFS checkpoint, same as dedup_cluster.
+    sym = pairs.union(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).localCheckpoint(eager=True)
+    deg = sym.groupBy(F.col("id_a").alias("id")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    src = deg.select("id", "degree").withColumn("r", F.lit(_PR_Q).cast("long"))
+    for _ in range(_PR_ITERS):
+        # Integral DIV, not double '/': a float quotient within 1 ulp of an
+        # integer boundary would floor differently than DuckDB's exact `//`.
+        contrib = src.select(
+            "id", F.expr("CAST((r * 17) DIV (20 * degree) AS BIGINT)").alias("c"),
+        )
+        incoming = (
+            sym.join(contrib, sym.id_a == contrib.id)
+            .groupBy(F.col("id_b").alias("nid"))
+            .agg(F.sum("c").alias("in_c"))
+        )
+        src = (
+            deg.join(incoming, deg.id == incoming.nid)
+            .select("id", "degree", (F.lit(_PR_BASE) + F.col("in_c")).alias("r"))
+        )
+    from pyspark.sql import Window
+
+    # Distributed top-k (TakeOrderedAndProject) first; the row_number
+    # window then runs over only _PR_TOP rows — never a global sort.
+    top = src.orderBy(F.col("r").desc(), "id").limit(_PR_TOP)
+    return top.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.col("r").desc(), F.col("id"))),
+    ).select(
+        "id", "degree",
+        F.round(F.col("r").cast("double") / _PR_Q, 6).alias("pagerank"),
+        "rank",
+    )

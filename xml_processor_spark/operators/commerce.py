@@ -289,3 +289,122 @@ def q_events_ewma(spark, sf_dir):
             ).alias("ewma_value"),
         )
     )
+
+
+@register(
+    "q_events_twap",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id,
+                   CAST(date_trunc('day', ts) AS DATE) AS d,
+                   CAST(round(value * 100) AS BIGINT) AS vc,
+                   lead(epoch_us(ts)) OVER (
+                       PARTITION BY user_id, CAST(date_trunc('day', ts) AS DATE)
+                       ORDER BY ts, event_id) - epoch_us(ts) AS w
+            FROM events WHERE value IS NOT NULL
+        )
+        SELECT user_id, d,
+               CAST(count(*) AS BIGINT) AS n_intervals,
+               round(CAST(CAST(sum(vc * w) AS BIGINT) AS DOUBLE)
+                     / CAST(CAST(sum(w) AS BIGINT) AS DOUBLE) / 100, 6)
+                   AS twap
+        FROM seq WHERE w IS NOT NULL AND w > 0
+        GROUP BY user_id, d
+    """,
+    doc="Time-weighted average value (TWAP) per user per day — the "
+        "irregular-sampling average a metering/billing pipeline needs "
+        "(arithmetic mean over-weights burst periods): each observation "
+        "holds until the next one, so its weight is the gap to the "
+        "successor in exact integer MICROSECONDS (lead over a total "
+        "(ts, event_id) order); the day's last observation has no "
+        "successor and drops out. twap = Σ(cents·µs)/Σµs — both sums "
+        "exact BIGINTs (cents ≤ 1e5, µs-gap ≤ 8.64e10, bounded terms "
+        "per user-day), so the ratio is bit-identical across engines "
+        "and partitionings. One window and one groupBy SHARING the "
+        "(user_id, day) hash partitioning — a single fact shuffle, "
+        "no self-join.",
+)
+def q_events_twap(spark, sf_dir):
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    d = F.date_trunc("day", F.col("ts")).cast("date")
+    w_next = Window.partitionBy("user_id", "d").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", d.alias("d"), cents("value").alias("vc"),
+        "ts", "event_id",
+    ).withColumn(
+        "w",
+        F.lead(F.unix_micros("ts")).over(w_next) - F.unix_micros("ts"),
+    )
+    return (
+        seq.filter(F.col("w").isNotNull() & (F.col("w") > 0))
+        .groupBy("user_id", "d")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum(F.col("vc") * F.col("w")).alias("vw"),
+            F.sum("w").alias("wsum"),
+        )
+        .select(
+            "user_id", "d", "n_intervals",
+            r6(
+                F.col("vw").cast("double") / F.col("wsum").cast("double") / 100
+            ).alias("twap"),
+        )
+    )
+
+
+@register(
+    "q_events_dow_profile",
+    oracle="""
+        WITH base AS (
+            SELECT event_type, isodow(ts) AS dow,
+                   CAST(round(value * 100) AS BIGINT) AS vc
+            FROM events WHERE value IS NOT NULL
+        ),
+        cell AS (
+            SELECT event_type, dow,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(vc) AS BIGINT) AS s
+            FROM base GROUP BY 1, 2
+        )
+        SELECT event_type, CAST(dow AS BIGINT) AS dow, n,
+               round(CAST(s AS DOUBLE) / n / 100, 6) AS mean_value,
+               round((CAST(s AS DOUBLE)
+                      * CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE))
+                     / (CAST(n AS DOUBLE)
+                        * CAST(sum(s) OVER (PARTITION BY event_type)
+                               AS DOUBLE)), 6) AS seasonal_index
+        FROM cell
+    """,
+    doc="Day-of-week seasonality profile per event type — the weekly "
+        "pattern a forecasting/capacity pipeline extracts first: per "
+        "(type, ISO weekday) the event count, mean value, and the "
+        "seasonal index (cell mean / type's overall mean). ISO weekday "
+        "(1=Mon..7=Sun) pins the engine mismatch hazard (Spark's "
+        "dayofweek is 1=Sun, DuckDB's dayofweek is 0=Sun; Spark "
+        "weekday+1 == DuckDB isodow). The index is the pure-integer "
+        "identity s·N / (n·S) evaluated on exact BIGINT sums — "
+        "identical doubles on both engines. One map-side-combined "
+        "groupBy onto ≤ |types|·7 cells; the per-type totals come from "
+        "windows OVER THE CELL AGGREGATE (≤ 35 rows), never a second "
+        "fact pass.",
+)
+def q_events_dow_profile(spark, sf_dir):
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cell = (
+        ev.select(
+            "event_type",
+            (F.weekday("ts") + 1).cast("long").alias("dow"),
+            cents("value").alias("vc"),
+        )
+        .groupBy("event_type", "dow")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("vc").alias("s"))
+    )
+    w_type = Window.partitionBy("event_type")
+    return cell.select(
+        "event_type", "dow", "n",
+        r6(F.col("s").cast("double") / F.col("n") / 100).alias("mean_value"),
+        r6(
+            (F.col("s").cast("double") * F.sum("n").over(w_type).cast("double"))
+            / (F.col("n").cast("double") * F.sum("s").over(w_type).cast("double"))
+        ).alias("seasonal_index"),
+    )
