@@ -186,10 +186,13 @@ HEADLINE = [
     "q_events_convert",
     "q_events_ewma",
     "q_emb_maxsim",
-    # r7 additions, sixth batch: TWAP, weekly seasonality, PageRank.
+    # r7 additions, sixth batch: TWAP, weekly seasonality, PageRank,
+    # keyword extraction, dup-rate KPI.
     "q_events_twap",
     "q_events_dow_profile",
     "q_graph_pagerank",
+    "q_text_keywords",
+    "q_docs_dup_rate",
 ]
 
 

@@ -836,15 +836,19 @@ def test_asof_tolerance_keyed_no_cartesian(spark, queries):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_basket_self_join_is_equi_on_orderkey(spark, queries):
-    """The pair self-join must be an equi join on l_orderkey with the
-    brand inequality as a residual — never a nested loop (the pre-distinct
-    (order, brand) projection bounds per-key fan-out to <= 78 pairs)."""
+def test_basket_pairs_generated_in_group_no_self_join(spark, queries):
+    """Pair generation happens inside the order group (sorted brand set ->
+    higher-order pair expansion): exactly ONE join in the plan (the
+    lineitem-part key join), plus a Generate — never a self-join of the
+    (order, brand) projection and never a nested loop."""
+    import re
+
     plan = explain(queries["q_orders_basket"](spark, SF_MID))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    # lineitem-part key join + okey self-join, both hash-family
-    assert "HashJoin" in plan or "SortMergeJoin" in plan
+    assert "Generate" in plan
+    # one join node: lineitem x part
+    assert len(re.findall(r"\(\d+\) \w*HashJoin|\(\d+\) SortMergeJoin", plan)) == 1
 
 
 def test_backlog_window_is_post_aggregation(spark, queries):
@@ -936,3 +940,25 @@ def test_pagerank_iterations_are_equi_joins(spark, queries):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_keywords_window_is_per_doc(spark, queries):
+    """The keyword top-k window partitions by doc_id (no global sort) and
+    the whole pipeline stays JVM-side."""
+    plan = explain(queries["q_text_keywords"](spark, SF_MID))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # a partitioned window sorts within hashpartitioning(doc_id...), never
+    # a SinglePartition exchange feeding the Window
+    import re
+
+    win_sorts = re.findall(r"Sort \(\d+\)", plan)
+    assert win_sorts, "expected a window sort"
+    assert "CartesianProduct" not in plan
+
+
+def test_dup_rate_counts_are_map_side(spark, queries):
+    """Both KPI counts must be partial-aggregated (map-side combined) and
+    the final join of the two 1-row aggregates broadcast."""
+    plan = explain(queries["q_docs_dup_rate"](spark, SF_MID))
+    assert plan.count("HashAggregate") >= 4  # partial+final x two counts
+    assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" in plan

@@ -1514,3 +1514,50 @@ def q_graph_pagerank(spark, sf_dir):
         F.round(F.col("r").cast("double") / _PR_Q, 6).alias("pagerank"),
         "rank",
     )
+
+
+# --- q_docs_dup_rate: corpus near-duplication KPI --------------------------
+
+
+@register(
+    "q_docs_dup_rate",
+    oracle=f"""
+        WITH pairs AS ({_NGRAM_PAIRS_SQL}),
+        ids AS (
+            SELECT DISTINCT unnest([id_a, id_b]) AS id FROM pairs
+        ),
+        c AS (SELECT CAST(count(*) AS BIGINT) AS n_near_dup_docs FROM ids),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+        SELECT n_docs, n_near_dup_docs,
+               round(CAST(n_near_dup_docs AS DOUBLE)
+                     / CAST(n_docs AS DOUBLE), 6) AS dup_rate
+        FROM n, c
+    """,
+    origin="LLM",
+    doc="Corpus near-duplication rate — the one-row KPI a data-quality "
+        "dashboard tracks per crawl snapshot: total docs, docs having at "
+        "least one near-duplicate (distinct endpoints of the blocked "
+        "n-gram-Jaccard pair graph), and their ratio. Reuses the "
+        "q_dedup_ngram_jaccard candidate machinery (blocked equi join, "
+        "never all-pairs); both counts are map-side-combined single-row "
+        "aggregates, the ratio divides two exact BIGINTs. The crossJoin "
+        "is 1-row x 1-row.",
+)
+def q_docs_dup_rate(spark, sf_dir):
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    # Explode, don't union: a union would consume the (unmaterialized)
+    # blocked-join pipeline twice — one Generate keeps it single-pass.
+    ids = pairs.select(
+        F.explode(F.array("id_a", "id_b")).alias("id")
+    ).distinct()
+    c = ids.agg(F.count(F.lit(1)).alias("n_near_dup_docs"))
+    n = table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    return n.crossJoin(c).select(
+        "n_docs", "n_near_dup_docs",
+        F.round(
+            F.col("n_near_dup_docs").cast("double") / F.col("n_docs").cast("double"),
+            6,
+        ).alias("dup_rate"),
+    )

@@ -953,3 +953,56 @@ def q_text_zipf(spark, sf_dir):
             ),
         )
     )
+
+
+# --- q_text_keywords: top-k TF-IDF keyword extraction per document ---------
+
+_KW_K = 3
+
+
+@register(
+    "q_text_keywords",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+        ), df AS (
+            SELECT term, count(*) AS df FROM tf GROUP BY term
+        ), n AS (SELECT count(*) AS n FROM documents),
+        w AS (
+            SELECT tf.doc_id, tf.term,
+                   round(tf.tf * ln((n.n + 1) / CAST(df.df + 1 AS DOUBLE)), 6)
+                       AS w
+            FROM tf JOIN df USING (term) CROSS JOIN n
+        )
+        SELECT doc_id, term, w, rn AS kw_rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY w DESC, term) AS rn
+              FROM w)
+        WHERE rn <= {_KW_K}
+    """,
+    origin="LLM",
+    doc=f"Keyword extraction: top-{_KW_K} TF-IDF terms per document — the "
+        "per-doc topical signature used for tagging, clustering seeds, and "
+        "retrieval filters. Composes the `q_text_tfidf` weights (cited "
+        "pattern: q_graph_pagerank reuses q_dedup_ngram_jaccard) with a "
+        "per-doc top-k window. CROSS-ENGINE ORDER DISCIPLINE: the rank "
+        "sorts the 6-dp ROUNDED weight (the value both engines agree on "
+        "bit-for-bit), never the raw double — a 1-ulp libm ln() "
+        "difference could otherwise flip near-tied terms; remaining "
+        "exact ties break on the term string. Scale: the window "
+        "partitions by doc_id — the same key family the tf groupBy "
+        "already shuffled on; no global sort, no new fact pass.",
+)
+def q_text_keywords(spark, sf_dir):
+    from pyspark.sql import Window
+
+    w = q_text_tfidf(spark, sf_dir).select("doc_id", "term", "w")
+    win = Window.partitionBy("doc_id").orderBy(F.col("w").desc(), "term")
+    return (
+        w.withColumn("kw_rank", F.row_number().over(win))
+        .filter(F.col("kw_rank") <= _KW_K)
+        .select("doc_id", "term", "w", "kw_rank")
+    )

@@ -54,28 +54,37 @@ _EWMA_SPAN = 8
         FROM pairs
     """,
     doc="Market-basket affinity over brands: which part brands co-occur in "
-        "one order. The scale-critical move is pre-DISTINCTing the "
-        "(order, brand) projection BEFORE the self-join: fan-out is then "
-        "bounded by distinct-brands-per-order (≤13), so the equi self-join "
-        "on l_orderkey shuffles ∝|lineitem| and emits ≤78 pairs per order "
-        "— never an |items|² blow-up. The lineitem⋈part key join carries "
-        "no hint (part ∝ sf; AQE decides). `share` normalizes by the "
-        "all-pairs total via a window over the 300-row (≤25²/2 brands) "
-        "aggregate — integer ratio, cross-engine exact at 6 dp.",
+        "one order. Pair generation happens INSIDE the order group: one "
+        "groupBy(l_orderkey) collects the sorted distinct brand set "
+        "(≤13 per order), then a JVM higher-order expression emits the "
+        "C(k,2) ≤ 78 ordered pairs per order — ONE fact-side shuffle "
+        "total, no self-join of the (order, brand) projection at all "
+        "(the oracle states the independent self-join truth; this plan "
+        "replaces it). The lineitem⋈part key join carries no hint "
+        "(part ∝ sf; AQE decides). `share` normalizes by the all-pairs "
+        "total via a window over the ≤25²/2-row aggregate — integer "
+        "ratio, cross-engine exact at 6 dp.",
 )
 def q_orders_basket(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     pt = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    ob = (
-        li.join(pt, li["l_partkey"] == pt["p_partkey"])
-        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
-        .distinct()
+    ob = li.join(pt, li["l_partkey"] == pt["p_partkey"]).select(
+        F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand")
     )
-    a = ob.select(F.col("okey"), F.col("brand").alias("brand_a"))
-    b = ob.select(F.col("okey").alias("okey_b"), F.col("brand").alias("brand_b"))
+    arrs = ob.groupBy("okey").agg(
+        F.sort_array(F.collect_set("brand")).alias("brands")
+    )
+    # sorted distinct array => every emitted (x, y) already has x < y and
+    # appears exactly once; C(13,2)=78 structs per order, worst case.
+    pair_expr = F.expr(
+        "flatten(transform(brands, (x, i) -> "
+        "transform(slice(brands, i + 2, size(brands)), "
+        "y -> struct(x AS brand_a, y AS brand_b))))"
+    )
     pairs = (
-        a.join(b, (a["okey"] == b["okey_b"]) & (F.col("brand_a") < F.col("brand_b")))
-        .groupBy("brand_a", "brand_b")
+        arrs.select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.brand_a").alias("brand_a"),
+                 F.col("p.brand_b").alias("brand_b"))
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
     total = F.sum("n_orders").over(Window.partitionBy())
