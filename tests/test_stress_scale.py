@@ -378,3 +378,105 @@ def test_join_interval_exact_at_100k_events(spark, queries, stress_dir):
     for u in range(_EV_USERS):
         want = _ev_active_days(u) * _EV_PER_DAY
         assert vmax[u] == want, f"user {u}: max version {vmax[u]} != {want}"
+
+
+@pytest.mark.slow
+def test_twap_exact_at_100k_events(spark, queries, stress_dir):
+    """TWAP at 100k events has a closed form: each active (u, d) carries
+    exactly 3 events at seconds u*80+{0,1,2} with values assigned from a
+    global row counter mod 7 (generation order: u outer, d inner). The
+    two 1-second gaps weight the first two values equally and drop the
+    third, so twap(u, d) = (v0 + v1)/2 and n_intervals == 2 for EVERY
+    group — asserted exactly for all ~33k groups by regenerating the
+    counter."""
+    out = queries["q_events_twap"](spark, stress_dir).toPandas()
+    n_groups = sum(_ev_active_days(u) for u in range(_EV_USERS))
+    assert len(out) == n_groups
+    assert (out["n_intervals"] == 2).all()
+    # regenerate the global value counter and check every group's twap
+    want = {}
+    c = 0
+    for u in range(_EV_USERS):
+        r = (-u) % 3
+        for d in range(r, _EV_DAYS, 3):
+            v0, v1 = c % 7, (c + 1) % 7
+            want[(u, d)] = (v0 + v1) / 2
+            c += 3
+    base = np.datetime64("2025-01-01").astype("datetime64[D]")
+    bad = 0
+    for _, row in out.iterrows():
+        d = (np.datetime64(row["d"]).astype("datetime64[D]") - base).astype(int)
+        if abs(row["twap"] - want[(row["user_id"], int(d))]) > 1e-9:
+            bad += 1
+    assert bad == 0, f"{bad} of {len(out)} twap values off closed form"
+
+
+@pytest.mark.slow
+def test_ewma_matches_independent_numpy_at_100k_events(spark, queries, stress_dir):
+    """EWMA vs an independent numpy re-implementation of the exact
+    integer-weight definition over the stress corpus's 100 daily sums —
+    every day must match to 1e-9 (both sides are ratios of the same
+    exact integers)."""
+    import pandas as pd
+
+    out = queries["q_events_ewma"](spark, stress_dir).toPandas()
+    ev = pd.read_parquet(os.path.join(stress_dir, "events.parquet"),
+                         columns=["ts", "value"])
+    ev["d"] = ev["ts"].values.astype("datetime64[D]")
+    daily = (
+        (ev["value"] * 100).round().astype(np.int64)
+        .groupby(ev["d"]).sum().sort_index()
+    )
+    days = daily.index.values.astype("datetime64[D]").astype(int)
+    vals = daily.values
+    got = {np.datetime64(r["d"]).astype("datetime64[D]").astype(int): r["ewma_value"]
+           for _, r in out.iterrows()}
+    assert len(got) == len(days)
+    day_to_v = dict(zip(days, vals))
+    for d in days:
+        wsum = wnorm = 0
+        for off in range(8):
+            src = d - off
+            if src in day_to_v:
+                w = 1 << (7 - off)
+                wsum += int(day_to_v[src]) * w
+                wnorm += w
+        want = round(wsum / wnorm / 100, 6)
+        assert abs(got[d] - want) < 1e-9, f"day {d}: {got[d]} != {want}"
+
+
+@pytest.mark.slow
+def test_convert_empty_when_funnel_types_absent(spark, queries, stress_dir):
+    """The stress corpus has no 'signup' events, so the conversion-delay
+    histogram must be EMPTY (not an error, not NULL rows) — the
+    degenerate-funnel edge a real pipeline hits on day one."""
+    assert queries["q_events_convert"](spark, stress_dir).count() == 0
+
+
+@pytest.mark.slow
+def test_pagerank_exact_on_disjoint_pair_graph_at_10x(spark, queries, stress_dir):
+    """At 10x the pair graph is EXACTLY the 5,000 injected (i, 45000+i)
+    edges (corpus design: accidental shingle sharing negligible — the
+    cluster-convergence test already relies on this). Every node then
+    has degree 1 and PageRank's fixpoint is reached at iteration 0:
+    r = 0.15 + 0.85*r_neighbor = 1.0 exactly, in pure integer units.
+    The top-20 must be doc_ids 0..19, every rank exactly 1.0 — a
+    closed-form check that three distributed iterations preserve mass
+    bit-for-bit at 50k docs."""
+    out = queries["q_graph_pagerank"](spark, stress_dir).toPandas()
+    assert list(out["id"]) == list(range(20))
+    assert (out["degree"] == 1).all()
+    assert (out["pagerank"] == 1.0).all()
+    assert list(out["rank"]) == list(range(1, 21))
+
+
+@pytest.mark.slow
+def test_maxsim_recalls_planted_neighbor_at_4x(spark, queries, stress_dir):
+    """Each probe i < 3 has a planted near-copy 7800+i (cosine ~0.9998).
+    MaxSim of a near-copy ~= sum of sub-vector self-norms (~64 for
+    N(0,1) 64-d) while random docs score far lower, so the planted copy
+    must appear in the probe's top-5 at 8,000 candidates."""
+    out = queries["q_emb_maxsim"](spark, stress_dir).toPandas()
+    for probe in range(3):
+        top = set(out[out["probe_id"] == probe]["vec_id"])
+        assert 7800 + probe in top, f"probe {probe}: planted copy not in top-5"
