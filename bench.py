@@ -193,6 +193,12 @@ HEADLINE = [
     "q_graph_pagerank",
     "q_text_keywords",
     "q_docs_dup_rate",
+    # r7 additions, seventh batch: ABC classification, churn histogram,
+    # readability, embedding outliers.
+    "q_orders_abc",
+    "q_events_churn",
+    "q_text_readability",
+    "q_emb_outliers",
 ]
 
 

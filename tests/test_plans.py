@@ -962,3 +962,39 @@ def test_dup_rate_counts_are_map_side(spark, queries):
     plan = explain(queries["q_docs_dup_rate"](spark, SF_MID))
     assert plan.count("HashAggregate") >= 4  # partial+final x two counts
     assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_abc_windows_over_brand_aggregate(spark, queries):
+    """The ABC windows and classification run over the <=25-brand
+    aggregate: the fact-side work is one partial+final groupBy; the
+    SinglePartition window exchange sits above it."""
+    plan = explain(queries["q_orders_abc"](spark, SF_MID))
+    assert plan.count("HashAggregate") >= 2
+    assert "SinglePartition" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_churn_single_user_agg_and_scalar_broadcast(spark, queries):
+    """Churn is one per-user aggregate plus a 1-row corpus-max broadcast
+    — the cross join must be the broadcast of the scalar, nothing else."""
+    plan = explain(queries["q_events_churn"](spark, SF_MID))
+    assert "partial_max" in plan  # map-side combined last-seen & corpus max
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row scalar x users
+    assert "CartesianProduct" not in plan
+
+
+def test_readability_is_scan_side(spark, queries):
+    """Readability is a pure projection: zero shuffles, zero Python."""
+    plan = explain(queries["q_text_readability"](spark, SF_MID))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_emb_outliers_is_takeordered_no_join(spark, queries):
+    """After the bounded centroid constant is folded in, the outlier scan
+    is one projection + distributed TakeOrdered: no join, no Python."""
+    plan = explain(queries["q_emb_outliers"](spark, SF_MID))
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

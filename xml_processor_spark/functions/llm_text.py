@@ -1006,3 +1006,75 @@ def q_text_keywords(spark, sf_dir):
         .filter(F.col("kw_rank") <= _KW_K)
         .select("doc_id", "term", "w", "kw_rank")
     )
+
+
+# --- q_text_readability: Flesch-style reading-ease scoring ------------------
+
+
+@register(
+    "q_text_readability",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                   CAST(len(regexp_extract_all(text, '[aeiou]+'))
+                        AS BIGINT) AS n_syll,
+                   CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                        AS BIGINT) AS n_sent
+            FROM documents
+        )
+        SELECT doc_id, n_words, n_syll, n_sent,
+               round(206.835
+                     - 1.015 * (CAST(n_words AS DOUBLE) / n_sent)
+                     - 84.6 * (CAST(n_syll AS DOUBLE) / n_words), 6)
+                   AS flesch,
+               CASE WHEN round(206.835
+                              - 1.015 * (CAST(n_words AS DOUBLE) / n_sent)
+                              - 84.6 * (CAST(n_syll AS DOUBLE) / n_words), 6)
+                         >= 60 THEN 'easy'
+                    WHEN round(206.835
+                              - 1.015 * (CAST(n_words AS DOUBLE) / n_sent)
+                              - 84.6 * (CAST(n_syll AS DOUBLE) / n_words), 6)
+                         >= 30 THEN 'medium'
+                    ELSE 'hard' END AS band
+        FROM base
+    """,
+    origin="LLM",
+    doc="Flesch-style reading-ease score per document — the readability "
+        "gate a curation pipeline applies alongside quality scoring: "
+        "words (whitespace tokens), syllables approximated as vowel "
+        "GROUPS ([aeiou]+ runs — the standard cheap proxy), sentences as "
+        "[.!?]+ runs floored at 1 (the fixture has no terminal "
+        "punctuation; the floor keeps the formula total). The three "
+        "counts are exact integers from identical regexes (character "
+        "classes — no engine-divergent regex semantics), so the formula "
+        "206.835 − 1.015·w/s − 84.6·syll/w combines constants with "
+        "ratios of exact BIGINTs — identical doubles, and the "
+        "easy/medium/hard band compares the 6-dp ROUNDED score, so a "
+        "band can never flip between engines. Pure scan-side projection: "
+        "zero shuffles, zero joins, zero Python.",
+)
+def q_text_readability(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_words"),
+        F.regexp_count("text", F.lit("[aeiou]+")).cast("long").alias("n_syll"),
+        F.greatest(
+            F.regexp_count("text", F.lit("[.!?]+")), F.lit(1)
+        ).cast("long").alias("n_sent"),
+    )
+    flesch = r6(
+        F.lit(206.835)
+        - 1.015 * (F.col("n_words").cast("double") / F.col("n_sent"))
+        - 84.6 * (F.col("n_syll").cast("double") / F.col("n_words"))
+    )
+    return base.select(
+        "doc_id", "n_words", "n_syll", "n_sent",
+        flesch.alias("flesch"),
+    ).withColumn(
+        "band",
+        F.when(F.col("flesch") >= 60, "easy")
+        .when(F.col("flesch") >= 30, "medium")
+        .otherwise("hard"),
+    )

@@ -903,3 +903,81 @@ def q_emb_maxsim(spark, sf_dir):
         .filter(F.col("rank") <= _MAXSIM_K)
         .select("probe_id", "vec_id", "maxsim", "rank")
     )
+
+
+# --- q_emb_outliers: distance-to-centroid embedding QA ----------------------
+
+_OUT_TOP = 20
+_OUT_DIM = _MAXSIM_SUBS * _MAXSIM_DIM  # the 64-d fixture vector
+
+
+@register(
+    "q_emb_outliers",
+    oracle=f"""
+        WITH dims AS (
+            SELECT unnest(embedding) AS x, unnest(range({_OUT_DIM})) AS i
+            FROM embeddings
+        ),
+        cent AS (
+            SELECT i, round(avg(CAST(x AS DOUBLE)), 6) AS c
+            FROM dims GROUP BY i
+        ),
+        cl AS (SELECT list(c ORDER BY i) AS cv FROM cent),
+        scored AS (
+            SELECT vec_id,
+                   round(sqrt((SELECT SUM((CAST(x AS DOUBLE) - y)
+                                          * (CAST(x AS DOUBLE) - y))
+                               FROM (SELECT unnest(embedding) AS x,
+                                            unnest(cv) AS y))), 6) AS dist
+            FROM embeddings, cl
+        )
+        SELECT vec_id, dist, rn AS rank
+        FROM (SELECT *, row_number() OVER (ORDER BY dist DESC, vec_id) AS rn
+              FROM scored)
+        WHERE rn <= {_OUT_TOP}
+    """,
+    origin="LLM",
+    doc=f"Embedding-space outlier scan: top-{_OUT_TOP} vectors by distance "
+        "to the global centroid — the embedding-QA pass that surfaces "
+        "mis-encoded / out-of-distribution rows before they poison "
+        "dedup thresholds or ANN recall. The centroid is the per-dim "
+        "mean ROUNDED to 6 dp (the established emb-moments truce: a "
+        "permuted double sum differs ~1e-13, the rounding absorbs it), "
+        "after which every distance is computed from IDENTICAL inputs "
+        "by a fixed-order 64-term sum — the q_knn discipline. Scale "
+        "shape: the centroid is a map-side-combined dim-wise aggregate "
+        "(64 cells), collected as a BOUNDED driver constant (the PCA "
+        "64-row pattern) and folded into a scan-side JVM HOF "
+        "projection; the top-k is distributed TakeOrdered. No join, "
+        "no Python, one pass over the vectors after the centroid pass.",
+)
+def q_emb_outliers(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "embeddings")
+    cent_rows = (
+        e.select(F.posexplode("embedding").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("c"))
+        .orderBy("i")
+        .collect()  # bounded: exactly dim (=64) rows
+    )
+    cv = F.array(*[F.lit(float(r["c"])) for r in cent_rows])
+    dist = r6(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding"), cv,
+                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+    )
+    scored = e.select("vec_id", dist.alias("dist"))
+    top = scored.orderBy(F.col("dist").desc(), "vec_id").limit(_OUT_TOP)
+    return top.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.col("dist").desc(), "vec_id")),
+    ).select("vec_id", "dist", "rank")

@@ -1,7 +1,7 @@
 """Order-lifecycle & conversion analytics (SURVEY §2.L extension).
 
-Four operators a commerce/product analytics stack runs daily, each expressed
-as the aggregate-first, join-late plan that survives 100 TB:
+Commerce/product analytics operators, each expressed as the
+aggregate-first, join-late plan that survives 100 TB:
 
 - market-basket brand affinity (`q_orders_basket`): pre-distinct the
   (order, brand) projection BEFORE the pair self-join, so fan-out is bounded
@@ -416,4 +416,133 @@ def q_events_dow_profile(spark, sf_dir):
             (F.col("s").cast("double") * F.sum("n").over(w_type).cast("double"))
             / (F.col("n").cast("double") * F.sum("s").over(w_type).cast("double"))
         ).alias("seasonal_index"),
+    )
+
+
+# Exact revenue in 1e-4 units (composite.py's _REV_SQL twin, DataFrame side):
+# price cents x discount-complement cents — both exact BIGINTs.
+_REV_UNITS = (
+    "CAST(round(l_extendedprice * 100) AS BIGINT)"
+    " * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+)
+
+
+@register(
+    "q_orders_abc",
+    oracle=f"""
+        WITH rev AS (
+            SELECT p_brand AS brand,
+                   CAST(sum({_REV_UNITS}) AS BIGINT) AS units
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY 1
+        ),
+        ranked AS (
+            SELECT brand, units,
+                   CAST(sum(units) OVER (ORDER BY units DESC, brand)
+                        AS BIGINT) AS cum_units,
+                   CAST(sum(units) OVER () AS BIGINT) AS total_units
+            FROM rev
+        )
+        SELECT brand,
+               round(CAST(units AS DOUBLE) / 1e4, 2) AS revenue,
+               round(CAST(units AS DOUBLE) / total_units, 6) AS rev_share,
+               round(CAST(cum_units AS DOUBLE) / total_units, 6) AS cum_share,
+               CASE WHEN cum_units * 5 <= total_units * 4 THEN 'A'
+                    WHEN cum_units * 20 <= total_units * 19 THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM ranked
+    """,
+    doc="ABC / Pareto classification of brands by revenue — the "
+        "merchandising cut (A = brands covering the first 80% of "
+        "revenue, B to 95%, C the tail). Revenue is EXACT integer 1e-4 "
+        "units (price cents × discount-complement cents — the composite "
+        "_REV_SQL discipline), so the ordering, the cumulative sums, "
+        "and the class boundaries are all integer comparisons "
+        "(cum·5 ≤ total·4, cum·20 ≤ total·19) — no float boundary can "
+        "flip a brand's class between engines. Scale shape: the big "
+        "work is one map-side-combined groupBy onto ≤25 brand rows; "
+        "both windows and the classification run over that bounded "
+        "aggregate, never the fact table.",
+)
+def q_orders_abc(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    pt = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev = (
+        li.join(pt, li["l_partkey"] == pt["p_partkey"])
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(F.sum(F.expr(_REV_UNITS)).alias("units"))
+    )
+    w_cum = Window.partitionBy().orderBy(F.col("units").desc(), "brand")
+    w_all = Window.partitionBy()
+    ranked = rev.select(
+        "brand", "units",
+        F.sum("units").over(w_cum).alias("cum_units"),
+        F.sum("units").over(w_all).alias("total_units"),
+    )
+    return ranked.select(
+        "brand",
+        F.round(F.col("units").cast("double") / 1e4, 2).alias("revenue"),
+        r6(F.col("units").cast("double") / F.col("total_units")).alias("rev_share"),
+        r6(F.col("cum_units").cast("double") / F.col("total_units")).alias("cum_share"),
+        F.when(F.col("cum_units") * 5 <= F.col("total_units") * 4, "A")
+        .when(F.col("cum_units") * 20 <= F.col("total_units") * 19, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+
+
+@register(
+    "q_events_churn",
+    oracle="""
+        WITH last_seen AS (
+            SELECT user_id, max(ts) AS last_ts
+            FROM events GROUP BY user_id
+        ),
+        corpus AS (SELECT max(ts) AS max_ts FROM events),
+        aged AS (
+            SELECT user_id,
+                   (epoch_us(max_ts) - epoch_us(last_ts))
+                       // 86400000000 AS days_inactive
+            FROM last_seen, corpus
+        )
+        SELECT days_inactive,
+               CAST(count(*) AS BIGINT) AS n_users,
+               days_inactive >= 14 AS is_churn_risk,
+               round(CAST(sum(count(*)) OVER (ORDER BY days_inactive)
+                          AS DOUBLE)
+                     / CAST(sum(count(*)) OVER () AS DOUBLE), 6)
+                   AS cum_share
+        FROM aged
+        GROUP BY days_inactive
+    """,
+    doc="Inactivity / churn-risk histogram: per user the last event "
+        "timestamp, age vs the corpus max in WHOLE DAYS of exact integer "
+        "MICROSECONDS (epoch_us // 86400e6 — integer division, no float "
+        "boundary), then a day-bucket rollup with the cumulative user "
+        "share (the survival curve a retention dashboard plots) and a "
+        "14-day churn-risk flag on the integer bucket. One per-user hash "
+        "aggregate (map-side combined) + a 1-row corpus-max broadcast; "
+        "both windows run over the ≤|days-span| aggregate.",
+)
+def q_events_churn(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    last_seen = ev.groupBy("user_id").agg(F.max("ts").alias("last_ts"))
+    corpus = ev.agg(F.max("ts").alias("max_ts"))
+    aged = last_seen.crossJoin(F.broadcast(corpus)).select(
+        F.expr(
+            "(unix_micros(max_ts) - unix_micros(last_ts)) DIV 86400000000"
+        ).alias("days_inactive")
+    )
+    hist = aged.groupBy("days_inactive").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    w_cum = Window.partitionBy().orderBy("days_inactive")
+    w_all = Window.partitionBy()
+    return hist.select(
+        "days_inactive", "n_users",
+        (F.col("days_inactive") >= 14).alias("is_churn_risk"),
+        r6(
+            F.sum("n_users").over(w_cum).cast("double")
+            / F.sum("n_users").over(w_all).cast("double")
+        ).alias("cum_share"),
     )
