@@ -199,6 +199,9 @@ HEADLINE = [
     "q_events_churn",
     "q_text_readability",
     "q_emb_outliers",
+    # r7 additions, eighth batch: Markov stationary mix, PMI co-occurrence.
+    "q_events_markov",
+    "q_events_pmi",
 ]
 
 

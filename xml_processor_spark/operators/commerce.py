@@ -546,3 +546,174 @@ def q_events_churn(spark, sf_dir):
             / F.sum("n_users").over(w_all).cast("double")
         ).alias("cum_share"),
     )
+
+
+# --- Markov stationary mix & PMI co-occurrence ------------------------------
+
+_MKV_ITERS = 3
+_MKV_Q = 10**12   # rank fixed-point scale (the q_graph_pagerank discipline)
+_MKV_P = 10**6    # per-edge transition-probability scale (bounded, so the
+                  # per-term product pi*q <= 5e12*1e6 < 2^63 at ANY corpus sf)
+
+_MKV_SEQ_SQL = """
+        SELECT prev_type AS f, event_type AS t, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT event_type,
+                     lag(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS prev_type
+              FROM events)
+        WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+"""
+
+
+def _mkv_iter_sql(prev: str, out: str) -> str:
+    return f"""
+        {out} AS (
+            SELECT m.t AS s, CAST(sum((p.p * m.q) // {_MKV_P}) AS BIGINT) AS p
+            FROM m JOIN {prev} p ON p.s = m.f
+            GROUP BY 1
+        )"""
+
+
+@register(
+    "q_events_markov",
+    oracle=f"""
+        WITH cnt AS ({_MKV_SEQ_SQL}),
+        rt AS (SELECT f, CAST(sum(n) AS BIGINT) AS r FROM cnt GROUP BY f),
+        m AS (
+            SELECT cnt.f, cnt.t, (cnt.n * {_MKV_P}) // rt.r AS q
+            FROM cnt JOIN rt ON rt.f = cnt.f
+        ),
+        p0 AS (SELECT DISTINCT f AS s, CAST({_MKV_Q} AS BIGINT) AS p FROM cnt),
+        {_mkv_iter_sql('p0', 'p1')},
+        {_mkv_iter_sql('p1', 'p2')},
+        {_mkv_iter_sql('p2', 'p3')}
+        SELECT s AS event_type,
+               round(CAST(p AS DOUBLE)
+                     / CAST(sum(p) OVER () AS DOUBLE), 6) AS stationary_share
+        FROM p3
+    """,
+    doc=f"Steady-state event mix: {_MKV_ITERS} power iterations of the "
+        "first-order transition matrix (the q_events_transitions counts) "
+        "— where user behavior settles, the input to long-run capacity "
+        "and engagement mix planning. Pure-integer pipeline (the "
+        "q_graph_pagerank discipline): per-edge transition probability "
+        f"q = (n·{_MKV_P}) DIV row_total is a BOUNDED integer, so every "
+        f"product π·q stays under 2^63 at ANY corpus size, and floor "
+        "division is identical in both engines — the iterated vector is "
+        "bit-identical with no float truce. Scale shape: the heavy step "
+        "is the one windowed transition count (fact shuffle ∝ events); "
+        "every iteration is a join+groupBy over the ≤|types|² = 25-cell "
+        "matrix — constant-size work regardless of corpus.",
+)
+def q_events_markov(spark, sf_dir):
+    from xml_processor_spark.operators.analytics import q_events_transitions
+
+    cnt = q_events_transitions(spark, sf_dir).select(
+        F.col("prev_type").alias("f"), F.col("next_type").alias("t"), "n"
+    ).localCheckpoint(eager=True)  # 25 rows; built once, reused 3x
+    rt = cnt.groupBy("f").agg(F.sum("n").alias("r"))
+    m = cnt.join(rt, "f").select(
+        "f", "t", F.expr(f"CAST((n * {_MKV_P}) DIV r AS BIGINT)").alias("q")
+    )
+    pi = cnt.select("f").distinct().select(
+        F.col("f").alias("s"), F.lit(_MKV_Q).cast("long").alias("p")
+    )
+    for _ in range(_MKV_ITERS):
+        pi = (
+            m.join(pi, m["f"] == pi["s"])
+            .select(F.col("t"), F.expr(f"CAST((p * q) DIV {_MKV_P} AS BIGINT)").alias("c"))
+            .groupBy(F.col("t").alias("s"))
+            .agg(F.sum("c").alias("p"))
+        )
+    total = F.sum("p").over(Window.partitionBy())
+    return pi.select(
+        F.col("s").alias("event_type"),
+        r6(F.col("p").cast("double") / total.cast("double")).alias("stationary_share"),
+    )
+
+
+@register(
+    "q_events_pmi",
+    oracle="""
+        WITH sess AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_trunc('day', ts) AS DATE) AS d,
+                   event_type
+            FROM events
+        ),
+        n AS (SELECT CAST(count(DISTINCT (user_id, d)) AS BIGINT) AS nn
+              FROM sess),
+        ta AS (SELECT event_type, CAST(count(*) AS BIGINT) AS na
+               FROM sess GROUP BY 1),
+        pairs AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(count(*) AS BIGINT) AS n_ab
+            FROM sess a JOIN sess b
+                 ON a.user_id = b.user_id AND a.d = b.d
+                AND a.event_type < b.event_type
+            GROUP BY 1, 2
+        )
+        SELECT type_a, type_b, n_ab,
+               round(ln(CAST(n_ab AS DOUBLE) * nn
+                        / (CAST(ta1.na AS DOUBLE) * ta2.na)), 6) AS pmi,
+               round(ln(CAST(n_ab AS DOUBLE) * nn
+                        / (CAST(ta1.na AS DOUBLE) * ta2.na))
+                     / (-ln(CAST(n_ab AS DOUBLE) / nn)), 6) AS npmi
+        FROM pairs
+        JOIN ta ta1 ON ta1.event_type = type_a
+        JOIN ta ta2 ON ta2.event_type = type_b
+        CROSS JOIN n
+    """,
+    doc="Pointwise mutual information between event types co-occurring in "
+        "a user-day session — the association strength behind 'users who "
+        "X also Y', normalized (NPMI ∈ [−1, 1]) for cross-pair "
+        "comparability. Pair generation is the basket pattern: dedup to "
+        "(user, day, type) FIRST (map-side combined), then in-group pair "
+        "expansion via a sorted collect_set + higher-order expression — "
+        "one fact shuffle, ≤C(5,2)=10 pairs per session, never a "
+        "session-level self-join (the oracle states the self-join "
+        "truth). All counts are exact BIGINTs; pmi/npmi are ln() of "
+        "ratios of identical exact integers rounded at 6 dp (the tfidf "
+        "ln discipline).",
+)
+def q_events_pmi(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    sess = ev.select(
+        "user_id",
+        F.date_trunc("day", "ts").cast("date").alias("d"),
+        "event_type",
+    ).distinct()
+    grouped = sess.groupBy("user_id", "d").agg(
+        F.sort_array(F.collect_set("event_type")).alias("types")
+    ).localCheckpoint(eager=True)  # |user-days| rows; feeds N and pairs
+    n = grouped.agg(F.count(F.lit(1)).alias("nn"))
+    ta = sess.groupBy("event_type").agg(F.count(F.lit(1)).alias("na"))
+    pair_expr = F.expr(
+        "flatten(transform(types, (x, i) -> "
+        "transform(slice(types, i + 2, size(types)), "
+        "y -> struct(x AS type_a, y AS type_b))))"
+    )
+    pairs = (
+        grouped.select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.type_a").alias("type_a"),
+                 F.col("p.type_b").alias("type_b"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    ta1 = ta.select(F.col("event_type").alias("type_a"), F.col("na").alias("na1"))
+    ta2 = ta.select(F.col("event_type").alias("type_b"), F.col("na").alias("na2"))
+    pmi_raw = F.log(
+        F.col("n_ab").cast("double") * F.col("nn")
+        / (F.col("na1").cast("double") * F.col("na2"))
+    )
+    return (
+        pairs.join(F.broadcast(ta1), "type_a")
+        .join(F.broadcast(ta2), "type_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "type_a", "type_b", "n_ab",
+            r6(pmi_raw).alias("pmi"),
+            r6(pmi_raw / (-F.log(F.col("n_ab").cast("double") / F.col("nn"))))
+            .alias("npmi"),
+        )
+    )
