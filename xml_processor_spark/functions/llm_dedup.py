@@ -1412,7 +1412,12 @@ def q_graph_triangles(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _PR_ITERS = 3
-_PR_Q = 10**12      # rank fixed-point scale (1.0 == 1e12 units)
+# Rank fixed-point scale (1.0 == 1e9 units). Total mass is conserved at
+# n_nodes * Q, so a single hub's rank is < n * Q and the per-iteration
+# product r*17 stays inside int64 for components up to ~5e8 nodes — any
+# real near-dup family. (1e12 would overflow at ~5e5-node components,
+# where DuckDB silently widens to HUGEINT and the engines diverge.)
+_PR_Q = 10**9
 _PR_BASE = 15 * _PR_Q // 100   # (1 - d) teleport mass, d = 0.85
 _PR_TOP = 20
 
@@ -1459,7 +1464,7 @@ def _pr_iter_sql(prev: str, out: str) -> str:
         "damped power iterations, d=0.85) — ranks the 'hub' documents "
         "whose template spawned the most near-copies; the prioritization "
         "signal for which duplicate families to audit first. Every rank "
-        f"is an exact BIGINT in 1e-12 units: the damping step is r·17 "
+        f"is an exact BIGINT in 1e-9 units: the damping step is r·17 "
         "integer-divided by 20·deg (floor — identical in both engines), "
         "so three iterations of float-free arithmetic produce "
         "bit-identical ranks under ANY summation order or partitioning "

@@ -484,8 +484,15 @@ def q_orders_abc(spark, sf_dir):
         F.round(F.col("units").cast("double") / 1e4, 2).alias("revenue"),
         r6(F.col("units").cast("double") / F.col("total_units")).alias("rev_share"),
         r6(F.col("cum_units").cast("double") / F.col("total_units")).alias("cum_share"),
-        F.when(F.col("cum_units") * 5 <= F.col("total_units") * 4, "A")
-        .when(F.col("cum_units") * 20 <= F.col("total_units") * 19, "B")
+        # decimal(38,0) multiplies: total_units can reach ~6e17 at sf100,
+        # where long*20 overflows int64 while DuckDB silently widens to
+        # HUGEINT — the casts keep the class boundary exact at any sf.
+        F.when(
+            F.col("cum_units").cast("decimal(38,0)") * 5
+            <= F.col("total_units").cast("decimal(38,0)") * 4, "A")
+        .when(
+            F.col("cum_units").cast("decimal(38,0)") * 20
+            <= F.col("total_units").cast("decimal(38,0)") * 19, "B")
         .otherwise("C")
         .alias("abc_class"),
     )
