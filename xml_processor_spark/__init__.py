@@ -35,6 +35,7 @@ def load_all() -> None:
     from xml_processor_spark.operators import composite  # noqa: F401
     from xml_processor_spark.operators import cdc  # noqa: F401
     from xml_processor_spark.operators import commerce  # noqa: F401
+    from xml_processor_spark.operators import timeseries  # noqa: F401
     from xml_processor_spark.operators import lakeops  # noqa: F401
     from xml_processor_spark.functions import sketches  # noqa: F401
     from xml_processor_spark.functions import scalars  # noqa: F401

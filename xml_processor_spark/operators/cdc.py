@@ -26,7 +26,10 @@ from xml_processor_spark.registry import register
 # Deterministic synthetic change feed over `orders` (never rand()):
 #   %13 == 0           → DELETE
 #   %7  == 0 (not %13) → UPDATE price ×1.1
-#   %97 == 0           → INSERT under key+100M at half price
+#   %97 == 0           → INSERT under the NEGATED key at half price
+#     (negation, not key+offset: o_orderkey reaches 6M×SF, so any fixed
+#      offset collides with real keys at some SF — the q_snapshot_diff
+#      lesson, ADVICE r6 — while -k can never collide at any SF)
 # All price math is integer cents (the _REV_SQL discipline): round(x*1.1, 2)
 # on doubles lands on half-way points where Spark (HALF_UP) and DuckDB
 # disagree in the last cent; cents + cents DIV 10 is exact in both.
@@ -39,7 +42,7 @@ _CHANGES_SQL = f"""
                CAST({_CENTS_SQL} + {_CENTS_SQL} // 10 AS DOUBLE) / 100
         FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 13 <> 0
         UNION ALL
-        SELECT o_orderkey + 100000000, 'I',
+        SELECT -o_orderkey, 'I',
                CAST({_CENTS_SQL} // 2 AS DOUBLE) / 100
         FROM orders WHERE o_orderkey % 97 = 0
 """
@@ -83,7 +86,7 @@ def q_cdc_upsert(spark, sf_dir):
         ((cents + F.floor(cents / 10)).cast("double") / 100).alias("price"),
     )
     inserts = o.filter(F.col("o_orderkey") % 97 == 0).select(
-        (F.col("o_orderkey") + 100000000).alias("k"),
+        (-F.col("o_orderkey")).alias("k"),
         F.lit("I").alias("op"),
         (F.floor(cents / 2).cast("double") / 100).alias("price"),
     )

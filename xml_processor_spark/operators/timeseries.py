@@ -1,0 +1,347 @@
+"""Time-series diagnostics over the events/orders feeds (SURVEY §2.L).
+
+Trend, autocorrelation, inter-arrival, and concentration statistics — the
+drift-monitoring layer of a data-pipeline dashboard. Design rules shared by
+every operator here:
+
+- **aggregate first**: the fact table collapses to a (key, day) or
+  (key, entity) aggregate in ONE map-side-combined shuffle; every closed-form
+  statistic runs over that bounded aggregate, never the raw feed.
+- **exact-integer moments**: Σx, Σy, Σxy, Σx², Σy² are sums of BIGINT
+  products accumulated in decimal(38,0) (Spark) / HUGEINT (DuckDB), so the
+  reduction is order-independent and bit-identical across engines and
+  partitionings; floats appear only in the final division, rounded to 6 dp.
+- **no global windows over unbounded rows**: cumulative shares run over
+  fixed histogram buckets; ranks are per-partition or avoided entirely.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from xml_processor_spark.functions.deterministic import r6
+from xml_processor_spark.io import table
+from xml_processor_spark.registry import register
+
+_D38 = "decimal(38,0)"
+
+# Shared daily-count aggregate: x = day index since the corpus min day
+# (exact integer), y = event count that day. Both engines derive x with
+# integer date arithmetic, so every OLS/autocorr moment below is exact.
+_DAILY_SQL = """
+        daily AS (
+            SELECT event_type,
+                   CAST(date_trunc('day', ts) AS DATE) AS d,
+                   CAST(count(*) AS BIGINT) AS y
+            FROM events GROUP BY 1, 2
+        ),
+        spine AS (SELECT min(d) AS d0 FROM daily),
+        xy AS (
+            SELECT event_type,
+                   CAST(date_diff('day', spine.d0, daily.d) AS BIGINT) AS x,
+                   y
+            FROM daily, spine
+        )
+"""
+
+
+def _daily_xy(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("d"),
+        )
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    spine = daily.agg(F.min("d").alias("d0"))
+    return daily.crossJoin(F.broadcast(spine)).select(
+        "event_type",
+        F.datediff(F.col("d"), F.col("d0")).cast("long").alias("x"),
+        "y",
+    )
+
+
+@register(
+    "q_trend_ols",
+    oracle=f"""
+        WITH {_DAILY_SQL},
+        m AS (
+            SELECT event_type,
+                   CAST(count(*) AS HUGEINT) AS n,
+                   CAST(sum(x) AS HUGEINT) AS sx,
+                   CAST(sum(y) AS HUGEINT) AS sy,
+                   CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+                   CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+                   CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+            FROM xy GROUP BY 1
+        )
+        SELECT event_type,
+               CAST(n AS BIGINT) AS n_days,
+               round(CAST(n*sxy - sx*sy AS DOUBLE)
+                     / nullif(CAST(n*sxx - sx*sx AS DOUBLE), 0), 6) AS slope,
+               round((CAST(sy AS DOUBLE)
+                      - CAST(n*sxy - sx*sy AS DOUBLE)
+                        / nullif(CAST(n*sxx - sx*sx AS DOUBLE), 0)
+                        * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6)
+                   AS intercept,
+               round(CAST((n*sxy - sx*sy) * (n*sxy - sx*sy) AS DOUBLE)
+                     / nullif(CAST((n*sxx - sx*sx) * (n*syy - sy*sy)
+                                   AS DOUBLE), 0), 6) AS r2
+        FROM m
+    """,
+    origin="CORE",
+    doc="Per-event-type OLS trend of the daily volume series: slope "
+        "(events/day drift), intercept, and r² from the closed-form "
+        "normal equations. x = integer day index since the corpus min "
+        "day, y = daily count; all five moments (Σx, Σy, Σxy, Σx², Σy²) "
+        "are exact integer sums in decimal(38,0)/HUGEINT — no float "
+        "enters until the final division (nΣxy−ΣxΣy can reach ~4e18 at "
+        "100 TB daily volumes, past int64 but nowhere near 1e38). Scale "
+        "shape: ONE map-side-combined fact shuffle onto |types×days| "
+        "cells, a 1-row min-day broadcast, then constant-size math; "
+        "degenerate series (1 day, constant y) yield NULL via nullif in "
+        "both dialects.",
+)
+def q_trend_ols(spark, sf_dir):
+    xy = _daily_xy(spark, sf_dir)
+    d = lambda c: F.col(c).cast(_D38)  # noqa: E731
+    m = xy.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(_D38).alias("n"),
+        F.sum("x").cast(_D38).alias("sx"),
+        F.sum("y").cast(_D38).alias("sy"),
+        F.sum(F.col("x").cast(_D38) * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast(_D38) * F.col("y")).alias("sxy"),
+        F.sum(F.col("y").cast(_D38) * F.col("y")).alias("syy"),
+    )
+    num = (d("n") * d("sxy") - d("sx") * d("sy")).cast("double")
+    den = F.nullif(
+        (d("n") * d("sxx") - d("sx") * d("sx")).cast("double"), F.lit(0.0)
+    )
+    den_y = F.nullif(
+        (d("n") * d("syy") - d("sy") * d("sy")).cast("double"), F.lit(0.0)
+    )
+    slope = num / den
+    return m.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        r6(slope).alias("slope"),
+        r6(
+            (d("sy").cast("double") - slope * d("sx").cast("double"))
+            / d("n").cast("double")
+        ).alias("intercept"),
+        r6(num * num / (den * den_y)).alias("r2"),
+    )
+
+
+@register(
+    "q_events_autocorr",
+    oracle=f"""
+        WITH {_DAILY_SQL},
+        pairs AS (
+            SELECT a.event_type, a.y AS yt, b.y AS yp
+            FROM xy a JOIN xy b
+                 ON a.event_type = b.event_type AND a.x = b.x + 1
+        ),
+        m AS (
+            SELECT event_type,
+                   CAST(count(*) AS HUGEINT) AS n,
+                   CAST(sum(yt) AS HUGEINT) AS st,
+                   CAST(sum(yp) AS HUGEINT) AS sp,
+                   CAST(sum(CAST(yt AS HUGEINT) * yp) AS HUGEINT) AS stp,
+                   CAST(sum(CAST(yt AS HUGEINT) * yt) AS HUGEINT) AS stt,
+                   CAST(sum(CAST(yp AS HUGEINT) * yp) AS HUGEINT) AS spp
+            FROM pairs GROUP BY 1
+        )
+        SELECT event_type,
+               CAST(n AS BIGINT) AS n_pairs,
+               round(CAST(n*stp - st*sp AS DOUBLE)
+                     / nullif(sqrt(CAST(n*stt - st*st AS DOUBLE)
+                                   * CAST(n*spp - sp*sp AS DOUBLE)), 0), 6)
+                   AS autocorr_lag1
+        FROM m
+    """,
+    origin="CORE",
+    doc="Lag-1 autocorrelation of each event type's daily-count series — "
+        "the burstiness/periodicity monitor. Consecutive-CALENDAR-day "
+        "pairs come from an equi self-join of the daily aggregate on "
+        "(type, x = x+1) — well-defined under day gaps, unlike lag() "
+        "over observed rows — then Pearson r in closed form from exact "
+        "integer moments (decimal(38,0)/HUGEINT; float only at the final "
+        "sqrt+division, rounded 6 dp). Scale shape: one fact shuffle to "
+        "|types×days| cells; the self-join and moments run on that "
+        "bounded aggregate; constant series yield NULL via nullif in "
+        "both dialects.",
+)
+def q_events_autocorr(spark, sf_dir):
+    xy = _daily_xy(spark, sf_dir)
+    a, b = xy.alias("a"), xy.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.x") == F.col("b.x") + 1),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.y").alias("yt"),
+        F.col("b.y").alias("yp"),
+    )
+    m = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(_D38).alias("n"),
+        F.sum("yt").cast(_D38).alias("st"),
+        F.sum("yp").cast(_D38).alias("sp"),
+        F.sum(F.col("yt").cast(_D38) * F.col("yp")).alias("stp"),
+        F.sum(F.col("yt").cast(_D38) * F.col("yt")).alias("stt"),
+        F.sum(F.col("yp").cast(_D38) * F.col("yp")).alias("spp"),
+    )
+    d = lambda c: F.col(c)  # noqa: E731
+    num = (d("n") * d("stp") - d("st") * d("sp")).cast("double")
+    den = F.nullif(
+        F.sqrt(
+            (d("n") * d("stt") - d("st") * d("st")).cast("double")
+            * (d("n") * d("spp") - d("sp") * d("sp")).cast("double")
+        ),
+        F.lit(0.0),
+    )
+    return m.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_pairs"),
+        r6(num / den).alias("autocorr_lag1"),
+    )
+
+
+# Inter-arrival histogram: weekly buckets, clamped at bucket 12 ("84+ days")
+# so the output is a FIXED ≤13 rows at any scale (the q_agg_histogram
+# edge-clamp discipline).
+_GAP_CAP = 12
+
+
+@register(
+    "q_orders_interarrival",
+    oracle=f"""
+        WITH gaps AS (
+            SELECT date_diff('day',
+                             lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey),
+                             o_orderdate) AS gap
+            FROM orders
+        ),
+        hist AS (
+            SELECT least(gap // 7, {_GAP_CAP}) AS week_bucket,
+                   CAST(count(*) AS BIGINT) AS n_gaps,
+                   CAST(min(gap) AS BIGINT) AS min_gap,
+                   CAST(max(gap) AS BIGINT) AS max_gap
+            FROM gaps WHERE gap IS NOT NULL
+            GROUP BY 1
+        )
+        SELECT week_bucket, n_gaps, min_gap, max_gap,
+               round(CAST(sum(n_gaps) OVER (ORDER BY week_bucket) AS DOUBLE)
+                     / CAST(sum(n_gaps) OVER () AS DOUBLE), 6) AS cum_share
+        FROM hist
+    """,
+    origin="CORE",
+    doc="Customer inter-order gap histogram — the repurchase-cadence "
+        "distribution behind replenishment forecasts. Per-customer "
+        "consecutive-order gaps in whole days via lag() over a "
+        "PER-CUSTOMER window (partitioned: one key-hash shuffle, no "
+        "global sort; o_orderkey tie-breaks same-day orders), then a "
+        "weekly histogram edge-clamped at bucket {cap} ('84+ days') so "
+        "the output is ≤13 rows at any corpus size; the cumulative-share "
+        "windows run over that fixed aggregate.".format(cap=_GAP_CAP),
+)
+def q_orders_interarrival(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).cast("long").alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    hist = gaps.groupBy(
+        F.least(F.floor(F.col("gap") / 7), F.lit(_GAP_CAP)).alias("week_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.min("gap").alias("min_gap"),
+        F.max("gap").alias("max_gap"),
+    )
+    w_cum = Window.partitionBy().orderBy("week_bucket")
+    w_all = Window.partitionBy()
+    return hist.select(
+        "week_bucket", "n_gaps", "min_gap", "max_gap",
+        r6(
+            F.sum("n_gaps").over(w_cum).cast("double")
+            / F.sum("n_gaps").over(w_all).cast("double")
+        ).alias("cum_share"),
+    )
+
+
+# Exact revenue in 1e-4 units (the composite _REV_SQL discipline).
+_REV_UNITS = (
+    "CAST(round(l_extendedprice * 100) AS BIGINT)"
+    " * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+)
+
+
+@register(
+    "q_nation_hhi",
+    oracle=f"""
+        WITH su AS (
+            SELECT s_nationkey AS nk, l_suppkey AS sk,
+                   CAST(sum({_REV_UNITS}) AS BIGINT) AS u
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY 1, 2
+        ),
+        m AS (
+            SELECT nk,
+                   CAST(count(*) AS BIGINT) AS n_suppliers,
+                   CAST(sum(u) AS HUGEINT) AS tot,
+                   CAST(sum(CAST(u AS HUGEINT) * u) AS HUGEINT) AS sq,
+                   CAST(max(u) AS HUGEINT) AS mx
+            FROM su GROUP BY 1
+        )
+        SELECT n_name AS nation, n_suppliers,
+               round(CAST(tot AS DOUBLE) / 1e4, 2) AS revenue,
+               round(CAST(sq AS DOUBLE)
+                     / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)), 6) AS hhi,
+               round(CAST(mx AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS top_share
+        FROM m JOIN nation ON nk = n_nationkey
+    """,
+    origin="CORE",
+    doc="Herfindahl-Hirschman supplier-concentration index per nation: "
+        "HHI = Σᵢ shareᵢ² computed as Σuᵢ²/U² on EXACT integer revenue "
+        "units — summing share² doubles would make the result depend on "
+        "partition reduction order; Σu² stays exact in decimal(38,0)/"
+        "HUGEINT (u ~ 1e13 at 100 TB ⇒ u² ~ 1e26, Σ ~ 1e32 ≪ 1e38). "
+        "top_share = max(u)/U needs no rank window. Scale shape: one "
+        "map-side-combined fact shuffle onto |nation×supplier| cells, a "
+        "second onto 25 nation rows, then a 25-row broadcast join for "
+        "names.",
+)
+def q_nation_hhi(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    su = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    na = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    per_supp = (
+        li.join(su, li["l_suppkey"] == su["s_suppkey"])
+        .groupBy(
+            F.col("s_nationkey").alias("nk"), F.col("l_suppkey").alias("sk")
+        )
+        .agg(F.sum(F.expr(_REV_UNITS)).alias("u"))
+    )
+    m = per_supp.groupBy("nk").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("u").cast(_D38).alias("tot"),
+        F.sum(F.col("u").cast(_D38) * F.col("u")).alias("sq"),
+        F.max("u").cast(_D38).alias("mx"),
+    )
+    tot_d = F.col("tot").cast("double")
+    return (
+        m.join(F.broadcast(na), m["nk"] == na["n_nationkey"])
+        .select(
+            F.col("n_name").alias("nation"),
+            "n_suppliers",
+            F.round(tot_d / 1e4, 2).alias("revenue"),
+            r6(F.col("sq").cast("double") / (tot_d * tot_d)).alias("hhi"),
+            r6(F.col("mx").cast("double") / tot_d).alias("top_share"),
+        )
+    )
