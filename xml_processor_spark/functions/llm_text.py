@@ -186,10 +186,9 @@ from pyspark.sql import Window  # noqa: E402
 
 _PROFILE_TOP = 20
 
-
-@register(
-    "q_text_langid",
-    oracle=f"""
+# Shared by q_text_langid (doc-level prediction) and q_text_lang_confusion
+# (the aggregated declared-vs-predicted matrix).
+_LANGID_SQL = f"""
         WITH bg AS (
             SELECT doc_id, lang,
                    unnest(list_distinct(list_transform(
@@ -215,7 +214,12 @@ _PROFILE_TOP = 20
                                            ORDER BY score DESC, plang) AS rn
               FROM scores)
         WHERE rn = 1
-    """,
+"""
+
+
+@register(
+    "q_text_langid",
+    oracle=_LANGID_SQL,
     origin="LLM",
     doc="n-gram-heuristic language ID: per-language character-bigram "
         "profiles (top-20 by frequency) scored against each document's "
@@ -1077,4 +1081,44 @@ def q_text_readability(spark, sf_dir):
         F.when(F.col("flesch") >= 60, "easy")
         .when(F.col("flesch") >= 30, "medium")
         .otherwise("hard"),
+    )
+
+
+@register(
+    "q_text_lang_confusion",
+    oracle=f"""
+        WITH pred AS ({_LANGID_SQL})
+        SELECT lang, pred_lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               round(CAST(count(*) AS DOUBLE)
+                     / CAST(sum(count(*)) OVER (PARTITION BY lang)
+                            AS DOUBLE), 6) AS share_of_declared,
+               lang = pred_lang AS is_correct
+        FROM pred
+        GROUP BY 1, 2
+    """,
+    origin="LLM",
+    doc="Language-ID confusion matrix: the declared `lang` column vs the "
+        "bigram-profile prediction (the q_text_langid heuristic, shared "
+        "via one CTE/pipeline), aggregated to |langs|x|langs| cells with "
+        "each cell's share of its declared row — the QA artifact that "
+        "tells you WHERE the cheap classifier fails before you trust it "
+        "to route a 100 TB corpus. Scale shape: the doc-level prediction "
+        "is the langid pipeline (two aggregations, broadcast profile); "
+        "the confusion rollup is one map-side-combined groupBy onto a "
+        "bounded |langs|^2 grid, and the share window runs over that grid.",
+)
+def q_text_lang_confusion(spark, sf_dir):
+    pred = q_text_langid(spark, sf_dir)
+    cell = pred.groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w_decl = Window.partitionBy("lang")
+    return cell.select(
+        "lang", "pred_lang", "n_docs",
+        r6(
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(w_decl).cast("double")
+        ).alias("share_of_declared"),
+        (F.col("lang") == F.col("pred_lang")).alias("is_correct"),
     )

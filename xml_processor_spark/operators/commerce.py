@@ -724,3 +724,232 @@ def q_events_pmi(spark, sf_dir):
             .alias("npmi"),
         )
     )
+
+
+# --- Distribution forensics: Benford, Gini, streaks -------------------------
+
+# cents is always >= 1 for TPC-H-ish totalprice, so the first character of
+# the BIGINT's decimal rendering is the first significant digit — integer
+# string math, no log10-of-float boundary risk.
+_FIRST_DIGIT_SQL = (
+    "CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT)"
+    " AS VARCHAR), 1, 1) AS BIGINT)"
+)
+
+
+@register(
+    "q_orders_benford",
+    oracle=f"""
+        WITH digits AS (
+            SELECT {_FIRST_DIGIT_SQL} AS digit,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders GROUP BY 1
+        )
+        SELECT digit, n_orders,
+               round(CAST(n_orders AS DOUBLE)
+                     / CAST(sum(n_orders) OVER () AS DOUBLE), 6) AS obs_share,
+               round(log10(1.0 + 1.0 / digit), 6) AS exp_share,
+               round(pow(CAST(n_orders AS DOUBLE)
+                         - CAST(sum(n_orders) OVER () AS DOUBLE)
+                           * log10(1.0 + 1.0 / digit), 2)
+                     / (CAST(sum(n_orders) OVER () AS DOUBLE)
+                        * log10(1.0 + 1.0 / digit)), 6) AS chi2_term
+        FROM digits
+    """,
+    origin="CORE",
+    doc="Benford first-digit forensics on order totals: observed vs "
+        "expected log10(1+1/d) share per leading digit plus the per-digit "
+        "chi-square term — the fraud/synthetic-data smoke test. The first "
+        "digit comes from the BIGINT cents' decimal STRING (integer math; "
+        "floor(log10(x)) on doubles can misbin at powers of ten), so the "
+        "9-row histogram is exact; expectation/chi² are the only floats, "
+        "rounded 6 dp. Scale shape: one map-side-combined groupBy onto "
+        "≤9 rows; every window runs over those 9 rows.",
+)
+def q_orders_benford(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    # native twin of _FIRST_DIGIT_SQL (VARCHAR is DuckDB-only spelling)
+    first_digit = F.substring(
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+    ).cast("long")
+    digits = o.groupBy(first_digit.alias("digit")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    w_all = Window.partitionBy()
+    total = F.sum("n_orders").over(w_all).cast("double")
+    exp_p = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return digits.select(
+        "digit", "n_orders",
+        r6(F.col("n_orders").cast("double") / total).alias("obs_share"),
+        r6(exp_p).alias("exp_share"),
+        r6(
+            F.pow(F.col("n_orders").cast("double") - total * exp_p, F.lit(2))
+            / (total * exp_p)
+        ).alias("chi2_term"),
+    )
+
+
+# Gini bucketing: 512 fixed-width integer buckets (cap index 512 catches the
+# max element). W derives from the corpus max, so the grid adapts to any SF
+# while the bucket count — and therefore every downstream cost — stays
+# constant.
+_GINI_BUCKETS = 512
+
+
+@register(
+    "q_spend_gini",
+    oracle=f"""
+        WITH spend AS (
+            SELECT o_custkey,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS s
+            FROM orders GROUP BY 1
+        ),
+        mx AS (
+            SELECT greatest(max(s) // {_GINI_BUCKETS}, 1) AS w FROM spend
+        ),
+        b AS (
+            SELECT least(s // w, {_GINI_BUCKETS}) AS bkt,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(s) AS BIGINT) AS t
+            FROM spend, mx GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(sum(n) AS HUGEINT) AS nn, CAST(sum(t) AS HUGEINT) AS ss
+            FROM b
+        ),
+        mad AS (
+            SELECT CAST(sum(abs(CAST(a.n AS HUGEINT) * b.t
+                                - CAST(b.n AS HUGEINT) * a.t))
+                        AS HUGEINT) AS m
+            FROM b a, b b
+        )
+        SELECT CAST(nn AS BIGINT) AS n_customers,
+               round(CAST(ss AS DOUBLE) / 100, 2) AS total_spend,
+               round(CAST(m AS DOUBLE)
+                     / (2.0 * CAST(nn AS DOUBLE) * CAST(ss AS DOUBLE)), 6)
+                   AS gini
+        FROM tot, mad
+    """,
+    origin="CORE",
+    doc="Gini coefficient of customer spend via the grouped-data "
+        "estimator: per-customer exact-cents totals collapse onto a "
+        "fixed 513-bucket integer grid (width = max DIV 512 — adapts to "
+        "any SF, constant bucket count), then "
+        "G = ΣᵢΣⱼ|nⱼtᵢ−nᵢtⱼ| / (2·N·S) — the nᵢnⱼ|μᵢ−μⱼ| mean-absolute-"
+        "difference form cleared of divisions so every term is an EXACT "
+        "integer (decimal(38,0)/HUGEINT); summing |μᵢ−μⱼ| doubles would "
+        "be partition-order-dependent. The exact-rank Gini needs a "
+        "global sort; this estimator replaces it with one per-customer "
+        "aggregate + constant 513² bucket-pair work — the 100 TB trade, "
+        "exact on the bucket-collapsed distribution. Scale shape: one "
+        "key-hash fact shuffle, a 1-row width broadcast, then "
+        "constant-size math.",
+)
+def q_spend_gini(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("s")
+    )
+    mx = spend.agg(
+        F.greatest(
+            F.floor(F.max("s") / _GINI_BUCKETS).cast("long"), F.lit(1).cast("long")
+        ).alias("w")
+    )
+    b = (
+        spend.crossJoin(F.broadcast(mx))
+        .groupBy(
+            F.least(
+                F.floor(F.col("s") / F.col("w")), F.lit(_GINI_BUCKETS).cast("long")
+            ).alias("bkt")
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("s").alias("t"))
+    )
+    d38 = "decimal(38,0)"
+    tot = b.agg(
+        F.sum("n").cast(d38).alias("nn"), F.sum("t").cast(d38).alias("ss")
+    )
+    x, y = b.alias("x"), b.alias("y")
+    mad = x.crossJoin(y).agg(
+        F.sum(
+            F.abs(
+                F.col("x.n").cast(d38) * F.col("y.t")
+                - F.col("y.n").cast(d38) * F.col("x.t")
+            )
+        ).alias("m")
+    )
+    return tot.crossJoin(F.broadcast(mad)).select(
+        F.col("nn").cast("long").alias("n_customers"),
+        F.round(F.col("ss").cast("double") / 100, 2).alias("total_spend"),
+        r6(
+            F.col("m").cast("double")
+            / (F.lit(2.0) * F.col("nn").cast("double") * F.col("ss").cast("double"))
+        ).alias("gini"),
+    )
+
+
+@register(
+    "q_orders_streaks",
+    oracle="""
+        WITH months AS (
+            SELECT DISTINCT o_custkey,
+                   CAST(date_part('year', o_orderdate) * 12
+                        + date_part('month', o_orderdate) AS BIGINT) AS m
+            FROM orders
+        ),
+        isl AS (
+            SELECT o_custkey,
+                   m - row_number() OVER (PARTITION BY o_custkey
+                                          ORDER BY m) AS grp
+            FROM months
+        ),
+        runs AS (
+            SELECT o_custkey, CAST(count(*) AS BIGINT) AS len
+            FROM isl GROUP BY o_custkey, grp
+        ),
+        best AS (
+            SELECT o_custkey, max(len) AS best_streak FROM runs GROUP BY 1
+        ),
+        hist AS (
+            SELECT best_streak, CAST(count(*) AS BIGINT) AS n_customers
+            FROM best GROUP BY 1
+        )
+        SELECT best_streak, n_customers,
+               round(CAST(n_customers AS DOUBLE)
+                     / CAST(sum(n_customers) OVER () AS DOUBLE), 6) AS share
+        FROM hist
+    """,
+    origin="CORE",
+    doc="Gaps-and-islands: each customer's longest run of CONSECUTIVE "
+        "order months (month index = y·12+m, islands via the classic "
+        "m − row_number() constant-difference trick — pure integer, no "
+        "date float), rolled up to a streak-length histogram with shares. "
+        "Scale shape: the distinct + both windows partition BY CUSTOMER "
+        "(key-hash shuffles, no global sort, ≤|months| rows per key); "
+        "the share window runs over the ≤|months|-row histogram.",
+)
+def q_orders_streaks(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    months = o.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("m"),
+    ).distinct()
+    w_cust = Window.partitionBy("o_custkey").orderBy("m")
+    isl = months.select(
+        "o_custkey", (F.col("m") - F.row_number().over(w_cust)).alias("grp")
+    )
+    runs = isl.groupBy("o_custkey", "grp").agg(F.count(F.lit(1)).alias("len"))
+    best = runs.groupBy("o_custkey").agg(F.max("len").alias("best_streak"))
+    hist = best.groupBy("best_streak").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    w_all = Window.partitionBy()
+    return hist.select(
+        "best_streak", "n_customers",
+        r6(
+            F.col("n_customers").cast("double")
+            / F.sum("n_customers").over(w_all).cast("double")
+        ).alias("share"),
+    )

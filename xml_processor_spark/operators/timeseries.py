@@ -345,3 +345,77 @@ def q_nation_hhi(spark, sf_dir):
             r6(F.col("mx").cast("double") / tot_d).alias("top_share"),
         )
     )
+
+
+@register(
+    "q_events_peaks",
+    oracle=f"""
+        WITH {_DAILY_SQL},
+        pk AS (
+            SELECT a.event_type, a.y
+            FROM xy a
+            JOIN xy b ON a.event_type = b.event_type AND a.x = b.x + 1
+            JOIN xy c ON a.event_type = c.event_type AND a.x = c.x - 1
+            WHERE a.y > b.y AND a.y > c.y
+        ),
+        n AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+            FROM xy GROUP BY 1
+        ),
+        p AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_peaks,
+                   CAST(max(y) AS BIGINT) AS max_peak
+            FROM pk GROUP BY 1
+        )
+        SELECT n.event_type, n.n_days,
+               coalesce(p.n_peaks, 0) AS n_peaks,
+               round(CAST(coalesce(p.n_peaks, 0) AS DOUBLE)
+                     / CAST(n.n_days AS DOUBLE), 6) AS peak_rate,
+               p.max_peak
+        FROM n LEFT JOIN p ON n.event_type = p.event_type
+    """,
+    origin="CORE",
+    doc="Local-maximum (peak) census of each type's daily-count series: "
+        "a day is a peak when strictly above BOTH calendar neighbors — "
+        "neighbors come from two equi self-joins on (type, x±1), so day "
+        "gaps disqualify a row rather than silently comparing against a "
+        "non-adjacent day (the lag/lead-over-observed-rows bug). Output "
+        "per type: day count, peak count, peak rate, tallest peak "
+        "(NULL when the series is monotone). All integer until the one "
+        "rounded ratio. Scale shape: one fact shuffle onto |types×days| "
+        "cells; joins + census on that bounded aggregate.",
+)
+def q_events_peaks(spark, sf_dir):
+    xy = _daily_xy(spark, sf_dir)
+    a, b, c = xy.alias("a"), xy.alias("b"), xy.alias("c")
+    pk = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.x") == F.col("b.x") + 1),
+        )
+        .join(
+            c,
+            (F.col("a.event_type") == F.col("c.event_type"))
+            & (F.col("a.x") == F.col("c.x") - 1),
+        )
+        .filter((F.col("a.y") > F.col("b.y")) & (F.col("a.y") > F.col("c.y")))
+        .select(F.col("a.event_type").alias("event_type"), F.col("a.y").alias("y"))
+    )
+    n = xy.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_days"))
+    p = pk.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_peaks"), F.max("y").alias("max_peak")
+    )
+    return (
+        n.join(p.withColumnRenamed("event_type", "pt"),
+               n["event_type"] == F.col("pt"), "left")
+        .select(
+            "event_type", "n_days",
+            F.coalesce("n_peaks", F.lit(0).cast("long")).alias("n_peaks"),
+            r6(
+                F.coalesce("n_peaks", F.lit(0)).cast("double")
+                / F.col("n_days").cast("double")
+            ).alias("peak_rate"),
+            "max_peak",
+        )
+    )
