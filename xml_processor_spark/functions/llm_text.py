@@ -1122,3 +1122,99 @@ def q_text_lang_confusion(spark, sf_dir):
         ).alias("share_of_declared"),
         (F.col("lang") == F.col("pred_lang")).alias("is_correct"),
     )
+
+
+@register(
+    "q_text_simpson",
+    oracle="""
+        WITH tc AS (
+            SELECT lang, tok, CAST(count(*) AS BIGINT) AS c
+            FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok
+                  FROM documents)
+            GROUP BY 1, 2
+        )
+        SELECT lang,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS vocab,
+               round(CAST(sum(CAST(c AS HUGEINT) * (c - 1)) AS DOUBLE)
+                     / (CAST(sum(c) AS DOUBLE)
+                        * (CAST(sum(c) AS DOUBLE) - 1)), 6) AS simpson,
+               round(CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)
+                   AS ttr
+        FROM tc GROUP BY lang
+    """,
+    origin="LLM",
+    doc="Lexical-diversity panel per language: Simpson repeat-probability "
+        "λ = Σc(c−1)/(N(N−1)) — the chance two random tokens coincide, "
+        "the degenerate-corpus detector that catches boilerplate floods "
+        "Zipf fits miss — plus type-token ratio. Σc(c−1) stays exact in "
+        "decimal(38,0)/HUGEINT (c ~ 1e12 at 100 TB ⇒ c² ~ 1e24 ≪ 1e38); "
+        "float only at the two final divisions. Scale shape: one "
+        "(lang, token) map-side-combined fact shuffle, then a groupBy "
+        "onto |langs| rows — no windows, no joins.",
+)
+def q_text_simpson(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    tc = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    d38 = "decimal(38,0)"
+    m = tc.groupBy("lang").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum(F.col("c").cast(d38) * (F.col("c") - 1)).alias("rep"),
+    )
+    n_d = F.col("n_tokens").cast("double")
+    return m.select(
+        "lang", "n_tokens", "vocab",
+        r6(F.col("rep").cast("double") / (n_d * (n_d - 1))).alias("simpson"),
+        r6(F.col("vocab").cast("double") / n_d).alias("ttr"),
+    )
+
+
+@register(
+    "q_text_hapax",
+    oracle="""
+        WITH tc AS (
+            SELECT lang, tok, CAST(count(*) AS BIGINT) AS c
+            FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok
+                  FROM documents)
+            GROUP BY 1, 2
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS vocab,
+               CAST(count(*) FILTER (WHERE c = 1) AS BIGINT) AS n_hapax,
+               CAST(count(*) FILTER (WHERE c = 2) AS BIGINT) AS n_dis,
+               round(CAST(count(*) FILTER (WHERE c = 1) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE), 6) AS hapax_rate
+        FROM tc GROUP BY lang
+    """,
+    origin="LLM",
+    doc="Hapax/dis legomena census per language: how much of the "
+        "vocabulary occurs exactly once (or twice) — the vocabulary-"
+        "health gauge behind tokenizer sizing and OCR-noise detection "
+        "(noisy corpora balloon the hapax rate with garbage types). "
+        "Pure integer counts + one rounded ratio. Scale shape: one "
+        "(lang, token) map-side-combined fact shuffle, FILTERed "
+        "aggregates onto |langs| rows.",
+)
+def q_text_hapax(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    tc = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    m = tc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("vocab"),
+        F.count(F.when(F.col("c") == 1, 1)).alias("n_hapax"),
+        F.count(F.when(F.col("c") == 2, 1)).alias("n_dis"),
+    )
+    return m.select(
+        "lang", "vocab", "n_hapax", "n_dis",
+        r6(
+            F.col("n_hapax").cast("double") / F.col("vocab").cast("double")
+        ).alias("hapax_rate"),
+    )

@@ -953,3 +953,79 @@ def q_orders_streaks(spark, sf_dir):
             / F.sum("n_customers").over(w_all).cast("double")
         ).alias("share"),
     )
+
+
+@register(
+    "q_orders_priority_drift",
+    oracle="""
+        WITH cell AS (
+            SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+                   o_orderpriority AS p,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM orders GROUP BY 1, 2
+        ),
+        mt AS (SELECT m, CAST(sum(c) AS BIGINT) AS tm FROM cell GROUP BY 1),
+        gp AS (SELECT p, CAST(sum(c) AS BIGINT) AS cp FROM cell GROUP BY 1),
+        tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM cell),
+        grid AS (
+            SELECT mt.m, mt.tm, gp.p, gp.cp, coalesce(cell.c, 0) AS c
+            FROM mt CROSS JOIN gp
+            LEFT JOIN cell ON cell.m = mt.m AND cell.p = gp.p
+        )
+        SELECT m AS month, tm AS n_orders,
+               round(CAST(sum(abs(CAST(c AS HUGEINT) * t
+                                  - CAST(cp AS HUGEINT) * tm)) AS DOUBLE)
+                     / (CAST(tm AS DOUBLE) * CAST(t AS DOUBLE)), 6)
+                   AS l1_drift
+        FROM grid CROSS JOIN tot
+        GROUP BY m, tm, t
+    """,
+    origin="CORE",
+    doc="Monthly order-priority mix drift vs the corpus mix: "
+        "L1 = Σₚ|share_mp − share_p| computed on the COMMON DENOMINATOR "
+        "as Σₚ|c_mp·T − C_p·T_m| / (T_m·T) so every term is an exact "
+        "integer (decimal(38,0)/HUGEINT) — summing per-priority float "
+        "share deltas would round before the sum; one division at the "
+        "end. The |months|×5 grid is built from the marginals (cross "
+        "join of two bounded aggregates + left join back) so a priority "
+        "ABSENT in a month still contributes C_p·T_m — dropping it "
+        "understates drift exactly when drift is worst. The "
+        "distribution-shift monitor for ingest feeds. Scale shape: one "
+        "fact shuffle onto |months×5| cells; everything after runs on "
+        "bounded aggregates.",
+)
+def q_orders_priority_drift(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    cell = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("m"),
+        F.col("o_orderpriority").alias("p"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    mt = cell.groupBy("m").agg(F.sum("c").alias("tm"))
+    gp = cell.groupBy("p").agg(F.sum("c").alias("cp"))
+    tot = cell.agg(F.sum("c").alias("t"))
+    grid = (
+        mt.crossJoin(F.broadcast(gp))
+        .join(cell, ["m", "p"], "left")
+        .select("m", "tm", "p", "cp", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    d38 = "decimal(38,0)"
+    return (
+        grid.crossJoin(F.broadcast(tot))
+        .groupBy("m", "tm", "t")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("c").cast(d38) * F.col("t")
+                    - F.col("cp").cast(d38) * F.col("tm")
+                )
+            ).alias("num")
+        )
+        .select(
+            F.col("m").alias("month"),
+            F.col("tm").alias("n_orders"),
+            r6(
+                F.col("num").cast("double")
+                / (F.col("tm").cast("double") * F.col("t").cast("double"))
+            ).alias("l1_drift"),
+        )
+    )

@@ -419,3 +419,106 @@ def q_events_peaks(spark, sf_dir):
             "max_peak",
         )
     )
+
+
+@register(
+    "q_events_hourly",
+    oracle="""
+        WITH cell AS (
+            SELECT event_type,
+                   CAST(date_part('hour', ts) AS BIGINT) AS hour,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, hour, n,
+               round(CAST(n AS DOUBLE)
+                     / CAST(sum(n) OVER (PARTITION BY event_type)
+                            AS DOUBLE), 6) AS share,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY n DESC, hour) = 1 AS is_peak
+        FROM cell
+    """,
+    origin="CORE",
+    doc="Hour-of-day load profile per event type with the peak hour "
+        "flagged — the capacity-planning heat strip. Peak = row_number 1 "
+        "ordered (n DESC, hour) so count ties break on the earlier hour "
+        "identically in both engines (max_by/arg_max tie behavior is "
+        "engine-defined — the reason this is a window, not arg_max). "
+        "Scale shape: one map-side-combined fact shuffle onto the "
+        "bounded |types×24| grid; share + peak windows run over that "
+        "grid only.",
+)
+def q_events_hourly(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    cell = ev.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w_type = Window.partitionBy("event_type")
+    w_peak = Window.partitionBy("event_type").orderBy(
+        F.col("n").desc(), "hour"
+    )
+    return cell.select(
+        "event_type", "hour", "n",
+        r6(
+            F.col("n").cast("double") / F.sum("n").over(w_type).cast("double")
+        ).alias("share"),
+        (F.row_number().over(w_peak) == 1).alias("is_peak"),
+    )
+
+
+@register(
+    "q_events_first_touch",
+    oracle="""
+        WITH first AS (
+            SELECT user_id, event_type
+            FROM (SELECT user_id, event_type,
+                         row_number() OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS rn
+                  FROM events)
+            WHERE rn = 1
+        ),
+        conv AS (
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        )
+        SELECT f.event_type AS first_touch,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(count(c.user_id) AS BIGINT) AS n_converted,
+               round(CAST(count(c.user_id) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE), 6) AS cvr
+        FROM first f LEFT JOIN conv c ON f.user_id = c.user_id
+        GROUP BY 1
+    """,
+    origin="CORE",
+    doc="First-touch attribution: each user's entry event type (first "
+        "row per user by (ts, event_id) — the event_id tie-break makes "
+        "same-instant ordering deterministic) vs whether they ever "
+        "purchased; conversion rate per entry channel. Scale shape: "
+        "first-touch and the purchase-user distinct are BOTH single "
+        "key-hash shuffles on user_id, so the left join is co-"
+        "partitioned (no third shuffle under AQE); final rollup onto "
+        "|types| rows.",
+)
+def q_events_first_touch(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first = (
+        ev.select("user_id", "event_type", F.row_number().over(w_u).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("cu"))
+        .distinct()
+    )
+    return (
+        first.join(conv, first["user_id"] == F.col("cu"), "left")
+        .groupBy(F.col("event_type").alias("first_touch"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.count("cu").alias("n_converted"),
+            r6(
+                F.count("cu").cast("double") / F.count(F.lit(1)).cast("double")
+            ).alias("cvr"),
+        )
+    )
