@@ -1021,3 +1021,69 @@ def test_pmi_pairs_generated_in_group(spark, queries):
     assert "CartesianProduct" not in plan
     # the three lookup joins are broadcast-hash on bounded sides
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_trend_ols_single_fact_pass_and_scalar_broadcast(spark, queries):
+    """The regression runs over the |types×days| aggregate: one
+    partial+final fact groupBy, the min-day spine folded in as a 1-row
+    broadcast (BNLJ of a scalar), and no second fact scan."""
+    plan = explain(queries["q_trend_ols"](spark, SF_MID))
+    assert plan.count("HashAggregate") >= 2
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row min-day spine
+    assert "CartesianProduct" not in plan
+
+
+def test_autocorr_neighbor_join_is_equi(spark, queries):
+    """Consecutive-day pairing must be an equi join on (type, day index)
+    over the daily aggregate — never a nested loop (which would be
+    |days|² per type)."""
+    plan = explain(queries["q_events_autocorr"](spark, SF_MID))
+    assert "CartesianProduct" not in plan
+    # the only BNLJs allowed are the two 1-row spine broadcasts (each
+    # node appears twice in formatted output: tree line + details block)
+    assert plan.count("BroadcastNestedLoopJoin") <= 4
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+    # the daily aggregate is pinned (localCheckpoint): the neighbor join
+    # reads the bounded checkpoint, not a re-derived fact scan per alias
+    assert "Scan parquet" not in plan
+
+
+def test_peaks_neighbor_joins_are_equi(spark, queries):
+    """Both x±1 neighbor joins run over the daily aggregate as equi
+    joins; day gaps disqualify rows via join misses, not via a scan."""
+    plan = explain(queries["q_events_peaks"](spark, SF_MID))
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_gini_pair_work_is_post_aggregation(spark, queries):
+    """The 513² bucket-pair cross join must sit ABOVE the per-customer
+    and per-bucket aggregates: every nested-loop join in the plan has an
+    aggregate (not a raw scan) on both sides, so the quadratic work is
+    constant-size at any sf."""
+    plan = explain(queries["q_spend_gini"](spark, SF_MID))
+    # the ≤513-row bucket table is pinned (localCheckpoint): the final
+    # plan's quadratic stage reads the checkpoint only — zero fact scans
+    # above the pin, so the 513² pair work is constant-size at any sf
+    assert "Scan parquet" not in plan
+    assert plan.count("HashAggregate") >= 2  # tot + mad moments
+    assert "CartesianProduct" not in plan
+
+
+def test_interarrival_window_is_per_customer(spark, queries):
+    """The gap lag() partitions by customer — the plan's first window
+    exchange is hashpartitioning(o_custkey), never SinglePartition over
+    the fact table; the only SinglePartition windows run over the ≤13-row
+    histogram."""
+    plan = explain(queries["q_orders_interarrival"](spark, SF_MID))
+    assert "hashpartitioning(o_custkey" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_first_touch_shuffles_share_user_key(spark, queries):
+    """First-touch window and the purchase-distinct both hash-partition
+    on user_id so the left join is co-partitioned — no nested loop."""
+    plan = explain(queries["q_events_first_touch"](spark, SF_MID))
+    assert "hashpartitioning(user_id" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

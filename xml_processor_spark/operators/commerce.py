@@ -864,6 +864,12 @@ def q_spend_gini(spark, sf_dir):
             ).alias("bkt")
         )
         .agg(F.count(F.lit(1)).alias("n"), F.sum("s").alias("t"))
+        # ≤513 rows at any sf — pin it so tot/mad/x/y reuse ONE bucket
+        # build (and the orders scan count stays at the two passes the
+        # max-then-bucket histogram inherently needs) instead of
+        # Catalyst re-deriving the whole spend pipeline per alias
+        # (observed: 12× parquet scans without this).
+        .localCheckpoint()
     )
     d38 = "decimal(38,0)"
     tot = b.agg(

@@ -54,6 +54,12 @@ def _daily_xy(spark, sf_dir):
             F.date_trunc("day", F.col("ts")).cast("date").alias("d"),
         )
         .agg(F.count(F.lit(1)).alias("y"))
+        # The daily aggregate is |types×days| — bounded at any corpus
+        # size. Pin it (the q_dedup_cluster discipline) so the min-day
+        # spine and every self-join alias reuse ONE fact scan instead of
+        # Catalyst re-deriving the aggregate per alias (observed: 4×
+        # parquet scans in the autocorr plan without this).
+        .localCheckpoint()
     )
     spine = daily.agg(F.min("d").alias("d0"))
     return daily.crossJoin(F.broadcast(spine)).select(
