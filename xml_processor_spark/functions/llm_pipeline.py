@@ -801,3 +801,87 @@ def q_lang_mix_rebalance(spark, sf_dir):
         n_keep.cast("long").alias("n_keep"),
         F.round(n_keep / F.col("n_docs"), 6).alias("keep_rate"),
     )
+
+
+# Synthetic messy-URL feed (the q_url_parse synthesis discipline, made
+# deliberately dirty): deterministic doc_id residues control host casing, a
+# trailing slash, and tracking params; host = cdn(doc_id%7), path =
+# doc_id DIV 10, so docs d and d+7 inside one 10-block share a canonical
+# page under different raw spellings — collisions exist at every sf.
+_RAW_URL_SQL = """
+        'https://' ||
+        CASE WHEN doc_id % 3 = 0 THEN 'CDN' ELSE 'cdn' END ||
+        CAST(doc_id % 7 AS VARCHAR) ||
+        '.Example.COM/p/' || CAST(doc_id // 10 AS VARCHAR) ||
+        CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
+        CASE WHEN doc_id % 5 = 0
+             THEN '?utm_source=feed&ref=' || CAST(doc_id AS VARCHAR)
+             ELSE '' END
+"""
+# Canonicalization: lowercase scheme+authority+path, drop the query
+# (tracking-only here), strip one trailing slash.
+_CANON_RE = r"^([^?#]*?)/?(?:[?#].*)?$"
+
+
+@register(
+    "q_dedup_url_canon",
+    oracle=f"""
+        WITH raw AS (
+            SELECT doc_id, source, {_RAW_URL_SQL} AS url
+            FROM documents
+        ),
+        canon AS (
+            SELECT doc_id, source,
+                   lower(regexp_extract(url, '{_CANON_RE}', 1)) AS curl
+            FROM raw
+        )
+        SELECT curl, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(min(doc_id) AS BIGINT) AS keeper_doc,
+               CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+        FROM canon
+        GROUP BY curl
+        HAVING count(*) >= 2
+    """,
+    origin="LLM",
+    doc="URL-canonicalization dedup — the first dedup pass of every "
+        "web-crawl pipeline (C4/CC-style): case-fold scheme+host+path, "
+        "strip tracking queries and the trailing slash, then group by "
+        "canonical URL keeping the smallest doc_id; emits every "
+        "canonical page with ≥2 raw variants plus how many sources "
+        "collide there. Input URLs are synthesized from doc_id residues "
+        "(deterministic; the %7 host x DIV-10 path makes 2-way collisions) since "
+        "`documents` carries no URL column; the canonicalizer itself is "
+        "the real artifact — one regex + lower(), shared verbatim with "
+        "the oracle. Scale shape: pure scan-side projection, ONE "
+        "map-side-combined groupBy on the canonical key, no joins, no "
+        "windows, no Python.",
+)
+def q_dedup_url_canon(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("CDN")).otherwise(F.lit("cdn")),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".Example.COM/p/"),
+        F.floor(F.col("doc_id") / 10).cast("long").cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit("?utm_source=feed&ref="), F.col("doc_id").cast("string")
+            ),
+        ).otherwise(F.lit("")),
+    )
+    canon = d.select(
+        "doc_id", "source",
+        F.lower(F.regexp_extract(url, _CANON_RE, 1)).alias("curl"),
+    )
+    return (
+        canon.groupBy("curl")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

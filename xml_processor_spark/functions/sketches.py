@@ -233,3 +233,166 @@ def q_sketch_cms(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_exact"))
     )
     return exact.join(est, "term").select("term", "n_exact", "cms_est")
+
+
+# --- KMV (k-minimum-values) distinct sketch with set algebra ----------------
+#
+# The mergeable distinct-count sketch: keep the k smallest values of a
+# uniform hash; D-hat = (k-1) * H / h_k (H = hash range). Union of two
+# sketches = k smallest of the merged min-sets; intersection by
+# inclusion-exclusion. Deterministic because the hash is phash60 (md5-based,
+# bit-identical in both engines) and min-k is order-free.
+_KMV_K = 64  # small enough that the estimator path engages at test SFs
+_KMV_RANGE = float(1 << 60)
+_KMV_SALT = 16  # stage-1 fan-out for the distributed min-k
+
+_KMV_HASH_SQL = (
+    "CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) "
+    "AS BIGINT)"
+)
+
+
+@register(
+    "q_kmv_union",
+    oracle=f"""
+        WITH hu AS (
+            SELECT DISTINCT
+                   CASE WHEN date_part('day', ts) % 2 = 0
+                        THEN 'H1' ELSE 'H2' END AS side,
+                   {_KMV_HASH_SQL} AS h
+            FROM events
+        ),
+        ranked AS (
+            SELECT side, h,
+                   row_number() OVER (PARTITION BY side ORDER BY h) AS rn
+            FROM hu
+        ),
+        sk AS (
+            SELECT side, CAST(count(*) AS BIGINT) AS n_min,
+                   CAST(max(h) AS BIGINT) AS hk
+            FROM ranked WHERE rn <= {_KMV_K} GROUP BY side
+        ),
+        ex AS (
+            SELECT side, CAST(count(*) AS BIGINT) AS n_exact
+            FROM hu GROUP BY side
+        ),
+        est AS (
+            SELECT sk.side, ex.n_exact,
+                   CASE WHEN ex.n_exact <= {_KMV_K}
+                        THEN CAST(ex.n_exact AS DOUBLE)
+                        ELSE ({_KMV_K} - 1) * {_KMV_RANGE} / sk.hk
+                   END AS d_hat
+            FROM sk JOIN ex ON sk.side = ex.side
+        ),
+        merged AS (
+            SELECT h, row_number() OVER (ORDER BY h) AS rn
+            FROM (SELECT DISTINCT h FROM ranked WHERE rn <= {_KMV_K})
+        ),
+        usk AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_min,
+                   CAST(max(h) AS BIGINT) AS hk
+            FROM merged WHERE rn <= {_KMV_K}
+        ),
+        uex AS (SELECT CAST(count(DISTINCT h) AS BIGINT) AS n_exact FROM hu),
+        uest AS (
+            SELECT uex.n_exact,
+                   CASE WHEN usk.n_min < {_KMV_K}
+                        THEN CAST(usk.n_min AS DOUBLE)
+                        ELSE ({_KMV_K} - 1) * {_KMV_RANGE} / usk.hk
+                   END AS d_hat
+            FROM usk, uex
+        )
+        SELECT {_KMV_K} AS k,
+               a.n_exact AS exact_h1, b.n_exact AS exact_h2,
+               uest.n_exact AS exact_union,
+               round(a.d_hat, 2) AS est_h1,
+               round(b.d_hat, 2) AS est_h2,
+               round(uest.d_hat, 2) AS est_union,
+               round(a.d_hat + b.d_hat - uest.d_hat, 2) AS est_intersect
+        FROM est a, est b, uest
+        WHERE a.side = 'H1' AND b.side = 'H2'
+    """,
+    origin="LLM",
+    doc="KMV (k-minimum-values) distinct-user sketch over two corpus "
+        "halves (H1/H2 by event-day parity — both populated for any "
+        "corpus span, with a real user overlap) with sketch ALGEBRA: per-side "
+        "estimate (k−1)·2⁶⁰/h_k, union = k smallest of the merged "
+        "min-sets, intersection by inclusion-exclusion — the mergeable "
+        "cardinality machinery behind cross-partition distinct counts "
+        "(exact counts included for QA contrast; sketch falls back to "
+        "exact when a side has ≤ k distincts). Hash = phash60 (md5), "
+        "bit-identical across engines, so the sketch is DETERMINISTIC — "
+        "no HLL register noise. Scale shape: ONE (side, h) distinct "
+        "shuffle, then a TWO-STAGE distributed min-k (64-way salted "
+        "partial top-k → bounded final top-k) instead of the oracle's "
+        "single global sort; everything after runs on ≤2k rows.",
+)
+def q_kmv_union(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from xml_processor_spark.functions.deterministic import phash60
+
+    ev = table(spark, sf_dir, "events")
+    hu = ev.select(
+        F.when(F.dayofmonth("ts") % 2 == 0, "H1").otherwise("H2").alias("side"),
+        phash60(F.col("user_id").cast("string")).alias("h"),
+    ).distinct()
+    # two-stage distributed min-k (global-sort-free)
+    w1 = Window.partitionBy("side", F.pmod(F.col("h"), F.lit(_KMV_SALT))).orderBy("h")
+    stage1 = hu.withColumn("rn", F.row_number().over(w1)).filter(
+        F.col("rn") <= _KMV_K
+    ).drop("rn")
+    w2 = Window.partitionBy("side").orderBy("h")
+    mins = (
+        stage1.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= _KMV_K)
+        .localCheckpoint()  # ≤2k rows: pin so union/exact reuse it
+    )
+    sk = mins.groupBy("side").agg(
+        F.count(F.lit(1)).alias("n_min"), F.max("h").alias("hk")
+    )
+    ex = hu.groupBy("side").agg(F.count(F.lit(1)).alias("n_exact"))
+    est = sk.join(ex, "side").select(
+        "side", "n_exact",
+        F.when(
+            F.col("n_exact") <= _KMV_K, F.col("n_exact").cast("double")
+        ).otherwise(
+            F.lit(float(_KMV_K - 1)) * F.lit(_KMV_RANGE) / F.col("hk")
+        ).alias("d_hat"),
+    )
+    w_m = Window.partitionBy().orderBy("h")
+    usk = (
+        mins.select("h").distinct()
+        .withColumn("rn", F.row_number().over(w_m))
+        .filter(F.col("rn") <= _KMV_K)
+        .agg(F.count(F.lit(1)).alias("n_min"), F.max("h").alias("hk"))
+    )
+    uex = hu.select("h").distinct().agg(F.count(F.lit(1)).alias("n_exact"))
+    uest = usk.crossJoin(F.broadcast(uex)).select(
+        "n_exact",
+        F.when(
+            F.col("n_min") < _KMV_K, F.col("n_min").cast("double")
+        ).otherwise(
+            F.lit(float(_KMV_K - 1)) * F.lit(_KMV_RANGE) / F.col("hk")
+        ).alias("d_hat"),
+    )
+    a = est.filter(F.col("side") == "H1").select(
+        F.col("n_exact").alias("exact_h1"), F.col("d_hat").alias("da")
+    )
+    b = est.filter(F.col("side") == "H2").select(
+        F.col("n_exact").alias("exact_h2"), F.col("d_hat").alias("db")
+    )
+    return (
+        a.crossJoin(F.broadcast(b))
+        .crossJoin(F.broadcast(uest))
+        .select(
+            F.lit(_KMV_K).cast("int").alias("k"),
+            "exact_h1", "exact_h2",
+            F.col("n_exact").alias("exact_union"),
+            F.round("da", 2).alias("est_h1"),
+            F.round("db", 2).alias("est_h2"),
+            F.round("d_hat", 2).alias("est_union"),
+            F.round(F.col("da") + F.col("db") - F.col("d_hat"), 2)
+            .alias("est_intersect"),
+        )
+    )

@@ -997,3 +997,66 @@ def q_events_anomaly(spark, sf_dir):
             F.round(F.col("max_dev") / (nd * std_c), 6).alias("max_abs_z"),
         )
     )
+
+
+# Referential-integrity edges: (edge label, child table, fk col, parent
+# table, pk col). A real warehouse runs this audit on every load.
+_FK_EDGES = (
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+     "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+     "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+     "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey",
+     "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey",
+     "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+     "nation", "n_nationkey"),
+)
+
+
+@register(
+    "q_fk_orphans",
+    oracle="\n        UNION ALL\n".join(
+        f"""
+        SELECT '{label}' AS edge,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) FILTER (p.{pk} IS NULL) AS BIGINT) AS n_orphans,
+               round(CAST(count(*) FILTER (p.{pk} IS NULL) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE), 6) AS orphan_rate
+        FROM {child} c LEFT JOIN {parent} p ON c.{fk} = p.{pk}
+        """
+        for label, child, fk, parent, pk in _FK_EDGES
+    ),
+    origin="CORE",
+    doc="Referential-integrity audit across every FK edge of the schema: "
+        "child row count, orphan count (FK with no parent), orphan rate "
+        "— the post-load gate that catches partial ingests and broken "
+        "partitions before queries silently drop rows in inner joins. "
+        "One row per edge. Scale shape: each edge is ONE key-partitioned "
+        "left join (parent PKs are unique — no fan-out) + a 1-row "
+        "count; small parents (nation) broadcast under AQE, fact-sized "
+        "parents co-partition; edges are independent so the union "
+        "parallelizes across the cluster.",
+)
+def q_fk_orphans(spark, sf_dir):
+    out = None
+    for label, child, fk, parent, pk in _FK_EDGES:
+        c = table(spark, sf_dir, child)
+        p = table(spark, sf_dir, parent).select(pk)
+        joined = c.select(fk).join(p, c[fk] == p[pk], "left")
+        row = joined.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.when(F.col(pk).isNull(), 1)).alias("n_orphans"),
+        ).select(
+            F.lit(label).alias("edge"),
+            "n_rows", "n_orphans",
+            r6(
+                F.col("n_orphans").cast("double")
+                / F.col("n_rows").cast("double")
+            ).alias("orphan_rate"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

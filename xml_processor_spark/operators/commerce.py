@@ -1035,3 +1035,82 @@ def q_orders_priority_drift(spark, sf_dir):
             ).alias("l1_drift"),
         )
     )
+
+
+@register(
+    "q_cust_iqr",
+    oracle="""
+        WITH spend AS (
+            SELECT c_mktsegment AS seg, o_custkey,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS s
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1, 2
+        ),
+        q AS (
+            SELECT seg,
+                   quantile_cont(s, 0.25) AS q1,
+                   quantile_cont(s, 0.75) AS q3
+            FROM spend GROUP BY 1
+        )
+        SELECT spend.seg,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               round(q1 / 100, 2) AS q1_spend,
+               round(q3 / 100, 2) AS q3_spend,
+               round((q3 - q1) / 100, 2) AS iqr_spend,
+               CAST(count(*) FILTER (CAST(s AS DOUBLE) > q3 + 1.5 * (q3 - q1))
+                    AS BIGINT) AS n_high_outliers,
+               round(CAST(count(*) FILTER (CAST(s AS DOUBLE)
+                                           > q3 + 1.5 * (q3 - q1)) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE), 6) AS outlier_rate
+        FROM spend JOIN q ON spend.seg = q.seg
+        GROUP BY spend.seg, q1, q3
+    """,
+    origin="CORE",
+    doc="Tukey-fence outlier gate per market segment: per-customer "
+        "exact-cents spend, segment Q1/Q3 by linear-interpolated exact "
+        "percentile (both engines use the (n−1)p positional rule on "
+        "identical integers, so the interpolated doubles coincide), and "
+        "the count beyond the 1.5·IQR upper fence — the "
+        "filter-by-aggregate-threshold shape behind every robust "
+        "outlier screen. Scale shape: one key-hash spend aggregate, a "
+        "5-row quantile table broadcast back over it, one FILTERed "
+        "rollup. The EXACT per-group percentile is the truth row "
+        "(sort-buffered per group); the declared scale path for "
+        "unbounded groups is approx_percentile (E-APPROX-QUANT).",
+)
+def q_cust_iqr(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    cu = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    spend = (
+        o.join(cu, o["o_custkey"] == cu["c_custkey"])
+        .groupBy(F.col("c_mktsegment").alias("seg"), "o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("s")
+        )
+    )
+    q = spend.groupBy("seg").agg(
+        F.percentile("s", F.lit(0.25)).alias("q1"),
+        F.percentile("s", F.lit(0.75)).alias("q3"),
+    )
+    fence = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+    high = F.col("s").cast("double") > fence
+    return (
+        spend.join(F.broadcast(q), "seg")
+        .groupBy("seg", "q1", "q3")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.count(F.when(high, 1)).alias("n_high_outliers"),
+        )
+        .select(
+            "seg", "n_customers",
+            F.round(F.col("q1") / 100, 2).alias("q1_spend"),
+            F.round(F.col("q3") / 100, 2).alias("q3_spend"),
+            F.round((F.col("q3") - F.col("q1")) / 100, 2).alias("iqr_spend"),
+            "n_high_outliers",
+            r6(
+                F.col("n_high_outliers").cast("double")
+                / F.col("n_customers").cast("double")
+            ).alias("outlier_rate"),
+        )
+    )
