@@ -1114,3 +1114,168 @@ def q_cust_iqr(spark, sf_dir):
             ).alias("outlier_rate"),
         )
     )
+
+
+@register(
+    "q_part_assortment",
+    oracle="""
+        WITH tc AS (
+            SELECT p_brand AS brand, p_type AS ptype,
+                   CAST(count(*) AS BIGINT) AS k
+            FROM part GROUP BY 1, 2
+        )
+        SELECT brand,
+               CAST(sum(k) AS BIGINT) AS n_parts,
+               CAST(count(*) AS BIGINT) AS n_types,
+               round(log2(CAST(sum(k) AS DOUBLE))
+                     - CAST(sum(CAST(k AS HUGEINT) * CAST(round(
+                           log2(CAST(k AS DOUBLE)) * 1e6) AS HUGEINT))
+                           AS DOUBLE) / 1e6 / CAST(sum(k) AS DOUBLE), 6)
+                   AS type_entropy
+        FROM tc GROUP BY brand
+    """,
+    origin="CORE",
+    doc="Catalog-assortment breadth per brand: Shannon entropy of the "
+        "part-type distribution (H = log2 N − Σk·log2 k / N — the "
+        "algebraic q_text_entropy form that needs only per-type counts, "
+        "no per-row probabilities). The per-type term k·log2(k) rounds "
+        "log2 to fixed-point 1e-6 BEFORE the k-weighted sum, so the "
+        "reduction is an exact integer in any partition order — summing "
+        "raw k·log2(k) doubles would be order-dependent. Scale shape: "
+        "one map-side-combined (brand, type) fact shuffle, then a "
+        "groupBy onto ≤25 brand rows.",
+)
+def q_part_assortment(spark, sf_dir):
+    pt = table(spark, sf_dir, "part")
+    tc = pt.groupBy(
+        F.col("p_brand").alias("brand"), F.col("p_type").alias("ptype")
+    ).agg(F.count(F.lit(1)).alias("k"))
+    d38 = "decimal(38,0)"
+    term = F.col("k").cast(d38) * F.round(
+        F.log2(F.col("k").cast("double")) * 1e6
+    ).cast(d38)
+    m = tc.groupBy("brand").agg(
+        F.sum("k").alias("n_parts"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(term).alias("wlog"),
+    )
+    return m.select(
+        "brand", "n_parts", "n_types",
+        r6(
+            F.log2(F.col("n_parts").cast("double"))
+            - F.col("wlog").cast("double") / 1e6 / F.col("n_parts").cast("double")
+        ).alias("type_entropy"),
+    )
+
+
+@register(
+    "q_orders_chi2",
+    oracle="""
+        WITH cell AS (
+            SELECT o_orderpriority AS prio, o_orderstatus AS status,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM orders GROUP BY 1, 2
+        ),
+        rm AS (SELECT prio, CAST(sum(n) AS BIGINT) AS r FROM cell GROUP BY 1),
+        cm AS (SELECT status, CAST(sum(n) AS BIGINT) AS c FROM cell GROUP BY 1),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM cell),
+        grid AS (
+            SELECT rm.prio, cm.status, rm.r, cm.c, coalesce(cell.n, 0) AS n
+            FROM rm CROSS JOIN cm
+            LEFT JOIN cell ON cell.prio = rm.prio AND cell.status = cm.status
+        )
+        SELECT prio, status, n,
+               round(CAST(r AS DOUBLE) * CAST(c AS DOUBLE)
+                     / CAST(t AS DOUBLE), 6) AS expected,
+               round((CAST(n AS DOUBLE)
+                      - CAST(r AS DOUBLE) * CAST(c AS DOUBLE)
+                        / CAST(t AS DOUBLE))
+                     / sqrt(CAST(r AS DOUBLE) * CAST(c AS DOUBLE)
+                            / CAST(t AS DOUBLE)), 6) AS std_residual
+        FROM grid CROSS JOIN tot
+    """,
+    origin="CORE",
+    doc="Chi-square independence diagnostics for order priority × "
+        "status: per-cell observed count, expected count under "
+        "independence (r·c/T from exact integer marginals), and the "
+        "standardized residual (obs−exp)/√exp — the contingency-table "
+        "drilldown that localizes WHICH cell breaks independence, not "
+        "just whether the omnibus statistic fires. Grid built from the "
+        "marginals (cross join of two bounded aggregates + left join "
+        "back) so empty cells still report their expectation. Scale "
+        "shape: one fact shuffle onto the ≤5×3 grid; everything after "
+        "is constant-size.",
+)
+def q_orders_chi2(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    cell = o.groupBy(
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_orderstatus").alias("status"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    rm = cell.groupBy("prio").agg(F.sum("n").alias("r"))
+    cm = cell.groupBy("status").agg(F.sum("n").alias("c"))
+    tot = cell.agg(F.sum("n").alias("t"))
+    grid = (
+        rm.crossJoin(F.broadcast(cm))
+        .join(cell, ["prio", "status"], "left")
+        .select("prio", "status", "r", "c", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+    exp = (
+        F.col("r").cast("double") * F.col("c").cast("double")
+        / F.col("t").cast("double")
+    )
+    return grid.crossJoin(F.broadcast(tot)).select(
+        "prio", "status", "n",
+        r6(exp).alias("expected"),
+        r6((F.col("n").cast("double") - exp) / F.sqrt(exp)).alias("std_residual"),
+    )
+
+
+@register(
+    "q_orders_seasonal",
+    oracle="""
+        WITH monthly AS (
+            SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS rev
+            FROM orders GROUP BY 1
+        )
+        SELECT m AS month,
+               round(CAST(rev AS DOUBLE) / 100, 2) AS revenue,
+               round(CAST(sum(rev) OVER w AS DOUBLE)
+                     / CAST(count(*) OVER w AS DOUBLE) / 100, 2) AS trend,
+               round(CAST(rev AS DOUBLE) * CAST(count(*) OVER w AS DOUBLE)
+                     / CAST(sum(rev) OVER w AS DOUBLE), 6) AS seasonal_index
+        FROM monthly
+        WINDOW w AS (ORDER BY m ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING)
+    """,
+    origin="CORE",
+    doc="Classical seasonal decomposition of monthly revenue: trend = "
+        "centered 12-month moving average, seasonal index = actual/trend "
+        "— the baseline every seasonality dashboard draws. The frame "
+        "average is sum(exact cents)/count — two exact integers per "
+        "frame — so trend and index are engine-identical without any "
+        "float-accumulation truce; edge months shrink the frame the "
+        "same way in both engines (ROWS frame semantics). Scale shape: "
+        "one fact shuffle onto the |months| aggregate; the "
+        "SinglePartition window runs over ~84 post-aggregation rows "
+        "(the q_orders_backlog discipline).",
+)
+def q_orders_seasonal(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("m")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev")
+    )
+    w = Window.partitionBy().orderBy("m").rowsBetween(-6, 5)
+    frame_sum = F.sum("rev").over(w).cast("double")
+    frame_n = F.count(F.lit(1)).over(w).cast("double")
+    return monthly.select(
+        F.col("m").alias("month"),
+        F.round(F.col("rev").cast("double") / 100, 2).alias("revenue"),
+        F.round(frame_sum / frame_n / 100, 2).alias("trend"),
+        r6(F.col("rev").cast("double") * frame_n / frame_sum).alias(
+            "seasonal_index"
+        ),
+    )

@@ -528,3 +528,71 @@ def q_events_first_touch(spark, sf_dir):
             ).alias("cvr"),
         )
     )
+
+
+@register(
+    "q_events_mad",
+    oracle=f"""
+        WITH {_DAILY_SQL},
+        med AS (
+            SELECT event_type, quantile_cont(y, 0.5) AS med
+            FROM xy GROUP BY 1
+        ),
+        dev AS (
+            SELECT xy.event_type, xy.y, med.med,
+                   abs(CAST(xy.y AS DOUBLE) - med.med) AS ad
+            FROM xy JOIN med ON xy.event_type = med.event_type
+        ),
+        mad AS (
+            SELECT event_type, med, quantile_cont(ad, 0.5) AS mad
+            FROM dev GROUP BY 1, 2
+        )
+        SELECT dev.event_type,
+               CAST(count(*) AS BIGINT) AS n_days,
+               round(mad.med, 2) AS med_daily,
+               round(mad.mad, 2) AS mad_daily,
+               CAST(count(*) FILTER (dev.ad > 3.0 * 1.4826 * mad.mad)
+                    AS BIGINT) AS n_outlier_days
+        FROM dev JOIN mad ON dev.event_type = mad.event_type
+        GROUP BY dev.event_type, mad.med, mad.mad
+    """,
+    origin="CORE",
+    doc="Robust (median/MAD) anomaly scan of each type's daily series — "
+        "the outlier screen that, unlike the mean/std z-score "
+        "(q_events_anomaly), is not itself dragged by the outliers it "
+        "hunts. Median and MAD by exact interpolated percentile over "
+        "the |days|-bounded per-type group; flag = |y−med| > 3·1.4826·"
+        "MAD (the Gaussian-consistent fence), all doubles derived from "
+        "identical integers. Scale shape: everything after the ONE "
+        "pinned fact aggregate (|types×days| cells, localCheckpoint) "
+        "runs on bounded rows: two percentile passes + one FILTERed "
+        "rollup, joins on the ≤|types| key.",
+)
+def q_events_mad(spark, sf_dir):
+    xy = _daily_xy(spark, sf_dir)
+    med = xy.groupBy("event_type").agg(
+        F.percentile("y", F.lit(0.5)).alias("med")
+    )
+    dev = xy.join(F.broadcast(med), "event_type").select(
+        "event_type", "med",
+        F.abs(F.col("y").cast("double") - F.col("med")).alias("ad"),
+    )
+    mad = dev.groupBy("event_type", "med").agg(
+        F.percentile("ad", F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad.drop("med")), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.count(
+                F.when(F.col("ad") > 3.0 * 1.4826 * F.col("mad"), 1)
+            ).alias("n_outlier_days"),
+        )
+        .select(
+            "event_type", "n_days",
+            F.round("med", 2).alias("med_daily"),
+            F.round("mad", 2).alias("mad_daily"),
+            "n_outlier_days",
+        )
+    )
