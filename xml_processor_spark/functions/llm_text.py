@@ -1218,3 +1218,128 @@ def q_text_hapax(spark, sf_dir):
             F.col("n_hapax").cast("double") / F.col("vocab").cast("double")
         ).alias("hapax_rate"),
     )
+
+
+# Jensen-Shannon: per-character term contributions are rounded to 1e-9
+# fixed point BEFORE summing so the reduction over the (bounded) char
+# alphabet is an exact integer in any partition order.
+_JS_Q = 1e9
+
+
+@register(
+    "q_text_js_divergence",
+    oracle=f"""
+        WITH cc AS (
+            SELECT lang, c, CAST(count(*) AS BIGINT) AS k
+            FROM (SELECT lang, unnest(string_split(text, '')) AS c
+                  FROM documents)
+            GROUP BY 1, 2
+        ),
+        n AS (SELECT lang, CAST(sum(k) AS BIGINT) AS n FROM cc GROUP BY 1),
+        p AS (
+            SELECT cc.lang, cc.c,
+                   CAST(cc.k AS DOUBLE) / CAST(n.n AS DOUBLE) AS p
+            FROM cc JOIN n ON cc.lang = n.lang
+        ),
+        langs AS (SELECT DISTINCT lang FROM cc),
+        chars AS (SELECT DISTINCT c FROM cc),
+        grid AS (
+            SELECT la.lang AS lang_a, lb.lang AS lang_b, chars.c
+            FROM langs la JOIN langs lb ON la.lang < lb.lang
+            CROSS JOIN chars
+        ),
+        pairs AS (
+            SELECT g.lang_a, g.lang_b,
+                   coalesce(a.p, 0.0) AS pa, coalesce(b.p, 0.0) AS pb
+            FROM grid g
+            LEFT JOIN p a ON a.lang = g.lang_a AND a.c = g.c
+            LEFT JOIN p b ON b.lang = g.lang_b AND b.c = g.c
+        ),
+        terms AS (
+            SELECT lang_a, lang_b,
+                   CAST(round((
+                       CASE WHEN pa > 0
+                            THEN 0.5 * pa * log2(2.0 * pa / (pa + pb))
+                            ELSE 0.0 END
+                       + CASE WHEN pb > 0
+                              THEN 0.5 * pb * log2(2.0 * pb / (pa + pb))
+                              ELSE 0.0 END) * {_JS_Q}) AS BIGINT) AS t
+            FROM pairs
+        )
+        SELECT lang_a, lang_b,
+               round(CAST(sum(t) AS DOUBLE) / {_JS_Q}, 6) AS js_bits
+        FROM terms GROUP BY 1, 2
+    """,
+    origin="LLM",
+    doc="Pairwise Jensen-Shannon divergence (bits) between the "
+        "character distributions of every language pair — the bounded, "
+        "symmetric corpus-drift distance (0 = identical, 1 = disjoint) "
+        "used to compare shards/snapshots before mixing them. "
+        "The pair grid covers the FULL union alphabet so a char present in one side "
+        "only still contributes its ½p·log2(2) mass (grid built from "
+        "the lang×char marginals, not an inner join that would drop "
+        "one-sided chars); each pair term is "
+        "rounded to 1e-9 fixed point BEFORE the sum (the "
+        "q_part_assortment discipline) so the alphabet reduction is an "
+        "exact integer in any partition order. Scale shape: ONE "
+        "per-character fact pass onto |langs×chars| cells; the pair "
+        "join and sums run on that bounded grid (|langs|²·|alphabet|).",
+)
+def q_text_js_divergence(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    cc = (
+        d.select("lang", F.explode(F.split("text", "")).alias("c"))
+        .groupBy("lang", "c")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .localCheckpoint()  # |langs×chars| — pin for the pair self-join
+    )
+    n = cc.groupBy("lang").agg(F.sum("k").alias("n"))
+    p = cc.join(F.broadcast(n), "lang").select(
+        "lang", "c", (F.col("k").cast("double") / F.col("n")).alias("p")
+    )
+    langs = cc.select("lang").distinct()
+    chars = cc.select("c").distinct()
+    la, lb = langs.alias("la"), langs.alias("lb")
+    grid = (
+        la.join(lb, F.col("la.lang") < F.col("lb.lang"))
+        .select(
+            F.col("la.lang").alias("lang_a"), F.col("lb.lang").alias("lang_b")
+        )
+        .crossJoin(chars.select(F.col("c").alias("gc")))
+    )
+    a, b = p.alias("a"), p.alias("b")
+    pairs = (
+        grid.join(
+            a,
+            (F.col("a.lang") == F.col("lang_a")) & (F.col("a.c") == F.col("gc")),
+            "left",
+        )
+        .join(
+            b,
+            (F.col("b.lang") == F.col("lang_b")) & (F.col("b.c") == F.col("gc")),
+            "left",
+        )
+        .select(
+            "lang_a", "lang_b",
+            F.coalesce(F.col("a.p"), F.lit(0.0)).alias("pa"),
+            F.coalesce(F.col("b.p"), F.lit(0.0)).alias("pb"),
+        )
+    )
+    mid = F.col("pa") + F.col("pb")
+    term = (
+        F.when(
+            F.col("pa") > 0,
+            0.5 * F.col("pa") * F.log2(2.0 * F.col("pa") / mid),
+        ).otherwise(0.0)
+        + F.when(
+            F.col("pb") > 0,
+            0.5 * F.col("pb") * F.log2(2.0 * F.col("pb") / mid),
+        ).otherwise(0.0)
+    )
+    terms = pairs.select(
+        "lang_a", "lang_b",
+        F.round(term * _JS_Q).cast("long").alias("t"),
+    )
+    return terms.groupBy("lang_a", "lang_b").agg(
+        r6(F.sum("t").cast("double") / _JS_Q).alias("js_bits")
+    )

@@ -1279,3 +1279,162 @@ def q_orders_seasonal(spark, sf_dir):
             "seasonal_index"
         ),
     )
+
+
+@register(
+    "q_orders_yoy",
+    oracle="""
+        WITH monthly AS (
+            SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+                   CAST(date_part('year', o_orderdate) * 12
+                        + date_part('month', o_orderdate) AS BIGINT) AS mi,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS rev
+            FROM orders GROUP BY 1, 2
+        )
+        SELECT a.m AS month,
+               round(CAST(a.rev AS DOUBLE) / 100, 2) AS revenue,
+               round(CAST(b.rev AS DOUBLE) / 100, 2) AS revenue_prev_year,
+               round((CAST(a.rev AS DOUBLE) - CAST(b.rev AS DOUBLE))
+                     / CAST(b.rev AS DOUBLE), 6) AS yoy_growth
+        FROM monthly a LEFT JOIN monthly b ON a.mi = b.mi + 12
+    """,
+    origin="CORE",
+    doc="Year-over-year monthly revenue growth: each month equi-joined "
+        "to its −12 month-index twin (integer y·12+m arithmetic — no "
+        "date interval edge cases), growth NULL for the first year by "
+        "the left join. Exact-cents sums; the one float division is the "
+        "growth ratio. Scale shape: one fact shuffle onto the |months| "
+        "aggregate; the self-join runs on those ~84 rows.",
+)
+def q_orders_yoy(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("m"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("mi"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev")
+    ).localCheckpoint()  # |months| rows: pin for the self-join alias
+    a, b = monthly.alias("a"), monthly.alias("b")
+    return a.join(b, F.col("a.mi") == F.col("b.mi") + 12, "left").select(
+        F.col("a.m").alias("month"),
+        F.round(F.col("a.rev").cast("double") / 100, 2).alias("revenue"),
+        F.round(F.col("b.rev").cast("double") / 100, 2).alias(
+            "revenue_prev_year"
+        ),
+        r6(
+            (F.col("a.rev").cast("double") - F.col("b.rev").cast("double"))
+            / F.col("b.rev").cast("double")
+        ).alias("yoy_growth"),
+    )
+
+
+@register(
+    "q_region_share",
+    oracle=f"""
+        WITH rev AS (
+            SELECT r_name AS region, n_name AS nation,
+                   CAST(sum({_REV_UNITS}) AS BIGINT) AS u
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY 1, 2
+        )
+        SELECT region, nation,
+               round(CAST(u AS DOUBLE) / 1e4, 2) AS revenue,
+               round(CAST(u AS DOUBLE)
+                     / CAST(sum(u) OVER (PARTITION BY region) AS DOUBLE), 6)
+                   AS share_of_region,
+               round(CAST(u AS DOUBLE)
+                     / CAST(sum(u) OVER () AS DOUBLE), 6) AS share_of_total
+        FROM rev
+    """,
+    origin="CORE",
+    doc="Hierarchical share-of-parent rollup: supplier-side revenue by "
+        "region→nation with each nation's share of its region AND of "
+        "the corpus — the drill-down ratio ROLLUP/GROUPING SETS don't "
+        "give you (they produce levels, not parent-relative shares). "
+        "Exact integer revenue units; both share windows run over the "
+        "25-row aggregate. Scale shape: the dimension joins "
+        "(supplier→nation→region) broadcast under AQE; ONE fact shuffle "
+        "onto ≤25 (region, nation) cells.",
+)
+def q_region_share(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    su = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    na = table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    re = table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    rev = (
+        li.join(su, li["l_suppkey"] == su["s_suppkey"])
+        .join(F.broadcast(na), su["s_nationkey"] == na["n_nationkey"])
+        .join(F.broadcast(re), na["n_regionkey"] == re["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(F.expr(_REV_UNITS)).alias("u"))
+    )
+    w_reg = Window.partitionBy("region")
+    w_all = Window.partitionBy()
+    return rev.select(
+        "region", "nation",
+        F.round(F.col("u").cast("double") / 1e4, 2).alias("revenue"),
+        r6(
+            F.col("u").cast("double") / F.sum("u").over(w_reg).cast("double")
+        ).alias("share_of_region"),
+        r6(
+            F.col("u").cast("double") / F.sum("u").over(w_all).cast("double")
+        ).alias("share_of_total"),
+    )
+
+
+@register(
+    "q_discount_bands",
+    oracle="""
+        SELECT CAST(round(l_discount * 100) AS BIGINT) AS band,
+               CAST(count(*) AS BIGINT) AS n_items,
+               round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                          AS DOUBLE) / 100, 2) AS gross,
+               round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                              * (100 - CAST(round(l_discount * 100)
+                                        AS BIGINT))) AS DOUBLE) / 1e4, 2)
+                   AS net,
+               round(1.0 - CAST(sum(CAST(round(l_extendedprice * 100)
+                                         AS BIGINT)
+                                    * (100 - CAST(round(l_discount * 100)
+                                              AS BIGINT))) AS DOUBLE)
+                     / (CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                             AS DOUBLE) * 100), 6) AS effective_discount
+        FROM lineitem
+        GROUP BY 1
+    """,
+    origin="CORE",
+    doc="Pricing ladder: revenue by integer discount band (cents of "
+        "discount, ≤11 bands) with gross, net (price × discount-"
+        "complement in exact 1e-4 units — the _REV_SQL discipline), and "
+        "the realized effective-discount rate 1 − net/gross per band — "
+        "the margin-impact table behind promo analysis. Pure integer "
+        "sums until the three final roundings. Scale shape: one "
+        "map-side-combined groupBy onto ≤11 rows; zero joins/windows.",
+)
+def q_discount_bands(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    pc = F.round(F.col("l_extendedprice") * 100).cast("long")
+    dc = F.round(F.col("l_discount") * 100).cast("long")
+    m = li.groupBy(dc.alias("band")).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(pc).alias("gross_c"),
+        F.sum(pc * (100 - dc)).alias("net_u"),
+    )
+    return m.select(
+        "band", "n_items",
+        F.round(F.col("gross_c").cast("double") / 100, 2).alias("gross"),
+        F.round(F.col("net_u").cast("double") / 1e4, 2).alias("net"),
+        r6(
+            F.lit(1.0)
+            - F.col("net_u").cast("double")
+            / (F.col("gross_c").cast("double") * 100)
+        ).alias("effective_discount"),
+    )

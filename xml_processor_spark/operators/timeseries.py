@@ -596,3 +596,80 @@ def q_events_mad(spark, sf_dir):
             "n_outlier_days",
         )
     )
+
+
+@register(
+    "q_events_lifecycle",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts
+            FROM events GROUP BY 1
+        ),
+        corpus AS (SELECT max(ts) AS max_ts FROM events),
+        staged AS (
+            SELECT (epoch_us(last_ts) - epoch_us(first_ts))
+                       // 3600000000 AS tenure_h,
+                   (epoch_us(max_ts) - epoch_us(last_ts))
+                       // 3600000000 AS recency_h
+            FROM per_user, corpus
+        )
+        SELECT CASE WHEN recency_h >= 24 THEN 'churned'
+                    WHEN recency_h >= 12 THEN 'dormant'
+                    WHEN tenure_h < 168 THEN 'new'
+                    ELSE 'active' END AS stage,
+               CAST(count(*) AS BIGINT) AS n_users,
+               round(CAST(count(*) AS DOUBLE)
+                     / CAST(sum(count(*)) OVER () AS DOUBLE), 6) AS share,
+               round(CAST(sum(tenure_h) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE), 6) AS avg_tenure_hours
+        FROM staged
+        GROUP BY 1
+    """,
+    origin="CORE",
+    doc="User lifecycle staging: tenure (first→last event) × recency "
+        "(last event→corpus max) in WHOLE HOURS of exact integer "
+        "microseconds classify each user as new (tenure < 7 d) / active "
+        "/ dormant (12–23 h idle) / churned (24+ h) — the two-axis "
+        "segmentation behind every growth dashboard (q_events_churn "
+        "sees only the recency axis; thresholds sized to the feed's "
+        "sub-day cadence). Integer hour buckets mean no float can flip "
+        "a stage between engines. Scale shape: ONE per-user "
+        "map-side-combined aggregate + a 1-row corpus-max broadcast, "
+        "then a rollup onto 4 stage rows; the share window runs over "
+        "those 4 rows.",
+)
+def q_events_lifecycle(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    )
+    corpus = ev.agg(F.max("ts").alias("max_ts"))
+    staged = per_user.crossJoin(F.broadcast(corpus)).select(
+        F.expr(
+            "(unix_micros(last_ts) - unix_micros(first_ts)) DIV 3600000000"
+        ).alias("tenure_h"),
+        F.expr(
+            "(unix_micros(max_ts) - unix_micros(last_ts)) DIV 3600000000"
+        ).alias("recency_h"),
+    )
+    stage = (
+        F.when(F.col("recency_h") >= 24, "churned")
+        .when(F.col("recency_h") >= 12, "dormant")
+        .when(F.col("tenure_h") < 168, "new")
+        .otherwise("active")
+    )
+    agg = staged.groupBy(stage.alias("stage")).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("tenure_h").alias("tenure_sum"),
+    )
+    w_all = Window.partitionBy()
+    return agg.select(
+        "stage", "n_users",
+        r6(
+            F.col("n_users").cast("double")
+            / F.sum("n_users").over(w_all).cast("double")
+        ).alias("share"),
+        r6(
+            F.col("tenure_sum").cast("double") / F.col("n_users").cast("double")
+        ).alias("avg_tenure_hours"),
+    )
