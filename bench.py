@@ -202,6 +202,20 @@ HEADLINE = [
     # r7 additions, eighth batch: Markov stationary mix, PMI co-occurrence.
     "q_events_markov",
     "q_events_pmi",
+    # r7 additions, ninth batch: the drift/statistics layer — the
+    # representative heavier shapes (the many ≤9-row micro-aggregates in
+    # this family are oracle-checked but not headlined: they'd measure
+    # only the documented ~0.3-0.5 s PySpark per-query floor).
+    "q_trend_ols",
+    "q_text_lang_confusion",
+    "q_text_simpson",
+    "q_text_js_divergence",
+    "q_kmv_union",
+    "q_fk_orphans",
+    "q_spend_gini",
+    "q_cust_iqr",
+    "q_orders_interarrival",
+    "q_dedup_url_canon",
 ]
 
 

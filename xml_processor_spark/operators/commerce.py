@@ -1438,3 +1438,112 @@ def q_discount_bands(spark, sf_dir):
             / (F.col("gross_c").cast("double") * 100)
         ).alias("effective_discount"),
     )
+
+
+@register(
+    "q_ship_lag",
+    oracle="""
+        SELECT n_name AS nation,
+               CAST(count(*) AS BIGINT) AS n_items,
+               round(CAST(sum(date_diff('day', o_orderdate, l_shipdate))
+                          AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+                   AS avg_lag_days,
+               CAST(max(date_diff('day', o_orderdate, l_shipdate)) AS BIGINT)
+                   AS max_lag_days,
+               CAST(count(*) FILTER (date_diff('day', o_orderdate, l_shipdate)
+                                     > 90) AS BIGINT) AS n_late,
+               round(CAST(count(*) FILTER (date_diff('day', o_orderdate,
+                                                     l_shipdate) > 90)
+                          AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+                   AS late_rate
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY 1
+    """,
+    origin="CORE",
+    doc="Fulfillment lead time by supplier nation: order-to-ship lag in "
+        "whole days (integer date arithmetic), mean from exact integer "
+        "sums, max, and the 90-day late rate. The one FACT-FACT join in "
+        "the commerce family: lineitem⋈orders on the orderkey both "
+        "tables are naturally keyed by — co-partitioned (bucketing "
+        "both on orderkey is the 100 TB layout, cf. q_join_bucketed), "
+        "one shuffle per side, no broadcast assumption; "
+        "supplier→nation stay broadcast dimensions. Rollup onto 25 "
+        "nation rows.",
+)
+def q_ship_lag(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    su = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    na = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(su), li["l_suppkey"] == su["s_suppkey"])
+        .join(F.broadcast(na), su["s_nationkey"] == na["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            r6(
+                F.sum(lag).cast("double") / F.count(F.lit(1)).cast("double")
+            ).alias("avg_lag_days"),
+            F.max(lag).cast("long").alias("max_lag_days"),
+            F.count(F.when(lag > 90, 1)).alias("n_late"),
+            r6(
+                F.count(F.when(lag > 90, 1)).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("late_rate"),
+        )
+    )
+
+
+@register(
+    "q_returns_by_brand",
+    oracle=f"""
+        SELECT p_brand AS brand,
+               CAST(count(*) AS BIGINT) AS n_items,
+               CAST(count(*) FILTER (l_returnflag = 'R') AS BIGINT)
+                   AS n_returned,
+               round(CAST(count(*) FILTER (l_returnflag = 'R') AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE), 6) AS return_rate,
+               round(CAST(sum(CASE WHEN l_returnflag = 'R'
+                                   THEN {_REV_UNITS} ELSE 0 END) AS DOUBLE)
+                     / 1e4, 2) AS revenue_at_risk
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1
+    """,
+    origin="CORE",
+    doc="Return-rate KPI by brand: item counts, returned share "
+        "(l_returnflag = 'R'), and the exact-integer revenue at risk — "
+        "the quality-of-merchandise cut a category manager reads daily. "
+        "FILTERed aggregates keep it to ONE fact pass (no "
+        "returned-subset self-join); the part dimension join carries no "
+        "hint (∝ sf, AQE decides). Rollup onto ≤25 brand rows.",
+)
+def q_returns_by_brand(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    pt = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ret = F.col("l_returnflag") == "R"
+    return (
+        li.join(pt, li["l_partkey"] == pt["p_partkey"])
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.count(F.when(ret, 1)).alias("n_returned"),
+            r6(
+                F.count(F.when(ret, 1)).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("return_rate"),
+            F.round(
+                F.sum(F.when(ret, F.expr(_REV_UNITS)).otherwise(0)).cast(
+                    "double"
+                )
+                / 1e4,
+                2,
+            ).alias("revenue_at_risk"),
+        )
+    )

@@ -673,3 +673,82 @@ def q_events_lifecycle(spark, sf_dir):
             F.col("tenure_sum").cast("double") / F.col("n_users").cast("double")
         ).alias("avg_tenure_hours"),
     )
+
+
+@register(
+    "q_events_next_entropy",
+    oracle="""
+        WITH tc AS (
+            SELECT prev_type AS src, event_type AS nxt,
+                   CAST(count(*) AS BIGINT) AS k
+            FROM (SELECT event_type,
+                         lag(event_type) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id)
+                             AS prev_type
+                  FROM events)
+            WHERE prev_type IS NOT NULL
+            GROUP BY 1, 2
+        )
+        SELECT src,
+               CAST(sum(k) AS BIGINT) AS n_transitions,
+               CAST(count(*) AS BIGINT) AS n_next_types,
+               round(log2(CAST(sum(k) AS DOUBLE))
+                     - CAST(sum(CAST(k AS HUGEINT) * CAST(round(
+                           log2(CAST(k AS DOUBLE)) * 1e6) AS HUGEINT))
+                           AS DOUBLE) / 1e6 / CAST(sum(k) AS DOUBLE), 6)
+                   AS next_entropy_bits,
+               round(pow(2.0,
+                     round(log2(CAST(sum(k) AS DOUBLE))
+                           - CAST(sum(CAST(k AS HUGEINT) * CAST(round(
+                                 log2(CAST(k AS DOUBLE)) * 1e6) AS HUGEINT))
+                                 AS DOUBLE) / 1e6 / CAST(sum(k) AS DOUBLE),
+                           6)), 6) AS perplexity
+        FROM tc GROUP BY src
+    """,
+    origin="CORE",
+    doc="Next-event uncertainty per state: Shannon entropy (and "
+        "perplexity 2^H) of each event type's next-type distribution — "
+        "how predictable the journey is FROM each state, the per-state "
+        "drill-down the Markov stationary mix (q_events_markov) "
+        "averages away. Same algebraic entropy form as "
+        "q_part_assortment (k·log2 k in 1e-6 fixed point before the "
+        "weighted sum — partition-order-exact); perplexity exponentiates "
+        "the ALREADY-6-dp-ROUNDED entropy so both engines pow identical "
+        "doubles. Scale shape: the heavy step is the ONE per-user "
+        "lag window (key-hash shuffle, the q_events_markov discipline); "
+        "entropy runs over the ≤|types|² transition aggregate.",
+)
+def q_events_next_entropy(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tc = (
+        ev.select(
+            "event_type",
+            F.lag("event_type").over(w_u).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("src"), F.col("event_type").alias("nxt")
+        )
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    term = F.col("k").cast(_D38) * F.round(
+        F.log2(F.col("k").cast("double")) * 1e6
+    ).cast(_D38)
+    m = tc.groupBy("src").agg(
+        F.sum("k").alias("n_transitions"),
+        F.count(F.lit(1)).alias("n_next_types"),
+        F.sum(term).alias("wlog"),
+    )
+    ent = F.round(
+        F.log2(F.col("n_transitions").cast("double"))
+        - F.col("wlog").cast("double")
+        / 1e6
+        / F.col("n_transitions").cast("double"),
+        6,
+    )
+    return m.select(
+        "src", "n_transitions", "n_next_types",
+        ent.alias("next_entropy_bits"),
+        r6(F.pow(F.lit(2.0), ent)).alias("perplexity"),
+    )
