@@ -1566,3 +1566,43 @@ def q_docs_dup_rate(spark, sf_dir):
             6,
         ).alias("dup_rate"),
     )
+
+
+@register(
+    "q_dedup_crosslang",
+    oracle=f"""
+        WITH pairs AS ({_NGRAM_PAIRS_SQL})
+        SELECT la.lang AS lang_a, lb.lang AS lang_b,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               la.lang <> lb.lang AS is_cross_lang
+        FROM pairs
+        JOIN documents la ON pairs.id_a = la.doc_id
+        JOIN documents lb ON pairs.id_b = lb.doc_id
+        GROUP BY 1, 2
+    """,
+    origin="LLM",
+    doc="Template-leakage matrix: the near-dup pair graph "
+        "(q_dedup_ngram_jaccard's blocked 3-shingle Jaccard ≥ 0.8) "
+        "rolled up by (lang_a, lang_b) — same-language cells are "
+        "ordinary duplication, CROSS-language cells are boilerplate/"
+        "template leakage that survives language routing and poisons "
+        "per-language dedup. Scale shape: the pair pipeline is the "
+        "blocked equi join (no new fact pass); the two lang lookups are "
+        "doc-keyed equi joins (co-partitioned with the pair endpoints "
+        "at scale); rollup onto the ≤|langs|² grid.",
+)
+def q_dedup_crosslang(spark, sf_dir):
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    la = d.select(F.col("doc_id").alias("ida"), F.col("lang").alias("lang_a"))
+    lb = d.select(F.col("doc_id").alias("idb"), F.col("lang").alias("lang_b"))
+    return (
+        pairs.join(la, pairs["id_a"] == la["ida"])
+        .join(lb, pairs["id_b"] == lb["idb"])
+        .groupBy("lang_a", "lang_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(
+            "lang_a", "lang_b", "n_pairs",
+            (F.col("lang_a") != F.col("lang_b")).alias("is_cross_lang"),
+        )
+    )

@@ -1343,3 +1343,57 @@ def q_text_js_divergence(spark, sf_dir):
     return terms.groupBy("lang_a", "lang_b").agg(
         r6(F.sum("t").cast("double") / _JS_Q).alias("js_bits")
     )
+
+
+@register(
+    "q_source_charmix",
+    oracle="""
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(text)) AS BIGINT) AS n_chars,
+               round(CAST(sum(len(regexp_replace(text, '[^a-z]', '', 'g'))
+                          ) AS DOUBLE)
+                     / CAST(sum(len(text)) AS DOUBLE), 6) AS letter_share,
+               round(CAST(sum(len(regexp_replace(text, '[^0-9]', '', 'g'))
+                          ) AS DOUBLE)
+                     / CAST(sum(len(text)) AS DOUBLE), 6) AS digit_share,
+               round(CAST(sum(len(regexp_replace(text, '[^ ]', '', 'g'))
+                          ) AS DOUBLE)
+                     / CAST(sum(len(text)) AS DOUBLE), 6) AS space_share,
+               round(CAST(sum(len(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
+                          ) AS DOUBLE)
+                     / CAST(sum(len(text)) AS DOUBLE), 6) AS other_share
+        FROM documents GROUP BY source
+    """,
+    origin="LLM",
+    doc="Character-class composition per source: letter / digit / space "
+        "/ other shares of the char mass — the OCR-noise and "
+        "binary-contamination smoke test run per ingest feed (a source "
+        "whose other_share jumps is shipping garbage). Counts via "
+        "class-regex strip-and-measure (scan-side, no per-char "
+        "explode — q_text_js_divergence pays that only because it needs "
+        "the distribution); exact integer sums, four rounded ratios. "
+        "Scale shape: one map-side-combined groupBy onto |sources| "
+        "rows; zero joins/windows/Python.",
+)
+def q_source_charmix(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    cls = lambda pat: F.length(F.regexp_replace("text", pat, ""))  # noqa: E731
+    m = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("n_chars"),
+        F.sum(cls("[^a-z]")).alias("letters"),
+        F.sum(cls("[^0-9]")).alias("digits"),
+        F.sum(cls("[^ ]")).alias("spaces"),
+        F.sum(cls("[a-z0-9 ]")).alias("others"),
+    )
+    share = lambda c: r6(  # noqa: E731
+        F.col(c).cast("double") / F.col("n_chars").cast("double")
+    )
+    return m.select(
+        "source", "n_docs", "n_chars",
+        share("letters").alias("letter_share"),
+        share("digits").alias("digit_share"),
+        share("spaces").alias("space_share"),
+        share("others").alias("other_share"),
+    )

@@ -1547,3 +1547,119 @@ def q_returns_by_brand(spark, sf_dir):
             ).alias("revenue_at_risk"),
         )
     )
+
+
+@register(
+    "q_agg_geomean",
+    oracle="""
+        SELECT o_orderpriority AS prio,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(pow(2.0,
+                     CAST(sum(CAST(round(log2(o_totalprice) * 1e6) AS BIGINT))
+                          AS DOUBLE) / 1e6 / CAST(count(*) AS DOUBLE)), 4)
+                   AS geomean_price,
+               round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                          AS DOUBLE) / 100 / CAST(count(*) AS DOUBLE), 4)
+                   AS mean_price
+        FROM orders GROUP BY 1
+    """,
+    origin="CORE",
+    doc="Geometric vs arithmetic mean order value per priority — the "
+        "right-skew-robust central tendency (geomean ≪ mean flags a "
+        "heavy tail). geomean = 2^(Σlog2 x / n) with each log2 rounded "
+        "to 1e-6 fixed point BEFORE the sum (the q_part_assortment "
+        "discipline) so the reduction is an exact integer in any "
+        "partition order — summing raw log doubles is the classic "
+        "nondeterministic-aggregate trap. Scale shape: one "
+        "map-side-combined groupBy onto 5 rows; zero joins/windows.",
+)
+def q_agg_geomean(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    logfp = F.round(F.log2(F.col("o_totalprice")) * 1e6).cast("long")
+    m = o.groupBy(F.col("o_orderpriority").alias("prio")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(logfp).alias("logsum"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cs"),
+    )
+    return m.select(
+        "prio", "n_orders",
+        F.round(
+            F.pow(
+                F.lit(2.0),
+                F.col("logsum").cast("double")
+                / 1e6
+                / F.col("n_orders").cast("double"),
+            ),
+            4,
+        ).alias("geomean_price"),
+        F.round(
+            F.col("cs").cast("double") / 100 / F.col("n_orders").cast("double"),
+            4,
+        ).alias("mean_price"),
+    )
+
+
+@register(
+    "q_revenue_dashboard",
+    oracle="""
+        WITH monthly AS (
+            SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS rev,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders GROUP BY 1
+        )
+        SELECT m AS month, n_orders,
+               round(CAST(rev AS DOUBLE) / 100, 2) AS revenue,
+               round(CAST(sum(rev) OVER (ORDER BY m) AS DOUBLE) / 100, 2)
+                   AS revenue_ytd_like,
+               round(CAST(sum(rev) OVER (ORDER BY m ROWS BETWEEN 2 PRECEDING
+                                         AND CURRENT ROW) AS DOUBLE)
+                     / CAST(count(*) OVER (ORDER BY m ROWS BETWEEN 2 PRECEDING
+                                           AND CURRENT ROW) AS DOUBLE)
+                     / 100, 2) AS ma3,
+               round((CAST(rev AS DOUBLE)
+                      - CAST(lag(rev) OVER (ORDER BY m) AS DOUBLE))
+                     / CAST(lag(rev) OVER (ORDER BY m) AS DOUBLE), 6)
+                   AS mom_growth
+        FROM monthly
+    """,
+    origin="CORE",
+    doc="One-pass monthly revenue dashboard sheet: running total, "
+        "3-month moving average, and month-over-month growth — three "
+        "different window frames sharing ONE sort/exchange (Catalyst "
+        "collapses same-partitioning-same-ordering window specs into a "
+        "single Window operator). Frame sums are exact cents; the MA "
+        "divides two frame aggregates; growth NULL at month one via "
+        "lag(). Scale shape: one fact shuffle onto the |months| "
+        "aggregate, then the shared SinglePartition window over ~84 "
+        "post-aggregation rows.",
+)
+def q_revenue_dashboard(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("m")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w_cum = Window.partitionBy().orderBy("m")
+    w_ma = Window.partitionBy().orderBy("m").rowsBetween(-2, 0)
+    prev = F.lag("rev").over(w_cum)
+    return monthly.select(
+        F.col("m").alias("month"), "n_orders",
+        F.round(F.col("rev").cast("double") / 100, 2).alias("revenue"),
+        F.round(F.sum("rev").over(w_cum).cast("double") / 100, 2).alias(
+            "revenue_ytd_like"
+        ),
+        F.round(
+            F.sum("rev").over(w_ma).cast("double")
+            / F.count(F.lit(1)).over(w_ma).cast("double")
+            / 100,
+            2,
+        ).alias("ma3"),
+        r6(
+            (F.col("rev").cast("double") - prev.cast("double"))
+            / prev.cast("double")
+        ).alias("mom_growth"),
+    )
