@@ -1087,3 +1087,58 @@ def test_first_touch_shuffles_share_user_key(spark, queries):
     assert "hashpartitioning(user_id" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ship_lag_fact_fact_join_is_equi(spark, queries):
+    """lineitem x orders must join on their natural key (hash or
+    sort-merge, co-partitionable by bucketing at scale) — never a
+    nested loop; the two dimension joins broadcast."""
+    plan = explain(queries["q_ship_lag"](spark, SF_MID))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or \
+        plan.count("BroadcastHashJoin") >= 3
+
+
+def test_revenue_dashboard_windows_share_one_exchange(spark, queries):
+    """Three frames (running, MA3, lag) share partitioning+ordering, so
+    Catalyst must collapse them into ONE Window operator above one
+    SinglePartition exchange over the |months| aggregate."""
+    plan = explain(queries["q_revenue_dashboard"](spark, SF_MID))
+    assert plan.count("SinglePartition") == 1
+    assert plan.count("HashAggregate") >= 2  # partial+final monthly rollup
+
+
+def test_seasonal_window_is_post_aggregation(spark, queries):
+    """The 12-month frame runs over the monthly aggregate: exactly one
+    SinglePartition exchange, sitting above partial+final aggregation."""
+    plan = explain(queries["q_orders_seasonal"](spark, SF_MID))
+    assert plan.count("SinglePartition") == 1
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_kmv_branches_reuse_the_pinned_distinct(spark, queries):
+    """The (side, h) distinct is pinned: the final plan must read the
+    checkpoint for ALL THREE branches (sketch, per-side exacts, union
+    exact) — zero parquet scans — and the only SinglePartition work is
+    the bounded stage-2/union top-k, never the fact."""
+    plan = explain(queries["q_kmv_union"](spark, SF_MID))
+    assert "Scan parquet" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_js_divergence_pair_work_is_post_checkpoint(spark, queries):
+    """The |langs|^2 x |alphabet| pair grid must be built from the pinned
+    char aggregate: zero parquet scans in the final plan."""
+    plan = explain(queries["q_text_js_divergence"](spark, SF_MID))
+    assert "Scan parquet" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_charmix_is_single_pass_scan_side(spark, queries):
+    """Char-class shares come from regex strip-and-measure in the scan
+    projection: one aggregate, no explode (Generate), no Python."""
+    plan = explain(queries["q_source_charmix"](spark, SF_MID))
+    assert "Generate" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2

@@ -323,9 +323,12 @@ _KMV_HASH_SQL = (
         "exact when a side has ≤ k distincts). Hash = phash60 (md5), "
         "bit-identical across engines, so the sketch is DETERMINISTIC — "
         "no HLL register noise. Scale shape: ONE (side, h) distinct "
-        "shuffle, then a TWO-STAGE distributed min-k (64-way salted "
-        "partial top-k → bounded final top-k) instead of the oracle's "
-        "single global sort; everything after runs on ≤2k rows.",
+        "fact pass, PINNED (localCheckpoint, executor-local, ∝|users|) "
+        "so the min-k sketch, the per-side exacts, and the union exact "
+        "all reuse it instead of re-scanning the fact per branch; then "
+        "a TWO-STAGE distributed min-k (16-way salted partial top-k → "
+        "bounded final top-k) instead of the oracle's single global "
+        "sort; everything after runs on ≤2k rows.",
 )
 def q_kmv_union(spark, sf_dir):
     from pyspark.sql import Window
@@ -333,10 +336,21 @@ def q_kmv_union(spark, sf_dir):
     from xml_processor_spark.functions.deterministic import phash60
 
     ev = table(spark, sf_dir, "events")
-    hu = ev.select(
-        F.when(F.dayofmonth("ts") % 2 == 0, "H1").otherwise("H2").alias("side"),
-        phash60(F.col("user_id").cast("string")).alias("h"),
-    ).distinct()
+    hu = (
+        ev.select(
+            F.when(F.dayofmonth("ts") % 2 == 0, "H1")
+            .otherwise("H2")
+            .alias("side"),
+            phash60(F.col("user_id").cast("string")).alias("h"),
+        )
+        .distinct()
+        # ≤2·|users| rows. Pin it: the min-k path, the per-side exact
+        # counts, and the union exact count all derive from this ONE
+        # fact pass — without the pin Catalyst re-scans events per
+        # branch (observed: 3 scans). Executor-local checkpoint storage
+        # is ∝|users|, fine at any sf (distributed, never the driver).
+        .localCheckpoint()
+    )
     # two-stage distributed min-k (global-sort-free)
     w1 = Window.partitionBy("side", F.pmod(F.col("h"), F.lit(_KMV_SALT))).orderBy("h")
     stage1 = hu.withColumn("rn", F.row_number().over(w1)).filter(
