@@ -1137,8 +1137,9 @@ def q_text_lang_confusion(spark, sf_dir):
                CAST(sum(c) AS BIGINT) AS n_tokens,
                CAST(count(*) AS BIGINT) AS vocab,
                round(CAST(sum(CAST(c AS HUGEINT) * (c - 1)) AS DOUBLE)
-                     / (CAST(sum(c) AS DOUBLE)
-                        * (CAST(sum(c) AS DOUBLE) - 1)), 6) AS simpson,
+                     / nullif(CAST(sum(c) AS DOUBLE)
+                              * (CAST(sum(c) AS DOUBLE) - 1), 0), 6)
+                   AS simpson,
                round(CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)
                    AS ttr
         FROM tc GROUP BY lang
@@ -1169,7 +1170,11 @@ def q_text_simpson(spark, sf_dir):
     n_d = F.col("n_tokens").cast("double")
     return m.select(
         "lang", "n_tokens", "vocab",
-        r6(F.col("rep").cast("double") / (n_d * (n_d - 1))).alias("simpson"),
+        # nullif: a 1-token language is 0/0 — NaN in DuckDB, NULL in
+        # Spark; both dialects must agree on NULL
+        r6(
+            F.col("rep").cast("double") / F.nullif(n_d * (n_d - 1), F.lit(0.0))
+        ).alias("simpson"),
         r6(F.col("vocab").cast("double") / n_d).alias("ttr"),
     )
 

@@ -743,7 +743,7 @@ _FIRST_DIGIT_SQL = (
         WITH digits AS (
             SELECT {_FIRST_DIGIT_SQL} AS digit,
                    CAST(count(*) AS BIGINT) AS n_orders
-            FROM orders GROUP BY 1
+            FROM orders WHERE o_totalprice > 0 GROUP BY 1
         )
         SELECT digit, n_orders,
                round(CAST(n_orders AS DOUBLE)
@@ -767,7 +767,9 @@ _FIRST_DIGIT_SQL = (
         "≤9 rows; every window runs over those 9 rows.",
 )
 def q_orders_benford(spark, sf_dir):
-    o = table(spark, sf_dir, "orders")
+    # zero/negative totals (possible under testdata regen) would yield
+    # digit 0 and a log10(1+1/0) division by zero — exclude in BOTH dialects
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
     # native twin of _FIRST_DIGIT_SQL (VARCHAR is DuckDB-only spelling)
     first_digit = F.substring(
         F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
@@ -1561,7 +1563,7 @@ def q_returns_by_brand(spark, sf_dir):
                round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
                           AS DOUBLE) / 100 / CAST(count(*) AS DOUBLE), 4)
                    AS mean_price
-        FROM orders GROUP BY 1
+        FROM orders WHERE o_totalprice > 0 GROUP BY 1
     """,
     origin="CORE",
     doc="Geometric vs arithmetic mean order value per priority — the "
@@ -1574,7 +1576,8 @@ def q_returns_by_brand(spark, sf_dir):
         "map-side-combined groupBy onto 5 rows; zero joins/windows.",
 )
 def q_agg_geomean(spark, sf_dir):
-    o = table(spark, sf_dir, "orders")
+    # log2 requires positive totals; filter mirrors the oracle WHERE
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
     logfp = F.round(F.log2(F.col("o_totalprice")) * 1e6).cast("long")
     m = o.groupBy(F.col("o_orderpriority").alias("prio")).agg(
         F.count(F.lit(1)).alias("n_orders"),
