@@ -1668,3 +1668,96 @@ def q_revenue_dashboard(spark, sf_dir):
             / prev.cast("double")
         ).alias("mom_growth"),
     )
+
+
+@register(
+    "q_basket_rules",
+    oracle="""
+        WITH ob AS (
+            SELECT DISTINCT l_orderkey AS okey, p_brand AS brand
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+        ),
+        n AS (SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n_orders FROM ob),
+        marg AS (
+            SELECT brand, CAST(count(*) AS BIGINT) AS n_b FROM ob GROUP BY 1
+        ),
+        pairs AS (
+            SELECT a.brand AS brand_a, b.brand AS brand_b,
+                   CAST(count(*) AS BIGINT) AS n_ab
+            FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand < b.brand
+            GROUP BY 1, 2
+        )
+        SELECT brand_a, brand_b, n_ab,
+               round(CAST(n_ab AS DOUBLE) / CAST(n.n_orders AS DOUBLE), 6)
+                   AS support,
+               round(CAST(n_ab AS DOUBLE) / CAST(ma.n_b AS DOUBLE), 6)
+                   AS confidence,
+               round(CAST(n_ab AS DOUBLE) * CAST(n.n_orders AS DOUBLE)
+                     / (CAST(ma.n_b AS DOUBLE) * CAST(mb.n_b AS DOUBLE)), 6)
+                   AS lift
+        FROM pairs
+        JOIN marg ma ON ma.brand = brand_a
+        JOIN marg mb ON mb.brand = brand_b
+        CROSS JOIN n
+        WHERE n_ab >= 5
+    """,
+    origin="CORE",
+    doc="Association rules over brand baskets: support, confidence "
+        "P(b|a), and lift P(ab)/(P(a)P(b)) for co-purchased brand pairs "
+        "with min-support 5 — the Apriori output q_orders_basket's raw "
+        "counts feed; lift < 1 flags substitutes, > 1 complements. Pair "
+        "counts reuse the in-group expansion (sorted collect_set + HOF, "
+        "≤C(13,2) pairs per order — never an (order,brand) self-join); "
+        "marginals and the 1-row order count broadcast onto the ≤25²/2 "
+        "pair aggregate. All ratios are exact-integer quotients at 6 dp. "
+        "Scale shape: ONE fact-side shuffle (the per-order group), "
+        "bounded everything after.",
+)
+def q_basket_rules(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pt = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = li.join(pt, li["l_partkey"] == pt["p_partkey"]).select(
+        F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand")
+    )
+    arrs = ob.groupBy("okey").agg(
+        F.sort_array(F.collect_set("brand")).alias("brands")
+    ).localCheckpoint()  # |orders| rows of ≤13 brands: one fact pass for
+    # pairs, marginals, and the order count alike
+    pair_expr = F.expr(
+        "flatten(transform(brands, (x, i) -> "
+        "transform(slice(brands, i + 2, size(brands)), "
+        "y -> struct(x AS brand_a, y AS brand_b))))"
+    )
+    pairs = (
+        arrs.select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.brand_a").alias("brand_a"),
+                 F.col("p.brand_b").alias("brand_b"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 5)
+    )
+    marg = (
+        arrs.select(F.explode("brands").alias("brand"))
+        .groupBy("brand")
+        .agg(F.count(F.lit(1)).alias("n_b"))
+    )
+    n = arrs.agg(F.count(F.lit(1)).alias("n_orders"))
+    ma = marg.select(F.col("brand").alias("ba"), F.col("n_b").alias("na"))
+    mb = marg.select(F.col("brand").alias("bb"), F.col("n_b").alias("nb"))
+    return (
+        pairs.join(F.broadcast(ma), pairs["brand_a"] == ma["ba"])
+        .join(F.broadcast(mb), pairs["brand_b"] == mb["bb"])
+        .crossJoin(F.broadcast(n))
+        .select(
+            "brand_a", "brand_b", "n_ab",
+            r6(
+                F.col("n_ab").cast("double") / F.col("n_orders").cast("double")
+            ).alias("support"),
+            r6(F.col("n_ab").cast("double") / F.col("na").cast("double")).alias(
+                "confidence"
+            ),
+            r6(
+                F.col("n_ab").cast("double") * F.col("n_orders").cast("double")
+                / (F.col("na").cast("double") * F.col("nb").cast("double"))
+            ).alias("lift"),
+        )
+    )

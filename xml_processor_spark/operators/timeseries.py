@@ -752,3 +752,70 @@ def q_events_next_entropy(spark, sf_dir):
         ent.alias("next_entropy_bits"),
         r6(F.pow(F.lit(2.0), ent)).alias("perplexity"),
     )
+
+
+@register(
+    "q_value_impute",
+    oracle="""
+        WITH stats AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(value) AS BIGINT) AS n_present,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS cents
+            FROM events GROUP BY 1
+        ),
+        filled AS (
+            SELECT e.event_type,
+                   coalesce(CAST(round(e.value * 100) AS BIGINT),
+                            s.cents // s.n_present) AS vc
+            FROM events e JOIN stats s ON e.event_type = s.event_type
+        )
+        SELECT stats.event_type,
+               n, n - n_present AS n_imputed,
+               round(CAST(cents // n_present AS DOUBLE) / 100, 2)
+                   AS fill_value,
+               round(CAST(f.total AS DOUBLE) / CAST(n AS DOUBLE) / 100, 6)
+                   AS mean_after
+        FROM stats
+        JOIN (SELECT event_type, CAST(sum(vc) AS BIGINT) AS total
+              FROM filled GROUP BY 1) f
+             ON f.event_type = stats.event_type
+    """,
+    origin="CORE",
+    doc="Mean-imputation QA report — the feature-engineering fill "
+        "(null metric values replaced by the per-type mean) with the "
+        "audit columns a pipeline logs: rows, imputed count, the fill "
+        "value, and the post-fill mean. The fill value is the EXACT "
+        "integer floor-division cents//n_present (a float mean would "
+        "re-round differently per engine), so the post-fill sum is an "
+        "exact integer in both dialects. Scale shape: one stats "
+        "aggregate (map-side combined, |types| rows) broadcast back "
+        "over the fact for the fill, one more rollup — the "
+        "aggregate-broadcast-rescan shape of q_events_anomaly, "
+        "two fact passes total.",
+)
+def q_value_impute(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    vc = F.round(F.col("value") * 100).cast("long")
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("value").alias("n_present"),
+        F.sum(vc).alias("cents"),
+    )
+    fill = F.floor(F.col("cents") / F.col("n_present")).cast("long")
+    filled = ev.join(F.broadcast(stats), "event_type").select(
+        "event_type", F.coalesce(vc, fill).alias("vc")
+    )
+    total = filled.groupBy("event_type").agg(F.sum("vc").alias("total"))
+    return (
+        stats.join(total, "event_type")
+        .select(
+            "event_type", "n",
+            (F.col("n") - F.col("n_present")).alias("n_imputed"),
+            F.round(fill.cast("double") / 100, 2).alias("fill_value"),
+            r6(
+                F.col("total").cast("double") / F.col("n").cast("double") / 100
+            ).alias("mean_after"),
+        )
+    )
