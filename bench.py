@@ -216,6 +216,12 @@ HEADLINE = [
     "q_cust_iqr",
     "q_orders_interarrival",
     "q_dedup_url_canon",
+    # r7 additions, tenth batch: the heavyweight LLM-curation trio — all
+    # three stream real corpus volume through the plan (k-means Lloyd
+    # rounds, winnowing window selection, segment scrub + reconstruction).
+    "q_emb_kmeans",
+    "q_text_winnowing",
+    "q_dedup_scrub",
 ]
 
 

@@ -1142,3 +1142,36 @@ def test_charmix_is_single_pass_scan_side(spark, queries):
     assert "Generate" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_kmeans_assignments_are_broadcast_and_bounded(spark, queries):
+    """Both Lloyd assignment stages must be broadcast nested-loop joins
+    BUILDING the k-row centroid side — a shuffle or a build-side flip to
+    the vector scan would make each round a corpus-sized materialization
+    at 100 TB. The update shuffle is k*dim cells, so HashAggregate with a
+    partial stage must be present too."""
+    plan = explain(queries["q_emb_kmeans"](spark, SF_MID))
+    assert plan.count("BroadcastNestedLoopJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_winnowing_window_is_per_doc_and_no_join(spark, queries):
+    """The winnowing min runs in a window partitioned by doc_id (skew =
+    max doc length, never corpus size) and the whole operator is
+    join-free — fingerprint selection is a pure scan+window pipeline."""
+    plan = explain(queries["q_text_winnowing"](spark, SF_MID))
+    assert "Join" not in plan
+    assert "windowspecdefinition(doc_id" in plan, (
+        f"no doc_id-partitioned Window in plan:\n{plan}"
+    )
+
+
+def test_dedup_scrub_join_is_equi_on_segment_hash(spark, queries):
+    """The scrub's only join is the segment-frequency equi join on the
+    md5 hash — never a nested loop; reconstruction must not add a second
+    fact-sized join."""
+    plan = explain(queries["q_dedup_scrub"](spark, SF_MID))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan

@@ -1606,3 +1606,97 @@ def q_dedup_crosslang(spark, sf_dir):
             (F.col("lang_a") != F.col("lang_b")).alias("is_cross_lang"),
         )
     )
+
+
+# --- shared-segment scrub: the REWRITE stage downstream of q_dedup_segment --
+#
+# q_dedup_segment COUNTS the segments a document shares with any other
+# document; this operator actually REMOVES them and reconstructs the
+# document — the C4-style boilerplate scrub (Raffel et al. 2020 dedupe at
+# sub-document granularity and keep the rest of the page). Same segment
+# grammar as q_dedup_segment (non-overlapping 16-token cuts, md5 identity)
+# so the two operators agree on what "shared" means.
+
+
+@register(
+    "q_dedup_scrub",
+    oracle=f"""
+        WITH s AS (
+            SELECT doc_id, u.i,
+                   array_to_string(list_slice(
+                       string_split(text, ' '),
+                       (u.i - 1) * {_SEG_TOKENS} + 1,
+                       u.i * {_SEG_TOKENS}), ' ') AS seg
+            FROM documents,
+                 LATERAL (SELECT unnest(generate_series(1,
+                     CAST(ceil(len(string_split(text, ' '))
+                               / {_SEG_TOKENS}.0) AS BIGINT))) AS i) u
+        ),
+        g AS (SELECT md5(seg) AS h, count(DISTINCT doc_id) AS nd
+              FROM s GROUP BY md5(seg))
+        SELECT s.doc_id,
+               CAST(count(*) AS BIGINT) AS n_segments,
+               CAST(count(*) FILTER (g.nd < 2) AS BIGINT) AS n_kept,
+               CAST(coalesce(SUM(len(string_split(seg, ' ')))
+                             FILTER (g.nd < 2), 0) AS BIGINT)
+                   AS kept_tokens,
+               md5(coalesce(string_agg(seg, ' ' ORDER BY s.i)
+                            FILTER (g.nd < 2), '')) AS scrubbed_md5
+        FROM s JOIN g ON md5(s.seg) = g.h
+        GROUP BY s.doc_id
+    """,
+    origin="LLM",
+    doc="Shared-segment SCRUB with document reconstruction — the rewrite "
+        "stage of sub-document dedup (C4-style): cut each document into "
+        f"non-overlapping {_SEG_TOKENS}-token segments, drop every segment "
+        "whose hash occurs in >= 2 distinct documents, and reassemble the "
+        "survivors in original order. Output is the per-document kept "
+        "counts plus the md5 of the reconstructed text (the hash pins the "
+        "full rewrite byte-for-byte without shipping the text through the "
+        "driver compare). Scale shape: one segment-hash groupBy (shuffle "
+        "∝ corpus tokens / segment size), one equi join back, one per-doc "
+        "groupBy whose collect_list is bounded by max doc length — no "
+        "pairwise stage, identical plan at 100 TB. Fully-shared documents "
+        "reconstruct to the empty string, not a dropped row, so the "
+        "output is total over documents.",
+)
+def q_dedup_scrub(spark, sf_dir):
+    d = widen(table(spark, sf_dir, "documents"))
+    toks = F.split("text", " ")
+    nseg = F.ceil(F.size(toks) / F.lit(float(_SEG_TOKENS)))
+    segs = d.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.explode(F.sequence(F.lit(1), nseg)).alias("i"),
+    ).select(
+        "doc_id",
+        "i",
+        F.concat_ws(
+            " ",
+            F.slice(
+                "toks", (F.col("i") - 1) * _SEG_TOKENS + 1, F.lit(_SEG_TOKENS)
+            ),
+        ).alias("seg"),
+    )
+    freq = segs.groupBy(F.md5("seg").alias("h")).agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    joined = segs.join(freq, F.md5(segs["seg"]) == freq["h"])
+    kept = F.col("nd") < 2
+    kept_struct = F.when(kept, F.struct("i", "seg"))  # nulls skip collect_list
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(kept.cast("long")).alias("n_kept"),
+        F.coalesce(
+            F.sum(F.when(kept, F.size(F.split("seg", " ")))), F.lit(0)
+        ).cast("long").alias("kept_tokens"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(F.collect_list(kept_struct)),
+                    lambda s: s["seg"],
+                ),
+            )
+        ).alias("scrubbed_md5"),
+    )

@@ -1402,3 +1402,126 @@ def q_source_charmix(spark, sf_dir):
         share("spaces").alias("space_share"),
         share("others").alias("other_share"),
     )
+
+
+# --- winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003 — the
+# MOSS local document fingerprinting algorithm) ------------------------------
+#
+# k-gram rolling hashes, then in every window of w consecutive hashes keep
+# the minimum (ties -> the RIGHTMOST minimum, the paper's rule). The kept
+# (hash, position) set is the document fingerprint: guaranteed to share a
+# fingerprint with any copy of a run >= w+k-1 tokens, with expected density
+# 2/(w+1). Both properties make it the standard plagiarism / near-copy
+# screen at corpus scale.
+#
+# Determinism: the 40-bit hash (first 10 md5 hex digits) and the position
+# are packed into ONE int64 — combined = h40 * 2^20 + (2^20 - pos) — so the
+# window MIN itself implements "min hash, rightmost position" in exact
+# integer arithmetic; no float anywhere. The 2^20 packing bounds documents
+# at 1M tokens (fixture max 100; a longer doc would need a wider position
+# field, not a different plan).
+_WIN_K = 4  # tokens per k-gram
+_WIN_W = 5  # hashes per winnowing window
+_WIN_POS = 1 << 20
+
+
+@register(
+    "q_text_winnowing",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents
+            WHERE len(string_split(text, ' ')) >= {_WIN_K}
+        ),
+        g AS (
+            SELECT doc_id, u.i,
+                   CAST(concat('0x', substring(md5(array_to_string(
+                       list_slice(toks, u.i, u.i + {_WIN_K - 1}), ' ')),
+                       1, 10)) AS BIGINT) AS h40,
+                   len(toks) - {_WIN_K - 1} AS m
+            FROM t, LATERAL (SELECT unnest(generate_series(
+                     1, len(toks) - {_WIN_K - 1})) AS i) u
+        ),
+        wmin AS (
+            SELECT doc_id, m, i,
+                   min(h40 * {_WIN_POS} + ({_WIN_POS} - i))
+                       OVER (PARTITION BY doc_id ORDER BY i
+                             ROWS BETWEEN {_WIN_W - 1} PRECEDING
+                             AND CURRENT ROW) AS sel
+            FROM g
+        ),
+        fp AS (SELECT DISTINCT doc_id, m, sel
+               FROM wmin WHERE i >= {_WIN_W})
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_fp,
+               CAST(SUM(sel // {_WIN_POS}) AS BIGINT) AS h40_sum,
+               CAST(SUM({_WIN_POS} - (sel % {_WIN_POS})) AS BIGINT)
+                   AS pos_sum,
+               round(CAST(count(*) AS DOUBLE) / max(m), 6) AS density
+        FROM fp GROUP BY doc_id
+    """,
+    origin="LLM",
+    doc=f"Winnowing document fingerprints (the MOSS algorithm): "
+        f"{_WIN_K}-token k-gram hashes, min per {_WIN_W}-hash window with "
+        "rightmost-min tie-breaking, distinct selected (hash, pos) pairs "
+        "per document, plus the selected density (expected 2/(w+1) = 0.33 "
+        "for random text — the guarantee the paper proves). Hash and "
+        "position pack into one int64 so the window MIN is exact integer "
+        "arithmetic end to end. Scale shape: explode is linear in corpus "
+        "tokens, the window min is a per-doc sort (docs are bounded; the "
+        "partition key is doc_id so skew equals max doc length, not "
+        "corpus size), and the distinct + groupBy shuffle carries only "
+        "selected fingerprints (~2/(w+1) of positions). No join, no "
+        "Python, no all-pairs — fingerprint postings feed a downstream "
+        "equi-join exactly like the minhash band tables.",
+)
+def q_text_winnowing(spark, sf_dir):
+    d = widen(table(spark, sf_dir, "documents"))
+    toks = F.split("text", " ")
+    base = d.filter(F.size(toks) >= _WIN_K).select(
+        "doc_id",
+        toks.alias("toks"),
+        (F.size(toks) - (_WIN_K - 1)).alias("m"),
+    )
+    grams = base.select(
+        "doc_id",
+        "m",
+        F.explode(F.sequence(F.lit(1), F.col("m"))).alias("i"),
+        "toks",
+    ).select(
+        "doc_id",
+        "m",
+        "i",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(" ", F.slice("toks", F.col("i"), _WIN_K))),
+                    1,
+                    10,
+                ),
+                16,
+                10,
+            ).cast("long")
+            * _WIN_POS
+            + (F.lit(_WIN_POS) - F.col("i"))
+        ).alias("combined"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(-(_WIN_W - 1), Window.currentRow)
+    )
+    sel = (
+        grams.withColumn("sel", F.min("combined").over(w))
+        .filter(F.col("i") >= _WIN_W)
+        .select("doc_id", "m", "sel")
+        .distinct()
+    )
+    # Decode before summing: a sum of packed 2^60-scale values overflows
+    # int64; the decoded 40-bit hash / 20-bit position sums never do.
+    return sel.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fp"),
+        F.sum(F.expr(f"sel div {_WIN_POS}")).alias("h40_sum"),
+        F.sum(F.lit(_WIN_POS) - F.col("sel") % _WIN_POS).alias("pos_sum"),
+        r6(F.count(F.lit(1)).cast("double") / F.max("m")).alias("density"),
+    )

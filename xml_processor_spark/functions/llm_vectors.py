@@ -981,3 +981,152 @@ def q_emb_outliers(spark, sf_dir):
         "rank",
         F.row_number().over(Window.orderBy(F.col("dist").desc(), "vec_id")),
     ).select("vec_id", "dist", "rank")
+
+
+# --- k-means semantic clustering (SemDeDup-style, 2 deterministic Lloyd
+# rounds) -------------------------------------------------------------------
+#
+# Everything runs in INTEGER 1e-6 fixed-point space: quantize each float
+# coordinate once (round(x*1e6) as BIGINT), and from then on every distance
+# is an exact 64-term integer sum — no float-accumulation-order hazard
+# anywhere, so Spark and DuckDB agree bit-for-bit with no rounding truce.
+# |x| <= ~0.53 in this schema, so diff^2 <= ~1.2e12, a 64-dim distance
+# <= ~7.5e13, and a cluster inertia sum at sf0.1 <= ~1.5e17 — all inside
+# int64 with 60x headroom.
+_KM_K = 8  # centroids; init = the first k vectors by vec_id (deterministic)
+_KM_SCALE = 1_000_000
+
+
+def _int_d2(a, b):
+    """Exact integer squared-euclidean distance of two BIGINT-array columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+_KM_D2_SQL = (
+    "(SELECT SUM((x - y) * (x - y)) "
+    "FROM (SELECT unnest({a}) AS x, unnest({b}) AS y))"
+)
+
+
+def _km_assign(vecs, cents):
+    """Nearest-centroid assignment: k-row broadcast x vector scan, argmin by
+    (exact integer d2, centroid id)."""
+    pairs = vecs.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "c", _int_d2(F.col("xe"), F.col("ce")).alias("d2")
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "c")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "c", "d2")
+    )
+
+
+@register(
+    "q_emb_kmeans",
+    oracle=f"""
+        WITH ev AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) * {_KM_SCALE})
+                            AS BIGINT)) AS xe
+            FROM embeddings
+        ),
+        init AS (SELECT vec_id AS c, xe AS ce FROM ev WHERE vec_id < {_KM_K}),
+        p1 AS (
+            SELECT e.vec_id, i.c,
+                   {_KM_D2_SQL.format(a='e.xe', b='i.ce')} AS d2
+            FROM ev e, init i
+        ),
+        a1 AS (
+            SELECT vec_id, c FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY d2, c) AS rn
+                FROM p1
+            ) WHERE rn = 1
+        ),
+        m AS (
+            SELECT a1.c, u.gs AS pos,
+                   CAST(round(CAST(SUM(e.xe[u.gs]) AS DOUBLE) / count(*))
+                        AS BIGINT) AS cv
+            FROM a1 JOIN ev e USING (vec_id),
+                 LATERAL (SELECT unnest(generate_series(1, len(e.xe))) AS gs) u
+            GROUP BY a1.c, u.gs
+        ),
+        c2 AS (SELECT c, list(cv ORDER BY pos) AS ce FROM m GROUP BY c),
+        p2 AS (
+            SELECT e.vec_id, k.c,
+                   {_KM_D2_SQL.format(a='e.xe', b='k.ce')} AS d2
+            FROM ev e, c2 k
+        ),
+        a2 AS (
+            SELECT vec_id, c, d2 FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY d2, c) AS rn
+                FROM p2
+            ) WHERE rn = 1
+        )
+        SELECT c AS cluster, CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(d2) AS BIGINT) AS inertia_e12
+        FROM a2 GROUP BY c
+    """,
+    origin="LLM",
+    doc=f"K-means semantic clustering, the SemDeDup / semantic-dedup "
+        f"workhorse: {_KM_K} centroids initialized from the first "
+        f"{_KM_K} vectors by vec_id (deterministic — no rand()), two full "
+        "Lloyd rounds (assign -> integer fixed-point mean update -> "
+        "re-assign), reporting per-cluster membership and exact integer "
+        "inertia. The whole pipeline is INTEGER 1e-6 fixed-point: "
+        "assignment distances are exact 64-term int64 sums (ties broken "
+        "by centroid id), and the mean update is an integer sum / count "
+        "with one deterministic round — bit-identical on any engine and "
+        "any partitioning. Scale shape: the centroid table is k rows "
+        "(BOUNDED by k, never by data) and broadcast; each assignment is "
+        "a k-way broadcast nested-loop over the vector scan (k*n rows, "
+        "linear); the update is a map-side-combined groupBy over "
+        "k*dim cells. No all-pairs stage anywhere — at 100 TB each Lloyd "
+        "round is one scan + one k*dim-cell shuffle, the textbook "
+        "distributed k-means plan. Downstream, within-cluster pairs feed "
+        "the exact-rescore stage of semantic dedup (candidates ~ n*k, "
+        "the E-KNN-IVF argument).",
+)
+def q_emb_kmeans(spark, sf_dir):
+    e = widen(table(spark, sf_dir, "embeddings"))
+    vecs = e.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * _KM_SCALE, 0).cast("long"),
+        ).alias("xe"),
+    )
+    init = vecs.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("c"), F.col("xe").alias("ce")
+    )
+    a1 = _km_assign(vecs, init)
+    # Integer fixed-point mean update: per (cluster, dim) exact long sums,
+    # one deterministic round of sum/count, rebuilt into a k-row array table.
+    m = (
+        a1.join(vecs, "vec_id")
+        .select("c", F.posexplode("xe").alias("pos0", "v"))
+        .groupBy("c", "pos0")
+        .agg(
+            F.round(F.sum("v").cast("double") / F.count(F.lit(1)), 0)
+            .cast("long")
+            .alias("cv")
+        )
+    )
+    c2 = m.groupBy("c").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos0", "cv"))),
+            lambda s: s["cv"],
+        ).alias("ce")
+    )
+    a2 = _km_assign(vecs, c2)
+    return a2.groupBy(F.col("c").alias("cluster")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("d2").alias("inertia_e12"),
+    )
