@@ -1700,3 +1700,125 @@ def q_dedup_scrub(spark, sf_dir):
             )
         ).alias("scrubbed_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rare-shingle-weighted containment (the integer-exact stand-in for
+# IDF-weighted Jaccard).
+# ---------------------------------------------------------------------------
+
+# Only shingles with 2 <= df <= _RARE_CAP participate: df >= 2 so a shingle
+# can actually witness a pair, df <= cap so the per-shingle fan-out is
+# bounded (<= cap docs -> <= cap*(cap-1)/2 pairs per shingle). Weight
+# cap + 1 - df rises as the shingle gets rarer — the exact-integer analogue
+# of IDF's rare-term emphasis (log-free: no libm in the score).
+_RARE_CAP = 8
+_RARE_PERMILLE = 200  # report pairs with weighted containment >= 0.2
+
+
+@register(
+    "q_dedup_rare_shingle",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(ws[pos:pos+2], ' ') AS s
+            FROM (
+                SELECT doc_id, ws,
+                       CAST(unnest(generate_series(1, len(ws) - 2))
+                            AS BIGINT) AS pos
+                FROM toks WHERE len(ws) >= 3
+            )
+        ), df AS (
+            SELECT s, CAST(count(*) AS BIGINT) AS df
+            FROM sh GROUP BY s
+        ), rare AS (
+            SELECT sh.doc_id, sh.s,
+                   CAST({_RARE_CAP} + 1 - df.df AS BIGINT) AS w
+            FROM sh JOIN df ON sh.s = df.s
+            WHERE df.df BETWEEN 2 AND {_RARE_CAP}
+        ), totals AS (
+            SELECT doc_id, CAST(sum(w) AS BIGINT) AS tw
+            FROM rare GROUP BY doc_id
+        ), pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(sum(a.w) AS BIGINT) AS overlap_w
+            FROM rare a JOIN rare b
+                 ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, overlap_w,
+               round(CAST(overlap_w AS DOUBLE)
+                     / CAST(least(ta.tw, tb.tw) AS DOUBLE), 6) AS wsim
+        FROM pairs
+        JOIN totals ta ON pairs.doc_a = ta.doc_id
+        JOIN totals tb ON pairs.doc_b = tb.doc_id
+        WHERE overlap_w * 1000 >= {_RARE_PERMILLE} * least(ta.tw, tb.tw)
+    """,
+    origin="LLM",
+    doc=f"Rare-shingle-weighted containment — the IDF-weighted near-dup "
+        "pass real curation pipelines run when plain Jaccard is swamped "
+        "by boilerplate shingles: each 3-token shingle with document "
+        f"frequency 2..{_RARE_CAP} carries integer weight "
+        f"(cap+1−df); a pair's score is shared-weight / min(doc totals), "
+        f"reported when ≥ {_RARE_PERMILLE}/1000 (the threshold compares "
+        "overlap·1000 ≥ τ‰·min_total in exact integers — no float decides "
+        "membership). Scale shape: the self-join runs ONLY over rare "
+        f"shingles, so fan-out per join key is ≤ {_RARE_CAP} docs "
+        f"(≤ {_RARE_CAP * (_RARE_CAP - 1) // 2} pairs) by the df filter "
+        "itself — the frequency cutoff IS the blocking strategy, and "
+        "boilerplate (high-df) shingles never reach the shuffle. "
+        "Weights are exact integers; one float division at the end.",
+)
+def q_dedup_rare_shingle(spark, sf_dir):
+    d = widen(table(spark, sf_dir, "documents"))
+    toks = F.split("text", " ")
+    sh = (
+        d.where(F.size(toks) >= 3)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.size(toks) - 2)).alias("pos"),
+            toks.alias("ws"),
+        )
+        .select(
+            "doc_id",
+            F.array_join(F.slice("ws", F.col("pos"), 3), " ").alias("s"),
+        )
+        .distinct()
+    )
+    df = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    rare = (
+        sh.join(df.where(F.col("df").between(2, _RARE_CAP)), "s")
+        .select(
+            "doc_id", "s", (F.lit(_RARE_CAP + 1) - F.col("df")).cast("long").alias("w")
+        )
+    )
+    totals = rare.groupBy("doc_id").agg(F.sum("w").cast("long").alias("tw"))
+    a, b = rare.alias("a"), rare.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.sum("a.w").cast("long").alias("overlap_w"))
+    )
+    ta = totals.select(F.col("doc_id").alias("doc_a"), F.col("tw").alias("tw_a"))
+    tb = totals.select(F.col("doc_id").alias("doc_b"), F.col("tw").alias("tw_b"))
+    mn = F.least("tw_a", "tw_b")
+    return (
+        pairs.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .where(F.col("overlap_w") * 1000 >= _RARE_PERMILLE * mn)
+        .select(
+            "doc_a",
+            "doc_b",
+            "overlap_w",
+            F.round(F.col("overlap_w").cast("double") / mn.cast("double"), 6)
+            .alias("wsim"),
+        )
+    )

@@ -1525,3 +1525,85 @@ def q_text_winnowing(spark, sf_dir):
         F.sum(F.lit(_WIN_POS) - F.col("sel") % _WIN_POS).alias("pos_sum"),
         r6(F.count(F.lit(1)).cast("double") / F.max("m")).alias("density"),
     )
+
+
+# Calibration: a linear length-based quality score s = clamp((n_chars -
+# _CAL_LO) / _CAL_SPAN, 0, 1). The pseudo-label draws uniform u =
+# phash60(doc_id)/2^60 and fires when u < s, so by construction the score
+# IS the positive rate and a correct calibration table shows gap ≈ 0 —
+# which is exactly what makes the machinery verifiable: any binning or
+# rate-arithmetic bug shows up as a spurious gap.
+_CAL_LO = 200
+_CAL_SPAN = 800
+
+
+@register(
+    "q_quality_calibration",
+    oracle=f"""
+        WITH s AS (
+            SELECT doc_id,
+                   least(greatest(n_chars - {_CAL_LO}, 0), {_CAL_SPAN})
+                       AS m,
+                   CAST(concat('0x', substring(
+                        md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                       AS u60
+            FROM documents
+        ), lab AS (
+            SELECT least(CAST(m * 10 // {_CAL_SPAN} AS BIGINT), 9) AS bin,
+                   m,
+                   CAST(CAST(u60 AS DECIMAL(38,0)) * {_CAL_SPAN}
+                        < CAST(m AS DECIMAL(38,0)) * 1152921504606846976
+                        AS INT) AS y
+            FROM s
+        )
+        SELECT bin,
+               CAST(count(*) AS BIGINT) AS n,
+               round(CAST(sum(m) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) / {_CAL_SPAN}, 6)
+                   AS mean_score,
+               round(CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+                   AS pos_rate,
+               round(CAST(sum(m) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) / {_CAL_SPAN}
+                     - CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+                   AS calib_gap
+        FROM lab GROUP BY bin
+    """,
+    origin="LLM",
+    doc="Classifier calibration table (the reliability-diagram aggregate "
+        "run before trusting any quality filter's threshold): documents "
+        "binned by score decile; per bin the mean score is compared to "
+        "the observed positive rate. Score and label are deterministic — "
+        "score is exact rational m/800 (m an integer, summed exactly), "
+        "the label draw compares phash60·800 < m·2^60 in decimal(38,0) "
+        "(2^60·800 overflows int64), so both engines pick identical "
+        "labels and the gap is pure machinery. Scale shape: one "
+        "map-side-combined 10-group aggregate over the scan; no joins, "
+        "no windows.",
+)
+def q_quality_calibration(spark, sf_dir):
+    d = widen(table(spark, sf_dir, "documents"))
+    m = F.least(
+        F.greatest(F.col("n_chars") - _CAL_LO, F.lit(0)), F.lit(_CAL_SPAN)
+    )
+    u60 = phash60(F.col("doc_id").cast("string"))
+    y = (
+        u60.cast("decimal(38,0)") * _CAL_SPAN
+        < m.cast("decimal(38,0)") * F.lit(1152921504606846976).cast(
+            "decimal(38,0)"
+        )
+    ).cast("int")
+    lab = d.select(
+        F.least(F.floor(m * 10 / _CAL_SPAN).cast("long"), F.lit(9).cast("long")).alias("bin"),
+        m.alias("m"),
+        y.alias("y"),
+    )
+    n = F.count(F.lit(1))
+    mean_score = F.sum("m").cast("double") / n.cast("double") / _CAL_SPAN
+    pos_rate = F.sum("y").cast("double") / n.cast("double")
+    return lab.groupBy("bin").agg(
+        n.alias("n"),
+        F.round(mean_score, 6).alias("mean_score"),
+        F.round(pos_rate, 6).alias("pos_rate"),
+        F.round(mean_score - pos_rate, 6).alias("calib_gap"),
+    )

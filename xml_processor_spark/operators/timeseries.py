@@ -819,3 +819,76 @@ def q_value_impute(spark, sf_dir):
             ).alias("mean_after"),
         )
     )
+
+
+@register(
+    "q_events_cusum",
+    oracle=f"""
+        WITH {_DAILY_SQL},
+        tot AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS nd,
+                   CAST(sum(y) AS BIGINT) AS ty,
+                   CAST(sum(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0))
+                       AS syy
+            FROM xy GROUP BY 1
+        ),
+        run AS (
+            SELECT xy.event_type, x, y, nd, ty, syy,
+                   CAST(sum(y) OVER (PARTITION BY xy.event_type ORDER BY x)
+                        AS BIGINT) AS cum,
+                   CAST(row_number() OVER (PARTITION BY xy.event_type
+                                           ORDER BY x) AS BIGINT) AS k
+            FROM xy JOIN tot ON xy.event_type = tot.event_type
+        )
+        SELECT event_type, x AS day_x, y,
+               round(CAST(nd * cum - k * ty AS DOUBLE)
+                     / CAST(nd AS DOUBLE), 6) AS cusum,
+               CAST(nd * cum - k * ty AS DECIMAL(38,0))
+                   * CAST(nd * cum - k * ty AS DECIMAL(38,0))
+                   > 9 * nd * (nd * syy - CAST(ty AS DECIMAL(38,0)) * ty)
+                   AS drifted
+        FROM run
+    """,
+    doc="CUSUM drift detection per event-type daily series: the running "
+        "sum of deviations from the series mean, S_k = Σ_{i≤k}(y_i − ȳ), "
+        "with a 3σ drift flag. Every decision is EXACT integer "
+        "arithmetic — S_k is computed as (n·cum_k − k·total)/n and the "
+        "flag compares (n·cum_k − k·total)² against 9·n·(n·Σy² − total²) "
+        "in decimal(38,0), so no engine's float rounding can flip a "
+        "boundary day. Scale shape: the fact table collapses to the "
+        "|types×days| aggregate in one map-side-combined shuffle (shared "
+        "via the pinned _daily_xy scan); the cumulative window partitions "
+        "by event_type over calendar-bounded rows.",
+)
+def q_events_cusum(spark, sf_dir):
+    xy = _daily_xy(spark, sf_dir)
+    tot = xy.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("nd"),
+        F.sum("y").cast("long").alias("ty"),
+        F.sum(F.col("y").cast(_D38) * F.col("y")).cast(_D38).alias("syy"),
+    )
+    w = Window.partitionBy("event_type").orderBy("x")
+    run = xy.join(tot, "event_type").select(
+        "event_type", "x", "y", "nd", "ty", "syy",
+        F.sum("y").over(w).cast("long").alias("cum"),
+        F.row_number().over(w).cast("long").alias("k"),
+    )
+    s_scaled = F.col("nd") * F.col("cum") - F.col("k") * F.col("ty")
+    return run.select(
+        "event_type",
+        F.col("x").alias("day_x"),
+        "y",
+        F.round(
+            s_scaled.cast("double") / F.col("nd").cast("double"), 6
+        ).alias("cusum"),
+        (
+            s_scaled.cast(_D38) * s_scaled.cast(_D38)
+            > 9
+            * F.col("nd").cast(_D38)
+            * (
+                F.col("nd").cast(_D38) * F.col("syy")
+                - F.col("ty").cast(_D38) * F.col("ty")
+            )
+        ).alias("drifted"),
+    )

@@ -243,3 +243,134 @@ def q_gapfill(spark, sf_dir):
             F.coalesce("n", F.lit(0)).alias("n"),
         )
     )
+
+
+# Lateness audit: arrival order is event_id (the feed's ingestion
+# sequence); event time is ts. Bucket width for the distributed prefix
+# scan — the bucket aggregate is |events|/4096 rows, one more scan level
+# bounds any corpus.
+_LATE_BUCKET = 4096
+_LATE_CLASSES_SQL = """
+    CASE WHEN late_us <= 0 THEN 'on_time'
+         WHEN late_us <= 60000000 THEN 'le_1m'
+         WHEN late_us <= 300000000 THEN 'le_5m'
+         WHEN late_us <= 3600000000 THEN 'le_1h'
+         ELSE 'gt_1h' END
+"""
+
+
+@register(
+    "q_events_lateness",
+    oracle=f"""
+        WITH feed AS (
+            SELECT event_id,
+                   ts - to_microseconds(
+                       CASE WHEN event_id % 11 = 0
+                            THEN ((event_id % 89) + 1) * 60 * 1000000
+                            ELSE 0 END) AS ts
+            FROM events
+        ), seq AS (
+            SELECT event_id, ts,
+                   max(ts) OVER (ORDER BY event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) AS pmax
+            FROM feed
+        ), late AS (
+            SELECT greatest(CAST(0 AS BIGINT),
+                            epoch_us(pmax) - epoch_us(ts)) AS late_us
+            FROM seq WHERE pmax IS NOT NULL
+        ), cls AS (
+            SELECT {_LATE_CLASSES_SQL} AS lateness,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(max(late_us) AS BIGINT) AS max_late_us
+            FROM late GROUP BY 1
+        )
+        SELECT lateness, n, max_late_us,
+               round(CAST(n AS DOUBLE)
+                     / CAST(sum(n) OVER () AS DOUBLE), 6) AS share
+        FROM cls
+    """,
+    doc="Watermark-design audit: how late does event time run behind "
+        "arrival order (event_id = ingestion sequence)? The fixture feed "
+        "is perfectly ordered, so an out-of-order feed is DERIVED "
+        "deterministically (the q_snapshot_diff discipline): every 11th "
+        "event is a straggler whose event time is pulled back "
+        "(event_id % 89 + 1) minutes — a 9% straggler rate spanning "
+        "1..89 min, populating every watermark class. For every event, "
+        "lateness = (max event-time of all STRICTLY earlier arrivals) − "
+        "own event time, bucketed into the watermark-delay classes a "
+        "stream designer actually chooses between (on-time/1m/5m/1h/"
+        "worse) with exact integer microsecond compares. The global "
+        "prefix max — a single-partition window if written naively — is "
+        "computed as a two-level distributed scan: per-bucket maxima "
+        f"(|events|/{_LATE_BUCKET} rows) get an exclusive running max in "
+        "one bounded window, then each event combines its bucket's "
+        "carry-in with a WITHIN-bucket exclusive running max (window "
+        "partitioned by bucket). This is the textbook parallel "
+        "prefix-scan shape; one more level bounds any corpus. The DuckDB "
+        "oracle states the same semantics as the naive global window.",
+)
+def q_events_lateness(spark, sf_dir):
+    from pyspark.sql import Window
+
+    delay_us = F.when(
+        F.col("event_id") % 11 == 0,
+        ((F.col("event_id") % 89) + 1) * 60 * 1_000_000,
+    ).otherwise(F.lit(0))
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        F.timestamp_micros(F.unix_micros("ts") - delay_us).alias("ts"),
+        (F.col("event_id") / _LATE_BUCKET).cast("long").alias("b"),
+    )
+    # Level 1: per-bucket max, then the exclusive carry-in per bucket.
+    # The window is over |events|/_LATE_BUCKET rows — bounded enough for
+    # one level here; a 100 TB feed adds one more bucketing level.
+    wb = (
+        Window.orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        ev.groupBy("b")
+        .agg(F.max("ts").alias("bmax"))
+        .select("b", F.max("bmax").over(wb).alias("carry_in"))
+    )
+    # Level 2: within-bucket exclusive running max, combined with the
+    # bucket's carry-in. Partitioned by bucket — scales.
+    ww = (
+        Window.partitionBy("b")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = ev.join(carry, "b").select(
+        "event_id",
+        "ts",
+        F.greatest(
+            F.max("ts").over(ww), F.col("carry_in")
+        ).alias("pmax"),
+    )
+    late = seq.where(F.col("pmax").isNotNull()).select(
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.unix_micros("pmax") - F.unix_micros("ts"),
+        ).alias("late_us")
+    )
+    cls = (
+        late.select(F.expr(_LATE_CLASSES_SQL).alias("lateness"), "late_us")
+        .groupBy("lateness")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("late_us").cast("long").alias("max_late_us"),
+        )
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return cls.select(
+        "lateness",
+        "n",
+        "max_late_us",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(wall).cast("double"),
+            6,
+        ).alias("share"),
+    )
