@@ -1761,3 +1761,74 @@ def q_basket_rules(spark, sf_dir):
             ).alias("lift"),
         )
     )
+
+
+@register(
+    "q_part_supplier_hhi",
+    oracle="""
+        WITH ps AS (
+            SELECT l_partkey, l_suppkey,
+                   CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                       AS q
+            FROM lineitem GROUP BY 1, 2
+        ), agg AS (
+            SELECT l_partkey,
+                   CAST(count(*) AS BIGINT) AS n_supp,
+                   CAST(sum(q) AS BIGINT) AS tq,
+                   CAST(sum(CAST(q AS DECIMAL(38,0)) * q) AS DECIMAL(38,0))
+                       AS sq2
+            FROM ps GROUP BY 1
+        )
+        SELECT l_partkey, n_supp,
+               round(CAST(sq2 AS DOUBLE)
+                     / (CAST(tq AS DOUBLE) * CAST(tq AS DOUBLE)), 6)
+                   AS hhi,
+               CASE WHEN sq2 * 10 > 25 * CAST(tq AS DECIMAL(38,0)) * tq
+                    THEN 'concentrated'
+                    WHEN sq2 * 100 > 15 * CAST(tq AS DECIMAL(38,0)) * tq
+                    THEN 'moderate' ELSE 'diverse' END AS sourcing
+        FROM agg WHERE n_supp >= 2
+    """,
+    doc="Supply-concentration audit per part: HHI of supplier quantity "
+        "shares, Σ(qᵢ/Q)², for every multi-sourced part, classed "
+        "concentrated (> 0.25) / moderate (> 0.15) / diverse — the "
+        "single-source-risk report a procurement pipeline runs. Classes "
+        "are decided by EXACT integer cross-multiplication "
+        "(Σq²·10 > 25·Q² etc. in decimal(38,0) — quantities are integer "
+        "units, so no float sits on a class boundary); the reported hhi "
+        "double is display-only. Scale shape: two cascaded map-side-"
+        "combined aggregates, (part, supp) then part — shuffle bounded "
+        "by the distinct pair count, never a join.",
+)
+def q_part_supplier_hhi(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    ps = (
+        li.select(
+            "l_partkey",
+            "l_suppkey",
+            F.round("l_quantity", 0).cast("long").alias("qr"),
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("qr").cast("long").alias("q"))
+    )
+    agg = ps.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("q").cast("long").alias("tq"),
+        F.sum(F.col("q").cast("decimal(38,0)") * F.col("q"))
+        .cast("decimal(38,0)")
+        .alias("sq2"),
+    )
+    tqd = F.col("tq").cast("decimal(38,0)")
+    return agg.where(F.col("n_supp") >= 2).select(
+        "l_partkey",
+        "n_supp",
+        F.round(
+            F.col("sq2").cast("double")
+            / (F.col("tq").cast("double") * F.col("tq").cast("double")),
+            6,
+        ).alias("hhi"),
+        F.when(F.col("sq2") * 10 > 25 * tqd * F.col("tq"), "concentrated")
+        .when(F.col("sq2") * 100 > 15 * tqd * F.col("tq"), "moderate")
+        .otherwise("diverse")
+        .alias("sourcing"),
+    )

@@ -96,3 +96,53 @@ def q_except_all(spark, sf_dir):
     a = li.filter(F.col("l_quantity") < 25).select(F.col("l_orderkey").alias("okey"))
     b = li.filter(F.col("l_returnflag") == "A").select(F.col("l_orderkey").alias("okey"))
     return a.exceptAll(b)
+
+
+@register(
+    "q_union_by_name",
+    oracle="""
+        WITH v1 AS (
+            SELECT o_orderkey, o_totalprice,
+                   CAST(NULL AS VARCHAR) AS o_orderpriority,
+                   'v1' AS src
+            FROM orders WHERE o_orderkey % 3 = 0
+        ), v2 AS (
+            SELECT o_orderkey, CAST(NULL AS DOUBLE) AS o_totalprice,
+                   o_orderpriority, 'v2' AS src
+            FROM orders WHERE o_orderkey % 3 <> 0
+        ), u AS (
+            SELECT * FROM v1 UNION ALL SELECT * FROM v2
+        )
+        SELECT src,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(o_totalprice) AS BIGINT) AS n_price,
+               CAST(count(o_orderpriority) AS BIGINT) AS n_priority
+        FROM u GROUP BY src
+    """,
+    doc="Schema-evolution union (the lake-format ALTER TABLE ADD COLUMN "
+        "read path): two snapshots of the same table written under "
+        "different schemas — v1 predates the o_orderpriority column, v2 "
+        "dropped o_totalprice — are combined with "
+        "unionByName(allowMissingColumns=True), which aligns columns BY "
+        "NAME and null-fills the gaps (positional unionAll would "
+        "mis-bind or reject). The audit row per source counts "
+        "present-vs-missing cells, the check a reader runs after a "
+        "schema migration. Scale shape: zero-shuffle scans + one "
+        "map-side-combined 2-group aggregate.",
+)
+def q_union_by_name(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    v1 = (
+        o.where(F.col("o_orderkey") % 3 == 0)
+        .select("o_orderkey", "o_totalprice", F.lit("v1").alias("src"))
+    )
+    v2 = (
+        o.where(F.col("o_orderkey") % 3 != 0)
+        .select("o_orderkey", "o_orderpriority", F.lit("v2").alias("src"))
+    )
+    u = v1.unionByName(v2, allowMissingColumns=True)
+    return u.groupBy("src").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_totalprice").alias("n_price"),
+        F.count("o_orderpriority").alias("n_priority"),
+    )
