@@ -1783,7 +1783,7 @@ def q_basket_rules(spark, sf_dir):
                round(CAST(sq2 AS DOUBLE)
                      / (CAST(tq AS DOUBLE) * CAST(tq AS DOUBLE)), 6)
                    AS hhi,
-               CASE WHEN sq2 * 10 > 25 * CAST(tq AS DECIMAL(38,0)) * tq
+               CASE WHEN sq2 * 100 > 25 * CAST(tq AS DECIMAL(38,0)) * tq
                     THEN 'concentrated'
                     WHEN sq2 * 100 > 15 * CAST(tq AS DECIMAL(38,0)) * tq
                     THEN 'moderate' ELSE 'diverse' END AS sourcing
@@ -1794,7 +1794,7 @@ def q_basket_rules(spark, sf_dir):
         "concentrated (> 0.25) / moderate (> 0.15) / diverse — the "
         "single-source-risk report a procurement pipeline runs. Classes "
         "are decided by EXACT integer cross-multiplication "
-        "(Σq²·10 > 25·Q² etc. in decimal(38,0) — quantities are integer "
+        "(Σq²·100 > 25·Q² etc. in decimal(38,0) — quantities are integer "
         "units, so no float sits on a class boundary); the reported hhi "
         "double is display-only. Scale shape: two cascaded map-side-"
         "combined aggregates, (part, supp) then part — shuffle bounded "
@@ -1827,7 +1827,7 @@ def q_part_supplier_hhi(spark, sf_dir):
             / (F.col("tq").cast("double") * F.col("tq").cast("double")),
             6,
         ).alias("hhi"),
-        F.when(F.col("sq2") * 10 > 25 * tqd * F.col("tq"), "concentrated")
+        F.when(F.col("sq2") * 100 > 25 * tqd * F.col("tq"), "concentrated")
         .when(F.col("sq2") * 100 > 15 * tqd * F.col("tq"), "moderate")
         .otherwise("diverse")
         .alias("sourcing"),

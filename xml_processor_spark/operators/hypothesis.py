@@ -240,12 +240,16 @@ def q_orders_ks_binned(spark, sf_dir):
         F.sum("cnt_hi").over(wall).alias("n_hi"),
         F.sum("cnt_lo").over(wall).alias("n_lo"),
     )
+    # decimal(38,0) cross-multiplication: int64 would overflow once each
+    # sample exceeds ~3e9 rows (100 TB ~ 1.5e11 orders); DuckDB's window
+    # sums promote to HUGEINT, so the exact-integer argmax must match.
     gaps = c.select(
         "bin",
         "n_hi",
         "n_lo",
         F.abs(
-            F.col("cum_hi") * F.col("n_lo") - F.col("cum_lo") * F.col("n_hi")
+            F.col("cum_hi").cast(_D38) * F.col("n_lo").cast(_D38)
+            - F.col("cum_lo").cast(_D38) * F.col("n_hi").cast(_D38)
         ).alias("gap_x"),
     ).withColumn("mg", F.max("gap_x").over(wall))
     return gaps.agg(
