@@ -117,16 +117,22 @@ def test_survey_totals_match_registry():
 
     text = open("SURVEY.md").read()
     m = re.search(
-        r"Inventory totals: (\d+) oracle-checked `q_\*` rows \+ (\d+) `E-\*` "
+        r"Inventory totals: (\d+) oracle-checked keys \((\d+) `q_\*` rows "
+        r"\+ (\d+) `E-\*`\s*write/tracking keys\) \+ (\d+) rows-only `E-\*` "
         r"engine features\s*\((\d+) registered keys",
         text,
     )
     assert m, "SURVEY.md inventory-totals sentence missing or reworded"
-    n_q, n_e, n_total = (int(g) for g in m.groups())
+    n_oracle, n_q, n_eo, n_rows_only, n_total = (int(g) for g in m.groups())
     qs, osql = entrypoint.queries(), entrypoint.oracle_sql()
-    assert n_q == len(osql), f"SURVEY says {n_q} oracle keys, registry has {len(osql)}"
-    assert n_e == len(qs) - len(osql), (
-        f"SURVEY says {n_e} E-* keys, registry has {len(qs) - len(osql)}"
+    assert n_oracle == len(osql), (
+        f"SURVEY says {n_oracle} oracle keys, registry has {len(osql)}"
+    )
+    assert n_q == sum(k.startswith("q_") for k in osql), "q_* oracle count drifted"
+    assert n_eo == sum(k.startswith("E-") for k in osql), "E-* oracle count drifted"
+    assert n_rows_only == len(qs) - len(osql), (
+        f"SURVEY says {n_rows_only} rows-only keys, "
+        f"registry has {len(qs) - len(osql)}"
     )
     assert n_total == len(qs), f"SURVEY says {n_total} total, registry has {len(qs)}"
 
@@ -144,3 +150,37 @@ def test_survey_section2_matches_registry_key_for_key():
     reg = set(entrypoint.queries())
     assert survey - reg == set(), f"in SURVEY only: {sorted(survey - reg)}"
     assert reg - survey == set(), f"in registry only: {sorted(reg - survey)}"
+
+
+def test_localverify_artifact_covers_registry():
+    """VERDICT r7 #2: the registry must never run ahead of committed
+    verification evidence (the final r7 batch shipped 8 operators with no
+    committed LOCALVERIFY rows). Every registered key must appear in the
+    newest committed LOCALVERIFY_r{N}.json, green — and every oracle-bearing
+    key must be status 'pass', not merely rows_only. Adding an operator
+    without refreshing the artifact turns this red in the same commit."""
+    import glob
+    import json
+    import re
+
+    import __spark_entry__ as entrypoint
+
+    files = glob.glob("LOCALVERIFY_r*.json")
+    assert files, "no committed LOCALVERIFY artifact"
+    newest = max(files, key=lambda f: int(re.search(r"r(\d+)", f).group(1)))
+    keys = json.load(open(newest))["keys"]
+    qs, osql = entrypoint.queries(), entrypoint.oracle_sql()
+    missing = sorted(set(qs) - set(keys))
+    assert not missing, (
+        f"{newest} lacks {len(missing)} registered keys (refresh it with "
+        f"tools/verify_local.py --json): {missing[:10]}"
+    )
+    bad = sorted(
+        k for k in qs if keys[k]["status"] not in ("pass", "rows_only")
+    )
+    assert not bad, f"{newest} has non-green keys: {bad[:10]}"
+    weak = sorted(k for k in osql if keys[k]["status"] != "pass")
+    assert not weak, (
+        f"{newest}: oracle-bearing keys recorded without a value-equality "
+        f"pass: {weak[:10]}"
+    )

@@ -1175,3 +1175,110 @@ def test_dedup_scrub_join_is_equi_on_segment_hash(spark, queries):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+# --- r8: plan pins for the 8 operators added in the final r7 commits
+# (VERDICT r7 #4). Node counts come from the formatted details blocks
+# ("(id) OpName"), so tree-line duplication never inflates them.
+
+
+def node_counts(plan: str):
+    import re
+    from collections import Counter
+
+    return Counter(m.group(1) for m in re.finditer(r"^\((?:\d+)\) ([A-Za-z]+)", plan, re.M))
+
+
+def test_union_by_name_is_one_union_one_agg(spark, queries):
+    """Schema-evolution union: two snapshot scans feed ONE Union and one
+    partial+final per-source aggregate — no join anywhere (a positional
+    union mis-bind would surface as extra projects/joins, not here)."""
+    plan = explain(queries["q_union_by_name"](spark, SF_MID))
+    n = node_counts(plan)
+    assert n["Union"] == 1
+    assert "Join" not in plan
+    assert n["Exchange"] <= 1  # the single rollup shuffle
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_hhi_is_two_cascaded_aggs_no_join(spark, queries):
+    """Supplier HHI: (part, supp) aggregate then part aggregate — two
+    map-side-combined shuffles bounded by the distinct pair count, and
+    never a join (a supplier-share self-join would be the scale bug)."""
+    plan = explain(queries["q_part_supplier_hhi"](spark, SF_MID))
+    n = node_counts(plan)
+    assert "Join" not in plan
+    assert n["HashAggregate"] >= 4  # two partial+final pairs
+    assert n["Exchange"] <= 2
+    assert "partial_sum" in plan
+
+
+def test_welch_ttest_is_one_fact_aggregate(spark, queries):
+    """Welch t: ONE map-side-combined 2-group moment aggregate; all test
+    math runs over the 2-row result (second exchange merges 2 rows)."""
+    plan = explain(queries["q_orders_welch_ttest"](spark, SF_MID))
+    n = node_counts(plan)
+    assert "Join" not in plan
+    assert n["Scan"] == 1  # single fact pass
+    assert n["Exchange"] <= 2
+    assert "partial_sum" in plan
+
+
+def test_ks_binned_windows_are_post_histogram(spark, queries):
+    """Binned KS: the only unbounded-input stage is the histogram
+    aggregate (partial+final); the cumulative/global windows run over the
+    <= 51-row histogram — their single-partition exchange is the intended
+    plan, not a scale hazard. No join anywhere."""
+    plan = explain(queries["q_orders_ks_binned"](spark, SF_MID))
+    n = node_counts(plan)
+    assert "Join" not in plan
+    assert n["Scan"] == 1
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert n["Window"] >= 1
+
+
+def test_cusum_fact_shuffle_once_then_bounded(spark, queries):
+    """CUSUM: one fact shuffle onto |types x days| cells; the per-type
+    cumulative window sorts WITHIN type partitions; the only nested-loop
+    joins are the 1-row scalar broadcasts (n, total, sigma bound)."""
+    plan = explain(queries["q_events_cusum"](spark, SF_MID))
+    n = node_counts(plan)
+    assert "CartesianProduct" not in plan
+    assert n["BroadcastNestedLoopJoin"] <= 2  # 1-row scalar folds only
+    assert n["Window"] >= 1
+    assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_lateness_windows_are_keyed_no_nested_loop(spark, queries):
+    """Lateness audit: running-max arrival window is keyed (never a
+    global single-partition pass over the fact), the only join is the
+    bounded bucket-class broadcast, and nothing nested-loops."""
+    plan = explain(queries["q_events_lateness"](spark, SF_MID))
+    n = node_counts(plan)
+    assert "CartesianProduct" not in plan
+    assert n["BroadcastNestedLoopJoin"] == 0
+    assert n["Window"] >= 1
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_calibration_is_scan_projection_plus_decile_agg(spark, queries):
+    """Calibration table: score/label are scan-side expressions; ONE
+    partial+final 10-row decile aggregate; no join, no Python."""
+    plan = explain(queries["q_quality_calibration"](spark, SF_MID))
+    n = node_counts(plan)
+    assert "Join" not in plan
+    assert n["Scan"] == 1
+    assert n["Exchange"] <= 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_rare_shingle_candidates_are_blocked_equi(spark, queries):
+    """Rare-shingle containment: candidates come from the df<=8 blocked
+    shingle equi join (Generate = the shingle explode); bounded lookups
+    broadcast-hash; NEVER an all-pairs operator."""
+    plan = explain(queries["q_dedup_rare_shingle"](spark, SF_MID))
+    n = node_counts(plan)
+    assert "CartesianProduct" not in plan
+    assert n["BroadcastNestedLoopJoin"] == 0
+    assert n["Generate"] >= 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -480,3 +480,30 @@ def test_maxsim_recalls_planted_neighbor_at_4x(spark, queries, stress_dir):
     for probe in range(3):
         top = set(out[out["probe_id"] == probe]["vec_id"])
         assert 7800 + probe in top, f"probe {probe}: planted copy not in top-5"
+
+
+def test_rare_shingle_bounds_hold_at_10x(spark, queries, stress_dir):
+    """VERDICT r7 #6: q_dedup_rare_shingle joined the dedup surface after
+    the last stress refresh. At 50k docs the construction gives exact
+    truth: every injected pair (i, 45000+i) shares all 58 original
+    3-shingles at df=2 (weight 7, the dup's one new shingle is df=1 and
+    excluded), so wsim = 1.0; a random cross-doc shingle collision
+    (expected ~3 in the 1e12 shingle space) contributes wsim ~ 7/406 =
+    0.017, far under the 200-permille threshold. Assert recall AND
+    precision >= 0.99 against the injected truth, and that the reported
+    volume stays linear (no drift toward the quadratic blow-up the df<=8
+    blocking exists to prevent)."""
+    out = (
+        queries["q_dedup_rare_shingle"](spark, stress_dir)
+        .select("doc_a", "doc_b")
+        .toPandas()
+    )
+    got = set(zip(out["doc_a"], out["doc_b"]))
+    truth = {(i, _N_UNIQ_DOCS + i) for i in range(_N_DUP_DOCS)}
+    recall = len(truth & got) / len(truth)
+    precision = len(truth & got) / max(len(got), 1)
+    n = _N_UNIQ_DOCS + _N_DUP_DOCS
+    frac = len(got) / (n * (n - 1) / 2)
+    assert recall >= 0.99, f"rare-shingle recall {recall:.4f} at 10x"
+    assert precision >= 0.99, f"rare-shingle precision {precision:.4f} at 10x"
+    assert frac < 1e-4, f"rare-shingle reported fraction {frac:.2e} at 10x"

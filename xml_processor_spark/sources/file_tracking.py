@@ -41,12 +41,27 @@ def run_tracked_ingest(spark, src_dir: str, checkpoint: str, out_dir: str) -> No
 
 @register(
     "E-FILE-TRACK",
-    oracle=None,
+    oracle="""
+        SELECT 'round1' AS phase,
+               CAST(count(*) FILTER (o_orderkey % 100 = 0) AS BIGINT) AS n
+        FROM orders
+        UNION ALL
+        SELECT 'round2_new_rows',
+               CAST(count(*) FILTER (o_orderkey % 100 = 1) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'total',
+               CAST(count(*) FILTER (o_orderkey % 100 <= 1) AS BIGINT)
+        FROM orders
+    """,
     origin="REF",
     doc="XMLReader processed-file tracking via checkpointed streaming file "
         "source: round 1 ingests files A,B; a file C arrives; round 2 "
         "ingests ONLY C (checkpoint = tracking table). Returns per-round "
-        "row counts proving exactly-once per file.",
+        "row counts proving exactly-once per file. Oracle-checked since r8: "
+        "the oracle computes each phase count from the orders view, so a "
+        "hash match proves round 2 ingested EXACTLY the new file - a "
+        "re-ingest of A/B would inflate round2_new_rows and mismatch.",
 )
 def e_file_track(spark, sf_dir):
     base = tempfile.mkdtemp(prefix="filetrack_")
