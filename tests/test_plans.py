@@ -1282,3 +1282,90 @@ def test_rare_shingle_candidates_are_blocked_equi(spark, queries):
     assert n["BroadcastNestedLoopJoin"] == 0
     assert n["Generate"] >= 1
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_mannwhitney_is_histogram_then_bounded(spark, queries):
+    """Mann-Whitney U: ONE map-side-combined histogram aggregate over the
+    fact scan; midrank/tie math runs over the <= 51-row histogram (its
+    single-partition window is the intended plan). No join anywhere."""
+    plan = explain(queries["q_orders_mannwhitney"](spark, SF_MID))
+    n = node_counts(plan)
+    assert "Join" not in plan
+    assert n["Scan"] == 1
+    assert "partial_sum" in plan or "partial_count" in plan
+    assert n["Window"] >= 1
+
+
+def test_spearman_grid_marginals_are_broadcast(spark, queries):
+    """Spearman rho: the fact collapses to the <= 50x11 (quantity,
+    discount) grid once (checkpointed, so the scan is not repeated per
+    branch); both midrank marginals join back as broadcasts; the moment
+    fold keeps partial aggregation. Nothing nested-loops."""
+    plan = explain(queries["q_lineitem_spearman"](spark, SF_MID))
+    n = node_counts(plan)
+    assert n["BroadcastHashJoin"] == 2
+    assert "CartesianProduct" not in plan
+    assert n["BroadcastNestedLoopJoin"] == 0
+    assert "partial_sum" in plan
+
+
+def test_theilsen_self_join_is_broadcast_equi(spark, queries):
+    """Theil-Sen: the pairwise stage self-joins the CHECKPOINTED
+    |nations|x|years| calendar (fact scan runs once, not per side); the
+    join is a broadcast hash join keyed on nation with the year-order
+    predicate as a post-filter — never a cartesian or a fact-level
+    all-pairs. Median selection windows run per-nation."""
+    plan = explain(queries["q_nation_theilsen"](spark, SF_MID))
+    n = node_counts(plan)
+    assert n["BroadcastHashJoin"] == 1
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert n["Window"] >= 1
+
+
+def test_runs_test_windows_are_post_histogram(spark, queries):
+    """Runs test: one fact pass onto the calendar-bounded daily histogram
+    (partial+final); sign/boundary lag windows run over that bounded
+    series. No join anywhere."""
+    plan = explain(queries["q_orders_runs_test"](spark, SF_MID))
+    n = node_counts(plan)
+    assert "Join" not in plan
+    assert n["Scan"] == 1
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert n["Window"] == 2
+
+
+def test_mann_kendall_pair_join_is_bounded_broadcast(spark, queries):
+    """Mann-Kendall: the monthly series is checkpointed (ONE fact scan
+    feeds all four branches); the non-equi sign-pair join and the two
+    scalar folds are broadcast nested loops over <= 84-row inputs — the
+    bounded-BNLJ class the CUSUM pin allows, never a cartesian."""
+    plan = explain(queries["q_orders_mann_kendall"](spark, SF_MID))
+    n = node_counts(plan)
+    assert "CartesianProduct" not in plan
+    assert n["BroadcastNestedLoopJoin"] <= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_mahalanobis_moments_broadcast_back(spark, queries):
+    """Mahalanobis audit: the 5-row per-segment moment table broadcasts
+    back over the customer scan (classic two-pass standardization); the
+    per-customer count join is an equi join; nothing nested-loops."""
+    plan = explain(queries["q_cust_mahalanobis"](spark, SF_MID))
+    n = node_counts(plan)
+    assert "CartesianProduct" not in plan
+    assert n["BroadcastNestedLoopJoin"] == 0
+    assert n["BroadcastHashJoin"] >= 1
+    assert "partial_sum" in plan
+
+
+def test_bootstrap_collapses_to_32_groups(spark, queries):
+    """Poisson bootstrap: the x32 Generate collapses map-side into the
+    32-group resample aggregate at checkpoint time (one fact pass); the
+    visible tail is the 32-row order-statistic window plus the 1-row
+    point-estimate broadcast. No cartesian anywhere."""
+    plan = explain(queries["q_lineitem_bootstrap"](spark, SF_MID))
+    n = node_counts(plan)
+    assert "CartesianProduct" not in plan
+    assert n["BroadcastNestedLoopJoin"] <= 1
+    assert n["Window"] == 1

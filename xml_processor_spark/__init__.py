@@ -38,6 +38,7 @@ def load_all() -> None:
     from xml_processor_spark.operators import timeseries  # noqa: F401
     from xml_processor_spark.operators import lakeops  # noqa: F401
     from xml_processor_spark.operators import hypothesis  # noqa: F401
+    from xml_processor_spark.operators import robust  # noqa: F401
     from xml_processor_spark.functions import sketches  # noqa: F401
     from xml_processor_spark.functions import scalars  # noqa: F401
     from xml_processor_spark.functions import udfs  # noqa: F401
