@@ -1369,3 +1369,43 @@ def test_bootstrap_collapses_to_32_groups(spark, queries):
     assert "CartesianProduct" not in plan
     assert n["BroadcastNestedLoopJoin"] <= 1
     assert n["Window"] == 1
+
+
+def test_holt_folds_bounded_series_no_window(spark, queries):
+    """Holt smoothing: the fact scan collapses map-side to the |days|
+    aggregate; the sequential recurrence is a HOF fold over ONE collected
+    row (Generate explodes the result back) — no per-row window, no join,
+    no Python."""
+    plan = explain(queries["q_events_holt"](spark, SF_MID))
+    n = node_counts(plan)
+    assert "Join" not in plan
+    assert n["Scan"] == 1
+    assert n["Generate"] == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_decompose_spine_join_then_bounded_window(spark, queries):
+    """Seasonal decomposition: hourly counts aggregate partial+final; the
+    generated hour spine joins them with a broadcast hash join (bounded
+    both sides); the MA frame is ONE window over the bounded grid; final
+    24-row rollup. No cartesian, no nested loop."""
+    plan = explain(queries["q_events_decompose"](spark, SF_MID))
+    n = node_counts(plan)
+    assert "CartesianProduct" not in plan
+    assert n["BroadcastNestedLoopJoin"] == 0
+    assert n["BroadcastHashJoin"] == 1
+    assert n["Window"] == 1
+    assert n["Generate"] == 1
+
+
+def test_silhouette_is_one_scan_one_packed_groupby(spark, queries):
+    """Silhouette: the checkpointed k-row centroid table broadcasts over
+    ONE vector scan (the kmeans assignment shape); nearest/second-nearest
+    come from a sort_array over packed (d2*16+c) keys in a single
+    groupBy — no rank window, no self-join, no cartesian."""
+    plan = explain(queries["q_emb_silhouette"](spark, SF_MID))
+    n = node_counts(plan)
+    assert n["BroadcastNestedLoopJoin"] == 1  # the k-row centroid cross
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert n["Window"] == 0

@@ -1095,6 +1095,21 @@ def _km_assign(vecs, cents):
         "the E-KNN-IVF argument).",
 )
 def q_emb_kmeans(spark, sf_dir):
+    vecs, c2 = _km_vectors_and_round2_centroids(spark, sf_dir)
+    a2 = _km_assign(vecs, c2)
+    return a2.groupBy(F.col("c").alias("cluster")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("d2").alias("inertia_e12"),
+    )
+
+
+def _km_vectors_and_round2_centroids(spark, sf_dir):
+    """Shared k-means front half: fixed-point vectors + round-2 centroids.
+
+    Used by q_emb_kmeans (reports assignment/inertia) and q_emb_silhouette
+    (reports separation quality of the same clustering) so both keys pin
+    the identical deterministic pipeline.
+    """
     e = widen(table(spark, sf_dir, "embeddings"))
     vecs = e.select(
         "vec_id",
@@ -1125,8 +1140,117 @@ def q_emb_kmeans(spark, sf_dir):
             lambda s: s["cv"],
         ).alias("ce")
     )
-    a2 = _km_assign(vecs, c2)
-    return a2.groupBy(F.col("c").alias("cluster")).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("d2").alias("inertia_e12"),
+    return vecs, c2
+
+
+@register(
+    "q_emb_silhouette",
+    oracle=f"""
+        WITH ev AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) * {_KM_SCALE})
+                            AS BIGINT)) AS xe
+            FROM embeddings
+        ),
+        init AS (SELECT vec_id AS c, xe AS ce FROM ev WHERE vec_id < {_KM_K}),
+        p1 AS (
+            SELECT e.vec_id, i.c,
+                   {_KM_D2_SQL.format(a='e.xe', b='i.ce')} AS d2
+            FROM ev e, init i
+        ),
+        a1 AS (
+            SELECT vec_id, c FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY d2, c) AS rn
+                FROM p1
+            ) WHERE rn = 1
+        ),
+        m AS (
+            SELECT a1.c, u.gs AS pos,
+                   CAST(round(CAST(SUM(e.xe[u.gs]) AS DOUBLE) / count(*))
+                        AS BIGINT) AS cv
+            FROM a1 JOIN ev e USING (vec_id),
+                 LATERAL (SELECT unnest(generate_series(1, len(e.xe))) AS gs) u
+            GROUP BY a1.c, u.gs
+        ),
+        c2 AS (SELECT c, list(cv ORDER BY pos) AS ce FROM m GROUP BY c),
+        p2 AS (
+            SELECT e.vec_id, k.c,
+                   {_KM_D2_SQL.format(a='e.xe', b='k.ce')} AS d2
+            FROM ev e, c2 k
+        ),
+        r AS (
+            SELECT vec_id, c, d2,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, c) AS rn
+            FROM p2
+        ),
+        ab AS (
+            SELECT a.vec_id, a.c, a.d2 AS a2, b.d2 AS b2
+            FROM r a JOIN r b
+              ON a.vec_id = b.vec_id AND a.rn = 1 AND b.rn = 2
+        )
+        SELECT c AS cluster,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(a2) AS BIGINT) AS sum_a2,
+               CAST(sum(b2) AS BIGINT) AS sum_b2,
+               round((CAST(sum(b2) AS DOUBLE) - CAST(sum(a2) AS DOUBLE))
+                     / CAST(sum(b2) AS DOUBLE), 6) AS sil_micro
+        FROM ab GROUP BY c
+    """,
+    origin="LLM",
+    doc="Per-cluster separation quality of the q_emb_kmeans clustering — "
+        "the simplified (centroid) silhouette, micro-averaged: a = d² to "
+        "the assigned (nearest) round-2 centroid, b = d² to the "
+        "second-nearest; sil_micro = (Σb − Σa)/Σb per cluster, in [0,1] "
+        "since assignment minimizes a. This is the accept/reject gate on "
+        "a SemDeDup-style clustering before within-cluster dedup spends "
+        "money: clusters with sil≈0 are arbitrary splits whose 'near-"
+        "duplicates' are artifacts. Shares the exact integer fixed-point "
+        "pipeline with q_emb_kmeans (same vectors, same two Lloyd "
+        "rounds, same d² sums — the shared-helper guarantee), so a and b "
+        "are exact int64s, ties in nearest/second-nearest break by "
+        "centroid id, and the ratio-of-exact-sums divides ONCE per "
+        "cluster at 6 dp — no per-row float aggregation anywhere "
+        "(mean-of-ratios would sum doubles in partition order). Scale "
+        "shape: the k-row round-2 centroid table is checkpointed (Lloyd "
+        "front half runs once) and broadcast over ONE vector scan (k·n "
+        "rows, linear); (d2, c) packs into a single int64 key so nearest/"
+        "second-nearest is a sort_array over k collected values in one "
+        "map-side-combinable groupBy — no per-vector rank window, no "
+        "self-join; then a k-row rollup. Micro vs macro averaging is "
+        "declared semantics.",
+)
+def q_emb_silhouette(spark, sf_dir):
+    vecs, c2 = _km_vectors_and_round2_centroids(spark, sf_dir)
+    # k-row centroid table: checkpoint so the two Lloyd rounds run once
+    # here, not once per downstream use; q_emb_kmeans keeps its own
+    # un-checkpointed lineage (its plan pin wants both rounds visible).
+    c2 = c2.localCheckpoint(eager=True)
+    # (d2, c) packed into ONE sortable int64 (d2*16 + c, c < 16): the
+    # nearest / second-nearest selection becomes a plain sort_array over
+    # the k collected keys — one n·k-row shuffle, no per-vector window,
+    # no rank self-join. Tie-break identical to the oracle's (d2, c).
+    pairs = vecs.crossJoin(F.broadcast(c2)).select(
+        "vec_id",
+        (_int_d2(F.col("xe"), F.col("ce")) * 16 + F.col("c")).alias("pk"),
+    )
+    per_vec = pairs.groupBy("vec_id").agg(
+        F.sort_array(F.collect_list("pk")).alias("ks")
+    )
+    ab = per_vec.select(
+        F.expr("element_at(ks, 1) % 16").alias("c"),
+        F.expr("element_at(ks, 1) DIV 16").alias("a2"),
+        F.expr("element_at(ks, 2) DIV 16").alias("b2"),
+    )
+    return ab.groupBy(F.col("c").alias("cluster")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("a2").cast("long").alias("sum_a2"),
+        F.sum("b2").cast("long").alias("sum_b2"),
+        F.round(
+            (F.sum("b2").cast("double") - F.sum("a2").cast("double"))
+            / F.sum("b2").cast("double"),
+            6,
+        ).alias("sil_micro"),
     )

@@ -892,3 +892,168 @@ def q_events_cusum(spark, sf_dir):
             )
         ).alias("drifted"),
     )
+
+
+@register(
+    "q_events_holt",
+    oracle="""
+        WITH RECURSIVE daily AS (
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS vc
+            FROM events WHERE value IS NOT NULL GROUP BY 1
+        ), idx AS (
+            SELECT d, vc, row_number() OVER (ORDER BY d) AS i FROM daily
+        ), rec AS (
+            SELECT i, d, CAST(vc AS DOUBLE) / 100.0 AS l,
+                   CAST(0.0 AS DOUBLE) AS b
+            FROM idx WHERE i = 1
+            UNION ALL
+            SELECT nx.i, nx.d,
+                   0.5 * (CAST(nx.vc AS DOUBLE) / 100.0)
+                   + 0.5 * (rec.l + rec.b),
+                   0.5 * ((0.5 * (CAST(nx.vc AS DOUBLE) / 100.0)
+                           + 0.5 * (rec.l + rec.b)) - rec.l)
+                   + 0.5 * rec.b
+            FROM rec JOIN idx nx ON nx.i = rec.i + 1
+        )
+        SELECT d, round(l, 6) AS level, round(b, 6) AS trend
+        FROM rec
+    """,
+    doc="Holt double (level+trend) exponential smoothing of the daily "
+        "event-value series, alpha = beta = 1/2 — the trend-aware upgrade "
+        "of q_events_ewma for forecast-based alerting. The recurrence "
+        "l_t = aly_t+(1-al)(l+b), b_t = be(l_t-l)+(1-be)b is inherently "
+        "sequential (NOT associative — no shuffle-parallel form exists), "
+        "so the house discipline applies: the FACT scan collapses "
+        "map-side to the calendar-bounded |days| series (~2.4k rows at "
+        "ANY SF), and only that bounded series is folded, as a "
+        "sort_array + aggregate() higher-order fold on ONE row — O(days) "
+        "driver-free work, same class as the KS/CUSUM bounded windows. "
+        "Determinism: inputs are exact integer cents; both engines "
+        "evaluate the textually identical recurrence in the identical "
+        "sequential order (Spark HOF fold / DuckDB recursive CTE), so "
+        "the doubles agree bit-for-bit and 6-dp rounding is decorative. "
+        "Init is declared: l_1 = y_1, b_1 = 0.",
+)
+def q_events_holt(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy(F.date_trunc("day", F.col("ts")).cast("date").alias("d"))
+        .agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("vc"))
+    )
+    rows = daily.agg(
+        F.sort_array(F.collect_list(F.struct("d", "vc"))).alias("rows")
+    )
+    hw = rows.select(
+        F.expr("""
+            aggregate(
+                rows,
+                CAST(array() AS array<struct<d: date, l: double, b: double>>),
+                (acc, x) -> CASE WHEN size(acc) = 0 THEN
+                    array(named_struct(
+                        'd', x.d,
+                        'l', CAST(x.vc AS DOUBLE) / 100.0,
+                        'b', CAST(0.0 AS DOUBLE)))
+                ELSE
+                    concat(acc, array(named_struct(
+                        'd', x.d,
+                        'l', 0.5 * (CAST(x.vc AS DOUBLE) / 100.0)
+                             + 0.5 * (element_at(acc, -1).l
+                                      + element_at(acc, -1).b),
+                        'b', 0.5 * ((0.5 * (CAST(x.vc AS DOUBLE) / 100.0)
+                                     + 0.5 * (element_at(acc, -1).l
+                                              + element_at(acc, -1).b))
+                                    - element_at(acc, -1).l)
+                             + 0.5 * element_at(acc, -1).b)))
+                END
+            ) AS hw
+        """)
+    )
+    return hw.select(F.explode("hw").alias("s")).select(
+        F.col("s.d").alias("d"),
+        F.round(F.col("s.l"), 6).alias("level"),
+        F.round(F.col("s.b"), 6).alias("trend"),
+    )
+
+
+@register(
+    "q_events_decompose",
+    oracle="""
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS h,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM events GROUP BY 1
+        ), bounds AS (
+            SELECT min(h) AS lo, max(h) AS hi FROM hourly
+        ), spine AS (
+            SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+            FROM bounds
+        ), ser AS (
+            SELECT s.h, coalesce(hourly.cnt, 0) AS cnt
+            FROM spine s LEFT JOIN hourly ON s.h = hourly.h
+        ), tr AS (
+            SELECT h, cnt,
+                   sum(cnt) OVER (ORDER BY h
+                       ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING) AS t24,
+                   count(*) OVER (ORDER BY h
+                       ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING) AS nfr
+            FROM ser
+        )
+        SELECT CAST(hour(h) AS BIGINT) AS hod,
+               CAST(count(*) AS BIGINT) AS n_obs,
+               round(CAST(sum(24 * cnt - t24) AS DOUBLE)
+                     / (24.0 * count(*)), 6) AS seasonal
+        FROM tr WHERE nfr = 24
+        GROUP BY 1
+    """,
+    doc="Classical seasonal decomposition of hourly event volume "
+        "(moving-average STL: trend = centered 24-hour MA, seasonal = "
+        "hour-of-day mean of the detrended series) — the profile that "
+        "separates 'traffic always dips at 4am' from real drift, feeding "
+        "the same monitors as q_events_dow_profile but detrended so a "
+        "growth ramp cannot masquerade as seasonality. The fact scan "
+        "collapses map-side onto the calendar-bounded hourly grid; a "
+        "generated hour SPINE left-joins the counts so empty hours are "
+        "true zeros, not missing rows that would shear the rows-based MA "
+        "frame. Exact-integer internals: the centered MA is kept as the "
+        "un-divided frame sum t24, the detrended value as the integer "
+        "24*cnt - t24 (x24 clears the /24), summed per hour-of-day in "
+        "BIGINT; ONE final division by 24*n per bucket, 6-dp. Edge hours "
+        "with partial frames (first 11 / last 12) are excluded by exact "
+        "frame count, per the classical procedure. The single-partition "
+        "window runs over the bounded hourly grid (~17k rows for two "
+        "years), never the fact.",
+)
+def q_events_decompose(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    bounds = ev.agg(
+        F.min(F.date_trunc("hour", F.col("ts"))).alias("lo"),
+        F.max(F.date_trunc("hour", F.col("ts"))).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("h")
+    )
+    ser = spine.join(hourly, "h", "left").select(
+        "h", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
+    )
+    # Bounded hourly grid from here on: single-partition frames intended.
+    wf = Window.orderBy("h").rowsBetween(-11, 12)
+    tr = ser.select(
+        "h",
+        "cnt",
+        F.sum("cnt").over(wf).alias("t24"),
+        F.count(F.lit(1)).over(wf).alias("nfr"),
+    ).filter(F.col("nfr") == 24)
+    return tr.groupBy(F.hour("h").cast("long").alias("hod")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.round(
+            F.sum(24 * F.col("cnt") - F.col("t24")).cast("double")
+            / (24.0 * F.count(F.lit(1))),
+            6,
+        ).alias("seasonal"),
+    )
