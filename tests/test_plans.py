@@ -1409,3 +1409,38 @@ def test_silhouette_is_one_scan_one_packed_groupby(spark, queries):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert n["Window"] == 0
+
+
+def test_periodogram_is_one_histogram_then_fold(spark, queries):
+    """Periodogram: ONE map-side-combined daily histogram off the fact
+    scan; the fixed-point DFT moments fold over the bounded series (its
+    global window is the intended plan). No join anywhere."""
+    plan = explain(queries["q_events_periodogram"](spark, SF_MID))
+    n = node_counts(plan)
+    assert "Join" not in plan
+    assert n["Scan"] == 1
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert n["Window"] == 1
+
+
+def test_forecast_eval_lags_are_per_priority(spark, queries):
+    """Forecast backtest: one fact shuffle onto the monthly calendar; the
+    naive/snaive lags share ONE per-priority window (keyed, never
+    single-partition over the fact); WAPE rollup keeps partial agg."""
+    plan = explain(queries["q_orders_forecast_eval"](spark, SF_MID))
+    n = node_counts(plan)
+    assert "Join" not in plan
+    assert n["Scan"] == 1
+    assert n["Window"] == 1
+    assert "partial_sum" in plan
+
+
+def test_freshness_is_one_agg_with_broadcast_bound(spark, queries):
+    """Freshness audit: the global high-water mark is a 1-row broadcast
+    folded into ONE map-side-combined per-type aggregate — two fact
+    passes total (bound + audit), no shuffle beyond |types| cells."""
+    plan = explain(queries["q_events_freshness"](spark, SF_MID))
+    n = node_counts(plan)
+    assert "CartesianProduct" not in plan
+    assert n["BroadcastNestedLoopJoin"] == 1  # the 1-row bound
+    assert "partial_count" in plan or "partial_min" in plan or "partial_max" in plan or "partial_sum" in plan

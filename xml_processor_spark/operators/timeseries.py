@@ -1057,3 +1057,278 @@ def q_events_decompose(spark, sf_dir):
             6,
         ).alias("seasonal"),
     )
+
+
+# Fixed-point weekly DFT basis: round(1e6·cos/sin(2πt/7)) for t mod 7,
+# hardcoded as integer literals so NO libm call can differ between engines
+# — the basis is exact by construction, not by rounding truce.
+_COS7 = [1000000, 623490, -222521, -900969, -900969, -222521, 623490]
+_SIN7 = [0, 781831, 974928, 433884, -433884, -974928, -781831]
+_COS7_SQL = "CASE (t % 7) " + " ".join(
+    f"WHEN {i} THEN {v}" for i, v in enumerate(_COS7)
+) + " END"
+_SIN7_SQL = "CASE (t % 7) " + " ".join(
+    f"WHEN {i} THEN {v}" for i, v in enumerate(_SIN7)
+) + " END"
+
+
+@register(
+    "q_events_periodogram",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+                   CAST(count(*) AS BIGINT) AS y
+            FROM events GROUP BY 1
+        ), idx AS (
+            SELECT CAST(d - (SELECT min(d) FROM daily) AS BIGINT) AS t, y
+            FROM daily
+        ), win AS (
+            SELECT t, y, {_COS7_SQL} AS c, {_SIN7_SQL} AS s
+            FROM idx, (SELECT 7 * (count(*) // 7) AS n7 FROM idx) lim
+            WHERE t < lim.n7
+        ), m AS (
+            SELECT CAST(count(*) AS DECIMAL(38,0)) AS n7,
+                   CAST(sum(y) AS DECIMAL(38,0)) AS sy,
+                   sum(CAST(y AS DECIMAL(38,0)) * y) AS syy,
+                   sum(CAST(y AS DECIMAL(38,0)) * c) AS a,
+                   sum(CAST(y AS DECIMAL(38,0)) * s) AS b,
+                   sum(CAST(c AS DECIMAL(38,0)) * c) AS cc,
+                   sum(CAST(s AS DECIMAL(38,0)) * s) AS ss
+            FROM win
+        )
+        SELECT CAST(n7 AS BIGINT) AS n_days,
+               round(
+                   (CAST(a AS DOUBLE) * CAST(a AS DOUBLE)
+                        / CAST(cc AS DOUBLE)
+                    + CAST(b AS DOUBLE) * CAST(b AS DOUBLE)
+                        / CAST(ss AS DOUBLE))
+                   / (CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                        / CAST(n7 AS DOUBLE)),
+                   6) AS weekly_r2
+        FROM m
+    """,
+    doc="Weekly-periodicity detector: fraction of daily-volume variance "
+        "explained by the 1/7-frequency Fourier pair — the signal that "
+        "tells a capacity planner 'this series has a weekly cycle' before "
+        "any seasonal model is fitted (q_events_decompose profiles the "
+        "shape; this scores its strength). The DFT basis is FIXED-POINT "
+        "integer constants (round(1e6·cos/sin(2πt/7)) hardcoded per t mod "
+        "7 — no libm call exists to differ between engines); the series "
+        "is truncated to complete weeks so the declared estimator "
+        "R² = (a²/Σc² + b²/Σs²)/(Σy²−(Σy)²/n) needs no mean-centering of "
+        "the basis. All seven moments accumulate exactly in decimal(38,0) "
+        "(a ~ 1e6·Σy reaches 4e17 at 1.5e11 orders — int64 is gone); the "
+        "final combination runs in double (a²·Σs² ~ 1e48 exceeds any "
+        "fixed decimal), identical expression tree, 6 dp. Scale shape: "
+        "ONE map-side-combined |days| histogram off the fact scan; "
+        "everything after is a ~2.4k-row bounded fold.",
+)
+def q_events_periodogram(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    wmin = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    idx = daily.select(
+        F.datediff(F.col("d"), F.min("d").over(wmin)).cast("long").alias("t"),
+        "y",
+        F.count(F.lit(1)).over(wmin).alias("nd"),
+    )
+    cos_expr = F.expr(_COS7_SQL)
+    sin_expr = F.expr(_SIN7_SQL)
+    win = idx.filter(F.col("t") < 7 * F.expr("nd DIV 7")).select(
+        "t", "y", cos_expr.alias("c"), sin_expr.alias("s")
+    )
+    m = win.agg(
+        F.count(F.lit(1)).cast(_D38).alias("n7"),
+        F.sum("y").cast(_D38).alias("sy"),
+        F.sum(F.col("y").cast(_D38) * F.col("y")).alias("syy"),
+        F.sum(F.col("y").cast(_D38) * F.col("c")).alias("a"),
+        F.sum(F.col("y").cast(_D38) * F.col("s")).alias("b"),
+        F.sum(F.col("c").cast(_D38) * F.col("c")).alias("cc"),
+        F.sum(F.col("s").cast(_D38) * F.col("s")).alias("ss"),
+    )
+    ad = F.col("a").cast("double")
+    bd = F.col("b").cast("double")
+    return m.select(
+        F.col("n7").cast("long").alias("n_days"),
+        F.round(
+            (
+                ad * ad / F.col("cc").cast("double")
+                + bd * bd / F.col("ss").cast("double")
+            )
+            / (
+                F.col("syy").cast("double")
+                - F.col("sy").cast("double") * F.col("sy").cast("double")
+                / F.col("n7").cast("double")
+            ),
+            6,
+        ).alias("weekly_r2"),
+    )
+
+
+@register(
+    "q_orders_forecast_eval",
+    oracle="""
+        WITH monthly AS (
+            SELECT o_orderpriority AS prio,
+                   CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS rev
+            FROM orders GROUP BY 1, 2
+        ), f AS (
+            SELECT prio, mon, rev,
+                   lag(rev, 1) OVER (PARTITION BY prio ORDER BY mon)
+                       AS f_naive,
+                   lag(rev, 12) OVER (PARTITION BY prio ORDER BY mon)
+                       AS f_snaive
+            FROM monthly
+        )
+        SELECT prio,
+               CAST(count(*) AS BIGINT) AS n_eval,
+               round(CAST(sum(abs(rev - f_naive)) AS DOUBLE)
+                     / CAST(sum(rev) AS DOUBLE), 6) AS wape_naive,
+               round(CAST(sum(abs(rev - f_snaive)) AS DOUBLE)
+                     / CAST(sum(rev) AS DOUBLE), 6) AS wape_snaive
+        FROM f
+        WHERE f_naive IS NOT NULL AND f_snaive IS NOT NULL
+        GROUP BY 1
+    """,
+    doc="Forecast backtest over the monthly revenue series per order "
+        "priority: WAPE (Σ|error|/Σ|actual|) of the one-month-naive "
+        "forecast vs the seasonal-naive (lag-12) forecast — the benchmark "
+        "pair every demand-forecasting system must beat before it earns "
+        "its keep (the M-competition baseline discipline); snaive "
+        "beating naive IS the yearly-seasonality detector. Both "
+        "forecasts are lag windows over the calendar-bounded "
+        "≤|priorities|×|months| aggregate; the evaluation window is the "
+        "lag-12-complete suffix (both forecasts non-null), so both "
+        "models are scored on identical months. WAPE is a ratio of two "
+        "exact integer-cent sums — no per-point percentage (MAPE's "
+        "divide-by-small-actual instability), ONE division at 6 dp. "
+        "Scale shape: one map-side-combined fact shuffle onto the "
+        "monthly calendar; per-priority lag windows over ≤84 rows.",
+)
+def q_orders_forecast_eval(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.col("o_orderpriority").alias("prio"),
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("mon"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .alias("rev")
+    )
+    w = Window.partitionBy("prio").orderBy("mon")
+    f = monthly.select(
+        "prio",
+        "rev",
+        F.lag("rev", 1).over(w).alias("f_naive"),
+        F.lag("rev", 12).over(w).alias("f_snaive"),
+    ).filter(F.col("f_naive").isNotNull() & F.col("f_snaive").isNotNull())
+    return f.groupBy("prio").agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval"),
+        F.round(
+            F.sum(F.abs(F.col("rev") - F.col("f_naive"))).cast("double")
+            / F.sum("rev").cast("double"),
+            6,
+        ).alias("wape_naive"),
+        F.round(
+            F.sum(F.abs(F.col("rev") - F.col("f_snaive"))).cast("double")
+            / F.sum("rev").cast("double"),
+            6,
+        ).alias("wape_snaive"),
+    )
+
+
+@register(
+    "q_events_freshness",
+    oracle="""
+        WITH per_type AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_total,
+                   max(ts) AS last_ts,
+                   CAST(count(*) FILTER (
+                       WHERE ts >= date_trunc('day', (SELECT max(ts)
+                                                      FROM events))
+                   ) AS BIGINT) AS n_last_day,
+                   CAST(date_trunc('day', max(ts))
+                        - date_trunc('day', min(ts)) AS BIGINT) + 1
+                       AS n_days
+            FROM events GROUP BY 1
+        ), g AS (SELECT max(last_ts) AS global_max FROM per_type)
+        SELECT event_type,
+               n_total,
+               CAST((epoch_us(global_max) - epoch_us(last_ts)) // 60000000
+                    AS BIGINT) AS lag_min,
+               CASE WHEN epoch_us(global_max) - epoch_us(last_ts)
+                         < CAST(3600000000 AS BIGINT) THEN 'fresh'
+                    WHEN epoch_us(global_max) - epoch_us(last_ts)
+                         < CAST(86400000000 AS BIGINT) THEN 'lagging'
+                    ELSE 'stale' END AS staleness,
+               round(CAST(n_last_day AS DOUBLE)
+                     / (CAST(n_total AS DOUBLE) / n_days), 6)
+                   AS last_day_volume_ratio
+        FROM per_type, g
+    """,
+    doc="Per-feed freshness audit — the first page of every pipeline "
+        "dashboard: how far behind the most recent arrival is each event "
+        "type (lag vs the global high-water mark, classed fresh/<1h, "
+        "lagging/<24h, stale), and whether its final-day volume is "
+        "collapsing (last-day count vs lifetime daily average — a feed "
+        "can be 'fresh' yet silently 90% down). The staleness class "
+        "compares exact integer microsecond differences (no float "
+        "timestamp math can flip a boundary); the volume ratio is one "
+        "division of exact counts at 6 dp. Scale shape: ONE map-side-"
+        "combined aggregate onto |event_types| rows off the fact scan "
+        "(min/max/count combine associatively); the global high-water "
+        "mark is a 1-row broadcast fold back over the bounded type "
+        "table. The last-day count rides the SAME aggregate via a "
+        "conditional count against the broadcast day bound.",
+)
+def q_events_freshness(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    gmax = ev.agg(
+        F.date_trunc("day", F.max("ts")).alias("gday"),
+        F.max("ts").alias("global_max"),
+    )
+    per_type = (
+        ev.join(F.broadcast(gmax))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+            F.max("ts").alias("last_ts"),
+            F.sum(F.when(F.col("ts") >= F.col("gday"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_last_day"),
+            (
+                F.datediff(
+                    F.date_trunc("day", F.max("ts")),
+                    F.date_trunc("day", F.min("ts")),
+                ).cast("long")
+                + 1
+            ).alias("n_days"),
+            F.max(F.col("global_max")).alias("global_max"),
+        )
+    )
+    lag_us = F.unix_micros(F.col("global_max")) - F.unix_micros(
+        F.col("last_ts")
+    )
+    return per_type.select(
+        "event_type",
+        "n_total",
+        F.expr(
+            "(unix_micros(global_max) - unix_micros(last_ts)) DIV 60000000"
+        ).alias("lag_min"),
+        F.when(lag_us < 60 * 60000000, "fresh")
+        .when(lag_us < 24 * 60 * 60000000, "lagging")
+        .otherwise("stale")
+        .alias("staleness"),
+        F.round(
+            F.col("n_last_day").cast("double")
+            / (F.col("n_total").cast("double") / F.col("n_days")),
+            6,
+        ).alias("last_day_volume_ratio"),
+    )
