@@ -1444,3 +1444,38 @@ def test_freshness_is_one_agg_with_broadcast_bound(spark, queries):
     assert "CartesianProduct" not in plan
     assert n["BroadcastNestedLoopJoin"] == 1  # the 1-row bound
     assert "partial_count" in plan or "partial_min" in plan or "partial_max" in plan or "partial_sum" in plan
+
+
+def test_partition_skew_is_one_expand_pass(spark, queries):
+    """Skew advisor: GROUPING SETS = ONE scan + ONE Expand feeding a
+    single partial+final aggregate (never three scans); ranking windows
+    run keyed-per-layout over the bounded partition table."""
+    plan = explain(queries["q_partition_skew"](spark, SF_MID))
+    n = node_counts(plan)
+    assert "Join" not in plan
+    assert n["Scan"] == 1
+    assert n["Expand"] == 1
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_burstiness_is_two_cascaded_aggs(spark, queries):
+    """Burstiness: (type, day) histogram then |types|-row moment rollup —
+    two cascaded map-side-combined aggregates, no window, no join."""
+    plan = explain(queries["q_events_burstiness"](spark, SF_MID))
+    n = node_counts(plan)
+    assert "Join" not in plan
+    assert n["Scan"] == 1
+    assert n["Window"] == 0
+    assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_length_drift_marginals_broadcast(spark, queries):
+    """Length drift: the (source, bin) grid is checkpointed (one corpus
+    scan feeds all four branches); pooled/source/total marginals join
+    back as broadcasts; the fixed-point term sum keeps partial agg."""
+    plan = explain(queries["q_docs_length_drift"](spark, SF_MID))
+    n = node_counts(plan)
+    assert "CartesianProduct" not in plan
+    assert n["BroadcastHashJoin"] >= 2
+    assert n["BroadcastNestedLoopJoin"] <= 1  # the 1-row total fold
+    assert "partial_sum" in plan

@@ -1,0 +1,275 @@
+"""Physical-design & drift audits (SURVEY §2.L/M extensions).
+
+The queries an engineering team runs BEFORE committing a 100 TB layout or
+merging a new data drop:
+
+- `q_partition_skew` measures, in one fact pass, how three candidate
+  partition layouts would balance — the empirical input to every
+  `partitionBy`/bucketing decision in this repo's scale notes.
+- `q_events_burstiness` quantifies overdispersion of the daily event feed
+  (Fano factor + Goh–Barabási burstiness), the statistic that decides
+  whether a feed needs salting/AQE-skew handling at all.
+- `q_docs_length_drift` chi-squares each source's document-length
+  histogram against the pooled corpus — the cheap structural drift gate
+  that runs before any content-level (embedding) check.
+
+House rules as everywhere: aggregate-first onto calendar/bucket-bounded
+cells, exact-integer internals, floats only in final closed forms at 6 dp
+over identical cross-engine expression trees.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from xml_processor_spark.io import register_views, table
+from xml_processor_spark.registry import register
+
+_D38 = "decimal(38,0)"
+
+# Candidate layouts audited by q_partition_skew. 512 hash buckets is the
+# bucketed-join layout of q_join_bucketed scaled down; day/month are the
+# natural time-partitionings of a shipment fact.
+_SKEW_BUCKETS = 512
+
+
+def _skew_sql(intdiv: str) -> str:
+    """Dialect-shared skew-audit SQL; `intdiv` is 'DIV' (Spark) / '//'
+    (DuckDB) — the only token the two dialects disagree on."""
+    return f"""
+        WITH keyed AS (
+            SELECT CAST(date_trunc('day', l_shipdate) AS DATE) AS d,
+                   CAST(date_trunc('month', l_shipdate) AS DATE) AS m,
+                   l_orderkey % {_SKEW_BUCKETS} AS b
+            FROM lineitem
+        ), parts AS (
+            SELECT CASE WHEN GROUPING(d) = 0 THEN 'ship_day'
+                        WHEN GROUPING(m) = 0 THEN 'ship_month'
+                        ELSE 'okey_bucket{_SKEW_BUCKETS}' END AS layout,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM keyed
+            GROUP BY GROUPING SETS ((d), (m), (b))
+        ), r AS (
+            SELECT layout, cnt,
+                   row_number() OVER (PARTITION BY layout
+                                      ORDER BY cnt) AS rn,
+                   count(*) OVER (PARTITION BY layout) AS np
+            FROM parts
+        )
+        SELECT layout,
+               CAST(max(np) AS BIGINT) AS n_parts,
+               CAST(min(cnt) AS BIGINT) AS rows_min,
+               CAST(avg(CASE WHEN rn = (np + 1) {intdiv} 2
+                              OR rn = (np + 2) {intdiv} 2
+                             THEN CAST(cnt AS DOUBLE) END) AS DOUBLE)
+                   AS rows_p50,
+               CAST(max(cnt) AS BIGINT) AS rows_max,
+               round(CAST(max(cnt) AS DOUBLE)
+                     / avg(CASE WHEN rn = (np + 1) {intdiv} 2
+                                 OR rn = (np + 2) {intdiv} 2
+                                THEN CAST(cnt AS DOUBLE) END), 6)
+                   AS skew_max_over_p50
+        FROM r
+        GROUP BY layout
+    """
+
+
+@register(
+    "q_partition_skew",
+    oracle=_skew_sql("//"),
+    doc="Partition-layout skew advisor: ONE fact pass sizes every "
+        "partition of three candidate layouts simultaneously — ship day, "
+        f"ship month, and orderkey % {_SKEW_BUCKETS} hash buckets — via "
+        "GROUPING SETS (a single Expand + one map-side-combined "
+        "aggregate, NOT three scans), then reports per layout the "
+        "partition count, min/median/max rows and max/p50 skew ratio. "
+        "This is the measurement that justifies this repo's own layout "
+        "choices: a skew ratio near 1 means even task sizes; day "
+        "partitions of a growing business are right-skewed (recent days "
+        "are bigger); hash buckets are flat by construction. Median is "
+        "POSITIONAL (row_number over the bounded partition table, both "
+        "middles averaged — the q_nation_theilsen discipline), never a "
+        "float quantile estimate. Scale shape: the Expand multiplies the "
+        "scan ×3 but collapses map-side into ≤|days|+|months|+"
+        f"{_SKEW_BUCKETS} cells; ranking windows run over that bounded "
+        "table, keyed per layout. Dialect-shared SQL text (the single "
+        "DIV-vs-// token differs), so both engines execute the "
+        "identical statement shape.",
+)
+def q_partition_skew(spark, sf_dir):
+    register_views(spark, sf_dir)
+    return spark.sql(_skew_sql("DIV"))
+
+
+@register(
+    "q_events_burstiness",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(date_trunc('day', ts) AS DATE) AS d,
+                   CAST(count(*) AS BIGINT) AS y
+            FROM events GROUP BY 1, 2
+        ), m AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_days,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0))
+                       AS syy
+            FROM daily GROUP BY 1
+        )
+        SELECT event_type, n_days,
+               round(CAST(sy AS DOUBLE) / n_days, 6) AS mean_daily,
+               round(
+                   ((CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n_days)
+                    / (n_days - 1.0))
+                   / (CAST(sy AS DOUBLE) / n_days), 6) AS fano,
+               round(
+                   (sqrt((CAST(syy AS DOUBLE)
+                          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                            / n_days) / (n_days - 1.0))
+                    - CAST(sy AS DOUBLE) / n_days)
+                   / (sqrt((CAST(syy AS DOUBLE)
+                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                              / n_days) / (n_days - 1.0))
+                      + CAST(sy AS DOUBLE) / n_days), 6) AS burstiness
+        FROM m
+    """,
+    doc="Overdispersion audit of the daily event feed, per type: Fano "
+        "factor (var/mean — 1 for a Poisson-flat feed, >1 bursty) and "
+        "the Goh–Barabási burstiness score (σ−μ)/(σ+μ) ∈ (−1, 1). THIS "
+        "is the statistic that decides whether a feed needs salting or "
+        "AQE skew handling: a Fano near 1 means hash-by-day tasks are "
+        "even, a large Fano predicts straggler partitions. Moments are "
+        "exact (Σy BIGINT, Σy² decimal(38,0) — y² reaches 4e15/day at "
+        "1.5e11 events and the sum crosses int64 within a year); mean/"
+        "var/σ combine in double over the identical tree, 6 dp. Scale "
+        "shape: one map-side-combined (type, day) histogram off the "
+        "fact scan, then a |types|-row moment rollup — no window, no "
+        "join, nothing unbounded past the first shuffle.",
+)
+def q_events_burstiness(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("d"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("y").cast(_D38) * F.col("y")).cast(_D38).alias("syy"),
+    )
+    nd = F.col("n_days")
+    mean = F.col("sy").cast("double") / nd
+    var = (
+        F.col("syy").cast("double")
+        - F.col("sy").cast("double") * F.col("sy").cast("double") / nd
+    ) / (nd - 1.0)
+    sd = F.sqrt(var)
+    return m.select(
+        "event_type",
+        "n_days",
+        F.round(mean, 6).alias("mean_daily"),
+        F.round(var / mean, 6).alias("fano"),
+        F.round((sd - mean) / (sd + mean), 6).alias("burstiness"),
+    )
+
+
+_LEN_BIN_W = 100
+_LEN_BIN_MAX = 20
+
+
+@register(
+    "q_docs_length_drift",
+    oracle=f"""
+        WITH b AS (
+            SELECT source,
+                   least(n_chars // {_LEN_BIN_W}, {_LEN_BIN_MAX}) AS bin
+            FROM documents
+        ), grid AS (
+            SELECT source, bin, CAST(count(*) AS BIGINT) AS o
+            FROM b GROUP BY 1, 2
+        ), pooled AS (
+            SELECT bin, CAST(sum(o) AS BIGINT) AS p FROM grid GROUP BY 1
+        ), srcn AS (
+            SELECT source, CAST(sum(o) AS BIGINT) AS ns FROM grid GROUP BY 1
+        ), tot AS (SELECT CAST(sum(p) AS BIGINT) AS nt FROM pooled),
+        terms AS (
+            SELECT g.source,
+                   CAST(round(
+                       (CAST(g.o AS DOUBLE) * nt - CAST(p AS DOUBLE) * ns)
+                       * (CAST(g.o AS DOUBLE) * nt - CAST(p AS DOUBLE) * ns)
+                       / (CAST(p AS DOUBLE) * ns * nt) * 1000000.0
+                   ) AS BIGINT) AS t6
+            FROM grid g JOIN pooled USING (bin)
+                        JOIN srcn USING (source), tot
+        )
+        SELECT t.source, s.ns AS n_docs,
+               round(CAST(sum(t.t6) AS DOUBLE) / 1000000.0, 6) AS chi2
+        FROM terms t JOIN srcn s ON t.source = s.source
+        GROUP BY 1, 2
+    """,
+    origin="LLM",
+    doc="Per-source document-length drift gate: Pearson chi-squared of "
+        f"each source's length histogram ({_LEN_BIN_W}-char bins, capped "
+        f"at {_LEN_BIN_MAX + 1}) against the pooled corpus — the cheap "
+        "structural check that catches a crawler regression (truncated "
+        "pages, boilerplate explosions) before any content-level "
+        "embedding diff runs. Expected counts use the pooled bin shares, "
+        "so chi2 ≈ 0 means the source is length-representative. "
+        "Determinism: per-bin terms are computed in double from EXACT "
+        "integer counts via one identical expression, then fixed-pointed "
+        "to 1e-6 (the declared resolution) so the per-source sum is an "
+        "exact integer reduction — no partition-order float accumulation "
+        "(the kmeans round(x·1e6) discipline). Scale shape: one "
+        "map-side-combined (source, bin) grid off the corpus scan; "
+        "pooled/source marginals and the term join are all bounded by "
+        f"|sources|×{_LEN_BIN_MAX + 1} cells, broadcast-joined.",
+)
+def q_docs_length_drift(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    grid = (
+        d.select(
+            "source",
+            F.least(
+                F.floor(F.col("n_chars") / _LEN_BIN_W).cast("long"),
+                F.lit(_LEN_BIN_MAX).cast("long"),
+            ).alias("bin"),
+        )
+        .groupBy("source", "bin")
+        .agg(F.count(F.lit(1)).alias("o"))
+        # ≤ |sources|×21 cells feed four branches: one corpus scan total.
+        .localCheckpoint(eager=True)
+    )
+    pooled = grid.groupBy("bin").agg(F.sum("o").cast("long").alias("p"))
+    srcn = grid.groupBy("source").agg(F.sum("o").cast("long").alias("ns"))
+    tot = pooled.agg(F.sum("p").cast("long").alias("nt"))
+    dev = (
+        F.col("o").cast("double") * F.col("nt")
+        - F.col("p").cast("double") * F.col("ns")
+    )
+    terms = (
+        grid.join(F.broadcast(pooled), "bin")
+        .join(F.broadcast(srcn), "source")
+        .join(F.broadcast(tot))
+        .select(
+            "source",
+            F.round(
+                dev * dev
+                / (F.col("p").cast("double") * F.col("ns") * F.col("nt"))
+                * 1000000.0,
+                0,
+            ).cast("long").alias("t6"),
+        )
+    )
+    return (
+        terms.groupBy("source")
+        .agg(F.sum("t6").alias("st6"))
+        .join(F.broadcast(srcn), "source")
+        .select(
+            "source",
+            F.col("ns").alias("n_docs"),
+            F.round(F.col("st6").cast("double") / 1000000.0, 6).alias("chi2"),
+        )
+    )
