@@ -1479,3 +1479,50 @@ def test_length_drift_marginals_broadcast(spark, queries):
     assert n["BroadcastHashJoin"] >= 2
     assert n["BroadcastNestedLoopJoin"] <= 1  # the 1-row total fold
     assert "partial_sum" in plan
+
+
+def test_anova_is_one_group_agg_fold(spark, queries):
+    """ANOVA: ONE map-side-combined 5-group aggregate over the fact scan,
+    then a 1-row fold — no join, no window, nothing nested-loops."""
+    plan = explain(queries["q_orders_anova"](spark, SF_MID))
+    n = node_counts(plan)
+    assert "Join" not in plan
+    assert n["Scan"] == 1
+    assert n["Window"] == 0
+    assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_kruskal_bin_join_is_broadcast(spark, queries):
+    """Kruskal–Wallis: one fact shuffle onto (grp, bin) cells; the
+    bin-total rank join is a <=51-row broadcast; the only windows run
+    post-aggregation over the bounded histogram."""
+    plan = explain(queries["q_orders_kruskal"](spark, SF_MID))
+    n = node_counts(plan)
+    assert "CartesianProduct" not in plan
+    assert n["BroadcastHashJoin"] >= 1
+    assert n["BroadcastNestedLoopJoin"] <= 1  # the 1-row tie-term fold
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_cramers_v_margins_broadcast_after_fact_join(spark, queries):
+    """Cramér's V: exactly one non-broadcast join may appear (the
+    orders x customer fact join — AQE may still broadcast it at small
+    SF); the margin joins over the <=25-cell contingency are broadcasts;
+    no cartesian product."""
+    plan = explain(queries["q_orders_cramers_v"](spark, SF_MID))
+    n = node_counts(plan)
+    assert "CartesianProduct" not in plan
+    assert n["BroadcastHashJoin"] >= 2  # rm + cm margin joins at minimum
+    assert n["SortMergeJoin"] + n["ShuffledHashJoin"] <= 1  # fact join only
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_two_proportion_single_join_then_folds(spark, queries):
+    """Two-proportion z: one custkey join, one map-side-combined 2-row
+    aggregate, then constant-size folds — no window, no cartesian."""
+    plan = explain(queries["q_orders_two_proportion"](spark, SF_MID))
+    n = node_counts(plan)
+    assert "CartesianProduct" not in plan
+    assert n["Window"] == 0
+    assert n["SortMergeJoin"] + n["ShuffledHashJoin"] + n["BroadcastHashJoin"] == 1
+    assert "partial_count" in plan or "partial_sum" in plan

@@ -40,6 +40,7 @@ def load_all() -> None:
     from xml_processor_spark.operators import hypothesis  # noqa: F401
     from xml_processor_spark.operators import robust  # noqa: F401
     from xml_processor_spark.operators import audits  # noqa: F401
+    from xml_processor_spark.operators import anova  # noqa: F401
     from xml_processor_spark.functions import sketches  # noqa: F401
     from xml_processor_spark.functions import scalars  # noqa: F401
     from xml_processor_spark.functions import udfs  # noqa: F401

@@ -1,0 +1,223 @@
+"""Corpus-level lexical association & source comparison (SURVEY §2.K ext).
+
+Two corpus-QA operators a training-data pipeline runs per data drop:
+
+- `q_text_collocations` — PMI-scored word bigram collocations over the
+  whole corpus. PMI is the standard collocation measure (Church & Hanks);
+  a crawler regression that injects boilerplate shows up instantly as a
+  new block of impossibly-high-PMI pairs.
+- `q_source_vocab_overlap` — pairwise Jaccard overlap of the per-source
+  vocabularies: the cheap lexical fingerprint that flags two "different"
+  sources as mirrors of each other BEFORE the expensive content-level
+  dedup (MinHash/SimHash) runs.
+
+House scale rules:
+
+- tokenization is the repo-wide declared split on single spaces (same as
+  q_text_ngrams / q_text_wordcount — cross-operator consistency is part
+  of the contract).
+- **aggregate first**: unigram/bigram/vocab tables are map-side-combined
+  aggregates off ONE corpus scan; every join after is an equi join on the
+  token key (hash-shuffled, never all-pairs). The collocation output is
+  bounded by the declared min-count support threshold; the overlap output
+  by |sources|².
+- exact BIGINT counts everywhere; PMI is ONE ln() over one double ratio
+  of exact integers, 6-dp rounded on identical cross-engine trees.
+
+Reference surface: none — LLM-pipeline extensions mandated by
+BASELINE.json (same family as llm_text.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from xml_processor_spark.functions.deterministic import r6
+from xml_processor_spark.io import table
+from xml_processor_spark.registry import register
+
+# Support threshold: a bigram must occur this often to be scored. This is
+# the standard collocation-extraction guard (PMI explodes on hapax pairs)
+# AND the output bound — at ANY corpus size the result is at most
+# total_bigrams / _MIN_PAIR rows.
+_MIN_PAIR = 5
+
+
+@register(
+    "q_text_collocations",
+    oracle=f"""
+        WITH toks AS (
+            SELECT string_split(text, ' ') AS t FROM documents
+        ), uni AS (
+            SELECT tok, CAST(count(*) AS BIGINT) AS c1
+            FROM (SELECT unnest(t) AS tok FROM toks)
+            GROUP BY 1
+        ), bi AS (
+            SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+            FROM (
+                SELECT t.t[u.gs] AS w1, t.t[u.gs + 1] AS w2
+                FROM toks t,
+                     LATERAL (SELECT unnest(generate_series(1, len(t.t) - 1))
+                              AS gs) u
+            )
+            GROUP BY 1, 2
+            HAVING count(*) >= {_MIN_PAIR}
+        ), tot AS (
+            SELECT CAST(sum(c1) AS BIGINT) AS nu,
+                   CAST(sum(len(t) - 1) AS BIGINT) AS nb
+            FROM uni, (SELECT t FROM toks) x(t)
+        )
+        SELECT b.w1, b.w2, b.c12 AS n_pair,
+               round(ln(CAST(b.c12 AS DOUBLE) * CAST(tot.nu AS DOUBLE)
+                        * CAST(tot.nu AS DOUBLE)
+                        / (CAST(tot.nb AS DOUBLE) * CAST(u1.c1 AS DOUBLE)
+                           * CAST(u2.c1 AS DOUBLE))), 6) AS pmi
+        FROM bi b
+        JOIN uni u1 ON b.w1 = u1.tok
+        JOIN uni u2 ON b.w2 = u2.tok
+        CROSS JOIN tot
+    """,
+    origin="LLM",
+    doc="PMI collocation extraction over corpus word bigrams (Church & "
+        f"Hanks): adjacent-token pairs with support ≥ {_MIN_PAIR} scored "
+        "by ln(P(w1,w2)/(P(w1)P(w2))) with P̂s from exact BIGINT unigram/"
+        "bigram counts — PMI is ONE ln() over one double ratio of five "
+        "exact integers, 6-dp on identical trees (not a sum of ln()s, "
+        "whose association order could differ cross-engine). The support "
+        "threshold is simultaneously the statistical guard (PMI explodes "
+        "on hapax pairs) and the output bound (≤ N_bigrams/"
+        f"{_MIN_PAIR} rows). Scale shape: ONE corpus scan feeds the "
+        "unigram and bigram map-side-combined aggregates; the two "
+        "probability lookups are hash equi joins on the token key "
+        "(shuffle ∝ surviving bigrams, never all-pairs); totals fold to "
+        "one broadcast row.",
+)
+def q_text_collocations(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    base = d.select(toks.alias("t"))
+    uni = (
+        base.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    # Same guarded adjacent-pair construction as q_text_ngrams: a 1-token
+    # doc must yield no pairs (sequence(1, 0) would descend).
+    pairs = F.when(
+        F.size("t") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - 1),
+            lambda i: F.struct(
+                F.element_at("t", i).alias("w1"),
+                F.element_at("t", i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bi = (
+        base.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .where(F.col("c12") >= _MIN_PAIR)
+    )
+    tot = base.agg(
+        F.sum(F.size("t")).cast("long").alias("nu"),
+        F.sum(F.size("t") - 1).cast("long").alias("nb"),
+    )
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("c1").alias("c1_1"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("c1").alias("c1_2"))
+    return (
+        bi.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").alias("n_pair"),
+            r6(
+                F.log(
+                    F.col("c12").cast("double")
+                    * F.col("nu").cast("double")
+                    * F.col("nu").cast("double")
+                    / (
+                        F.col("nb").cast("double")
+                        * F.col("c1_1").cast("double")
+                        * F.col("c1_2").cast("double")
+                    )
+                )
+            ).alias("pmi"),
+        )
+    )
+
+
+@register(
+    "q_source_vocab_overlap",
+    oracle="""
+        WITH v AS (
+            SELECT DISTINCT source, tok
+            FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+                  FROM documents)
+        ), sz AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS nv FROM v GROUP BY 1
+        ), ix AS (
+            SELECT a.source AS src_a, b.source AS src_b,
+                   CAST(count(*) AS BIGINT) AS inter
+            FROM v a JOIN v b ON a.tok = b.tok AND a.source < b.source
+            GROUP BY 1, 2
+        )
+        SELECT sa.source AS src_a, sb.source AS src_b,
+               sa.nv AS vocab_a, sb.nv AS vocab_b,
+               coalesce(ix.inter, 0) AS intersection,
+               round(CAST(coalesce(ix.inter, 0) AS DOUBLE)
+                     / CAST(sa.nv + sb.nv - coalesce(ix.inter, 0)
+                            AS DOUBLE), 6) AS jaccard
+        FROM sz sa JOIN sz sb ON sa.source < sb.source
+        LEFT JOIN ix ON ix.src_a = sa.source AND ix.src_b = sb.source
+    """,
+    origin="LLM",
+    doc="Pairwise Jaccard overlap of per-source vocabularies — the "
+        "lexical mirror detector that runs BEFORE content-level dedup: "
+        "two sources with near-1 vocabulary Jaccard are almost certainly "
+        "the same crawl twice. Vocabulary = DISTINCT (source, token) off "
+        "one corpus scan; the intersection is an equi join ON THE TOKEN "
+        "KEY between the two vocab sides (shuffle ∝ shared vocabulary — "
+        "never a doc- or pair-level cross join), oriented src_a < src_b "
+        "so each pair counts once. The |sources|² pair grid is built "
+        "from the bounded size table and left-joined so zero-overlap "
+        "pairs still report 0. Exact BIGINT set sizes; Jaccard is ONE "
+        "6-dp division via |A∪B| = |A|+|B|−|A∩B|.",
+)
+def q_source_vocab_overlap(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    v = (
+        d.select(
+            "source", F.explode(F.split("text", " ")).alias("tok")
+        ).distinct()
+    )
+    sz = v.groupBy("source").agg(F.count(F.lit(1)).alias("nv"))
+    a = v.select(F.col("source").alias("src_a"), "tok")
+    b = v.select(F.col("source").alias("src_b"), "tok")
+    ix = (
+        a.join(b, "tok")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sz.select(F.col("source").alias("src_a"), F.col("nv").alias("vocab_a"))
+    sb = sz.select(F.col("source").alias("src_b"), F.col("nv").alias("vocab_b"))
+    grid = sa.crossJoin(F.broadcast(sb)).where(F.col("src_a") < F.col("src_b"))
+    inter = F.coalesce(F.col("inter"), F.lit(0)).cast("long")
+    return (
+        grid.join(F.broadcast(ix), ["src_a", "src_b"], "left")
+        .select(
+            "src_a",
+            "src_b",
+            "vocab_a",
+            "vocab_b",
+            inter.alias("intersection"),
+            r6(
+                inter.cast("double")
+                / (F.col("vocab_a") + F.col("vocab_b") - inter).cast("double")
+            ).alias("jaccard"),
+        )
+    )
