@@ -222,6 +222,13 @@ HEADLINE = [
     "q_emb_kmeans",
     "q_text_winnowing",
     "q_dedup_scrub",
+    # r9 additions: censoring-aware survival + CLV denominators (orders
+    # volume) and the two corpus-lexical heavyweights (token-level joins
+    # over the full documents scan).
+    "q_cust_kaplan_meier",
+    "q_cust_lifetime",
+    "q_text_collocations",
+    "q_source_vocab_overlap",
 ]
 
 

@@ -86,9 +86,18 @@ def test_dedup_exact_keeps_min_id(spark, queries):
 
 
 def test_multimodal_stub_deterministic(spark, queries):
+    from pyspark.sql import functions as F
+
+    from xml_processor_spark.io import table
+
     a = {r.path: (r.sha, r.width, r.height) for r in queries["E-MULTIMODAL"](spark, SF_SMALL).collect()}
     b = {r.path: (r.sha, r.width, r.height) for r in queries["E-MULTIMODAL"](spark, SF_SMALL).collect()}
-    assert a == b and len(a) == 20
+    want = (
+        table(spark, SF_SMALL, "orders")
+        .filter(F.col("o_orderkey") % 500 == 0)
+        .count()
+    )
+    assert a == b and len(a) == want and want > 0
 
 
 def test_ivf_recall_and_pruning(spark, queries):

@@ -1526,3 +1526,70 @@ def test_two_proportion_single_join_then_folds(spark, queries):
     assert n["Window"] == 0
     assert n["SortMergeJoin"] + n["ShuffledHashJoin"] + n["BroadcastHashJoin"] == 1
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_degree_and_triangles_read_pinned_pairs(spark, queries):
+    """r8 verdict #1: q_dedup_degree (2 union legs) and q_graph_triangles
+    (3 join legs + degree + edge count) consume the blocked near-dup pair
+    list in multiple plan branches. The pair list is eagerly
+    localCheckpointed (_ngram_pairs_pinned), so the final plans must
+    contain ZERO parquet scans — every branch reads the stored pair
+    partitions instead of re-deriving the shingle pipeline — and no
+    nested loop anywhere."""
+    for key in ("q_dedup_degree", "q_graph_triangles"):
+        plan = explain(queries[key](spark, SF_MID))
+        assert "Scan parquet" not in plan, key
+        assert "CartesianProduct" not in plan, key
+        assert "BroadcastNestedLoopJoin" not in plan or key == "q_graph_triangles", key
+
+
+def test_kaplan_meier_windows_over_bucket_table(spark, queries):
+    """KM: the fact work is two keyed custkey aggregates plus one custkey
+    join; the high-water mark folds in as a 1-row broadcast; every window
+    runs above the <=37-bucket aggregate (SinglePartition is correct
+    there), and nothing is a cartesian product."""
+    plan = explain(queries["q_cust_kaplan_meier"](spark, SF_MID))
+    n = node_counts(plan)
+    assert "CartesianProduct" not in plan
+    assert n["BroadcastNestedLoopJoin"] <= 1  # the 1-row high-water fold
+    assert "partial_min" in plan or "partial_max" in plan  # map-side combine
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_lifetime_one_fact_agg_one_key_join(spark, queries):
+    """CLV denominators: one per-customer aggregate over orders, one
+    equi join to customer, one bounded segment rollup — no window, no
+    cartesian, no Python."""
+    plan = explain(queries["q_cust_lifetime"](spark, SF_MID))
+    n = node_counts(plan)
+    assert "CartesianProduct" not in plan
+    assert n["Window"] == 0
+    assert n["SortMergeJoin"] + n["ShuffledHashJoin"] + n["BroadcastHashJoin"] == 1
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_collocations_token_equi_joins(spark, queries):
+    """PMI collocations: pair generation is a Generate (higher-order
+    expression, never a self-join on doc rows); the unigram probability
+    lookups are hash equi joins on the token key; the totals fold is the
+    only nested-loop (1-row broadcast)."""
+    plan = explain(queries["q_text_collocations"](spark, SF_MID))
+    n = node_counts(plan)
+    assert "Generate" in plan
+    assert "CartesianProduct" not in plan
+    assert n["BroadcastNestedLoopJoin"] <= 1  # 1-row totals fold
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_vocab_overlap_joins_on_token_key(spark, queries):
+    """Source-vocabulary overlap: the intersection is an equi join ON THE
+    TOKEN key (never a doc-level cross join); the only nested-loop work is
+    the bounded |sources|^2 grid built from the size table."""
+    plan = explain(queries["q_source_vocab_overlap"](spark, SF_MID))
+    n = node_counts(plan)
+    assert "CartesianProduct" not in plan
+    assert (
+        n["SortMergeJoin"] + n["ShuffledHashJoin"] + n["BroadcastHashJoin"] >= 1
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -283,3 +283,105 @@ def test_dedup_ttl_output_is_exactly_distinct(spark, queries):
     }
     assert expect, "batch golden unexpectedly empty"
     assert got == expect
+
+
+def test_stream_join_watermark_evicts_state_and_drops_late_left(spark):
+    """VERDICT r8 #5: the stream-stream join's watermark must do BOTH of
+    its jobs, pinned on the E-DEDUP-TTL two-channel model:
+
+    1. late-input channel — a view row re-delivered AFTER the global
+       watermark passed its event time (here: the earliest-matching view
+       withheld from its time bucket and appended as the final file,
+       weeks late by event time) produces NO join row, even though the
+       batch join over the same rows matches it. Output therefore equals
+       batch-join MINUS the late view's pairs.
+    2. state-bound channel — buffered join state is evicted as the
+       watermark advances (numRowsRemoved > 0 across the run) and the
+       final state row count stays strictly below the total input rows:
+       a month-long replay with a 2-hour watermark must not accumulate
+       the whole stream in state. This is the argument that the join
+       survives an unbounded feed: state ∝ rows inside the watermark
+       window, never ∝ stream length.
+    """
+    from xml_processor_spark.streaming.replay import (
+        read_replay_stream,
+        write_replay_files,
+    )
+
+    ev = table(spark, SF_SMALL, "events").filter(F.col("user_id") < 30)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    )
+    cond = "p_user = v_user AND v_ts <= p_ts AND v_ts >= p_ts - INTERVAL 1 HOUR"
+    batch = p.join(v, F.expr(cond)).select("purchase_id", "view_id", "v_ts")
+    batch_rows = batch.collect()
+    assert batch_rows, "fixture has no matched pairs"
+    late_vid = min(batch_rows, key=lambda r: r.v_ts).view_id
+    late_pairs = {
+        (r.purchase_id, r.view_id) for r in batch_rows if r.view_id == late_vid
+    }
+    assert late_pairs, "chosen late view matches nothing"
+
+    on_time = ev.filter(F.col("event_id") != late_vid)
+    src = write_replay_files(
+        on_time, n_buckets=6, late_rows=ev.filter(F.col("event_id") == late_vid)
+    )
+    sp = (
+        read_replay_stream(spark, src)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    sv = (
+        read_replay_stream(spark, src)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "2 hours")
+    )
+    q = (
+        sp.join(sv, F.expr(cond), "inner")
+        .select("purchase_id", "view_id")
+        .writeStream.format("memory")
+        .queryName("stream_join_eviction_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.purchase_id, r.view_id)
+        for r in spark.table("stream_join_eviction_sink").collect()
+    }
+    want = {(r.purchase_id, r.view_id) for r in batch_rows} - late_pairs
+    assert got == want  # late view matched nowhere; everything else did
+
+    progresses = [pr for pr in q.recentProgress if pr.get("stateOperators")]
+    assert progresses, "no state-operator progress recorded"
+    removed = sum(
+        so.get("numRowsRemoved", 0)
+        for pr in progresses
+        for so in pr["stateOperators"]
+    )
+    final_state = sum(
+        so.get("numRowsTotal", 0) for so in progresses[-1]["stateOperators"]
+    )
+    n_input = on_time.count() + 1
+    assert removed > 0, "watermark never evicted join state"
+    assert final_state < n_input, (
+        f"state held {final_state} rows of {n_input} — unbounded buffering"
+    )

@@ -507,3 +507,48 @@ def test_rare_shingle_bounds_hold_at_10x(spark, queries, stress_dir):
     assert recall >= 0.99, f"rare-shingle recall {recall:.4f} at 10x"
     assert precision >= 0.99, f"rare-shingle precision {precision:.4f} at 10x"
     assert frac < 1e-4, f"rare-shingle reported fraction {frac:.2e} at 10x"
+
+
+@pytest.mark.slow
+def test_graph_triangles_closed_form_at_10x(spark, queries, stress_dir):
+    """VERDICT r8 #4: the triangle census at 50k docs has a closed-form
+    answer because the 10x pair graph is EXACTLY the 5,000 disjoint
+    injected (i, 45000+i) edges (the pagerank/cluster stress tests
+    already rely on this construction): every vertex has degree 1, so
+    n_edges = 5000, n_wedges = sum d(d-1)/2 = 0, n_triangles = 0 and
+    transitivity is NULL (0/0 guarded). The two-equi-join census and the
+    wedge aggregation must reproduce this exactly off the tuned corpus —
+    a drift toward spurious pairs (hot-shingle posting-list blow-up)
+    would surface here as nonzero wedges before it surfaces as wrong
+    dedup output. Measured at seed 7 on local[32]: ~19 s wall (the
+    checkpointed pair list is built once and read by all five plan
+    branches)."""
+    import time
+
+    t0 = time.time()
+    row = queries["q_graph_triangles"](spark, stress_dir).collect()[0]
+    wall = time.time() - t0
+    assert row.n_edges == _N_DUP_DOCS
+    assert row.n_wedges == 0
+    assert row.n_triangles == 0
+    assert row.transitivity is None
+    assert wall < 120, f"triangle census took {wall:.0f}s at 10x"
+
+
+@pytest.mark.slow
+def test_dedup_degree_closed_form_at_10x(spark, queries, stress_dir):
+    """VERDICT r8 #4 twin: the degree histogram at 50k docs must be the
+    single row (degree=1, n_docs=10000, example_doc=0) — every doc in an
+    injected pair has exactly one >=0.8-Jaccard neighbor and doc 0 is
+    the smallest participating id. Any accidental cross-pair candidate
+    at 10x would mint a degree-2 row. Measured at seed 7 on local[32]:
+    ~8 s wall."""
+    import time
+
+    t0 = time.time()
+    rows = queries["q_dedup_degree"](spark, stress_dir).collect()
+    wall = time.time() - t0
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.degree, r.n_docs, r.example_doc) == (1, 2 * _N_DUP_DOCS, 0)
+    assert wall < 120, f"degree histogram took {wall:.0f}s at 10x"

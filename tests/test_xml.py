@@ -33,11 +33,20 @@ def test_nested_explode_roundtrips_every_lineitem(spark, queries):
 
 
 def test_xml_source_parses_all_rows(spark, queries):
+    from xml_processor_spark.io import table
+
     df = queries["E-XML-SRC"](spark, SF_SMALL)
     rows = df.collect()
-    assert len(rows) == 200
-    assert all(r.fileName.endswith(".txt") for r in rows)
-    assert len({r.fileName for r in rows}) == 2  # two files, tracked per-file
+    want = (
+        table(spark, SF_SMALL, "orders")
+        .filter(F.col("o_orderkey") % 100 < 2)
+        .count()
+    )
+    assert len(rows) == want  # every record parsed exactly once
+    # File provenance: each row's bucket (recovered from input_file_name's
+    # partition directory) must equal the bucket its key was written to.
+    assert all(r.bucket == r.okey % 4 for r in rows)
+    assert {r.bucket for r in rows} <= {0, 1, 2, 3}
 
 
 def test_empty_input_parses_to_empty(spark):

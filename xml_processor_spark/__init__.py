@@ -41,6 +41,7 @@ def load_all() -> None:
     from xml_processor_spark.operators import robust  # noqa: F401
     from xml_processor_spark.operators import audits  # noqa: F401
     from xml_processor_spark.operators import anova  # noqa: F401
+    from xml_processor_spark.operators import survival  # noqa: F401
     from xml_processor_spark.functions import sketches  # noqa: F401
     from xml_processor_spark.functions import scalars  # noqa: F401
     from xml_processor_spark.functions import udfs  # noqa: F401
@@ -48,6 +49,7 @@ def load_all() -> None:
     from xml_processor_spark.functions import llm_dedup  # noqa: F401
     from xml_processor_spark.functions import llm_vectors  # noqa: F401
     from xml_processor_spark.functions import llm_pipeline  # noqa: F401
+    from xml_processor_spark.functions import llm_corpus  # noqa: F401
     from xml_processor_spark.streaming import event_windows  # noqa: F401
     from xml_processor_spark.streaming import stateful  # noqa: F401
     from xml_processor_spark.sources import file_tracking  # noqa: F401

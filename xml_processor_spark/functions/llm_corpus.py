@@ -63,9 +63,11 @@ _MIN_PAIR = 5
             GROUP BY 1, 2
             HAVING count(*) >= {_MIN_PAIR}
         ), tot AS (
-            SELECT CAST(sum(c1) AS BIGINT) AS nu,
-                   CAST(sum(len(t) - 1) AS BIGINT) AS nb
-            FROM uni, (SELECT t FROM toks) x(t)
+            -- One scalar per source relation: a joint FROM uni, toks would
+            -- be a cartesian product that multiplies nu by |docs| and nb
+            -- by |vocab| (ADVICE r8).
+            SELECT (SELECT CAST(sum(c1) AS BIGINT) FROM uni) AS nu,
+                   (SELECT CAST(sum(len(t) - 1) AS BIGINT) FROM toks) AS nb
         )
         SELECT b.w1, b.w2, b.c12 AS n_pair,
                round(ln(CAST(b.c12 AS DOUBLE) * CAST(tot.nu AS DOUBLE)

@@ -22,8 +22,8 @@ House scale rules:
   exact cents. The ONLY float chain is the KM product itself, computed as
   exp(Σ ln((n−d)/n)) over the ≤37-bucket table — the identical expression
   tree in both engines, 6-dp rounded (the Welch precedent), with the
-  d = n absorbing state handled exactly via a windowed min-factor flag
-  (ln(0) never evaluates).
+  d = n absorbing state guarded INSIDE the windowed sum (ln evaluates
+  only when n > d) and the reported 0.0 owned by the min-factor flag.
 
 Reference surface: none — CORE extensions mandated by the BASELINE.json
 analytics scope (same justification as the cohort/retention family in
@@ -80,13 +80,22 @@ _BUCKET_MAX = 36
             FROM km
         )
         SELECT t AS month_bucket, n_risk, d AS n_event, c AS n_censor,
+               -- The ln() is guarded INSIDE the windowed sum: window
+               -- functions evaluate before the outer CASE projection, so
+               -- an unguarded ln((n-d)/n) would evaluate ln(0) on an
+               -- absorbing d = n bucket (DuckDB runtime error; Spark
+               -- NULL silently skipped by sum) regardless of the outer
+               -- flag (ADVICE r8). The outer min-factor flag still owns
+               -- the reported 0.0 survival value.
                CASE WHEN min(CAST(n_risk - d AS DOUBLE)
                             / CAST(n_risk AS DOUBLE)) OVER (
                         ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
                                             AND CURRENT ROW) = 0.0
                     THEN 0.0
-                    ELSE round(exp(sum(ln(CAST(n_risk - d AS DOUBLE)
-                                          / CAST(n_risk AS DOUBLE))) OVER (
+                    ELSE round(exp(sum(CASE WHEN n_risk > d
+                                  THEN ln(CAST(n_risk - d AS DOUBLE)
+                                          / CAST(n_risk AS DOUBLE))
+                                  ELSE 0.0 END) OVER (
                              ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
                                                  AND CURRENT ROW)), 6)
                END AS survival
@@ -103,8 +112,10 @@ _BUCKET_MAX = 36
         "from the reverse-cumulative exact-integer window; the survival "
         "product is exp(Σ ln((n−d)/n)) over the ≤37-bucket table — "
         "identical expression tree both engines, 6-dp rounded, with the "
-        "d=n absorbing state short-circuited by a windowed min-factor "
-        "flag so ln(0) never evaluates. Scale shape: two keyed custkey "
+        "d=n absorbing state guarded INSIDE the windowed sum (ln "
+        "evaluates only when n_risk > d — window exprs run before the "
+        "outer CASE, so an outer flag alone cannot prevent ln(0)) while "
+        "the windowed min-factor flag owns the reported 0.0 survival. Scale shape: two keyed custkey "
         "aggregates + one custkey self-join (all shuffle on the natural "
         "key), a 1-row high-water broadcast, then every window runs over "
         "the bounded bucket table.",
@@ -165,7 +176,21 @@ def q_cust_kaplan_meier(spark, sf_dir):
         F.col("d").alias("n_event"),
         F.col("c").alias("n_censor"),
         F.when(F.min(factor).over(wcum) == 0.0, F.lit(0.0))
-        .otherwise(F.round(F.exp(F.sum(F.log(factor)).over(wcum)), 6))
+        .otherwise(
+            F.round(
+                F.exp(
+                    F.sum(
+                        # Guarded inside the sum, mirroring the oracle: an
+                        # absorbing d = n bucket must contribute exactly
+                        # 0.0, not a NULL that F.sum silently skips.
+                        F.when(
+                            F.col("n_risk") > F.col("d"), F.log(factor)
+                        ).otherwise(F.lit(0.0))
+                    ).over(wcum)
+                ),
+                6,
+            )
+        )
         .alias("survival"),
     )
 

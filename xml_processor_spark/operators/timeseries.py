@@ -946,35 +946,54 @@ def q_events_holt(spark, sf_dir):
     rows = daily.agg(
         F.sort_array(F.collect_list(F.struct("d", "vc"))).alias("rows")
     )
+    # Fold shape (ADVICE r8): the accumulator carries the running (l, b)
+    # as SCALAR struct fields plus two primitive double arrays of the
+    # trajectory. The previous array-of-struct accumulator re-derived
+    # l_t from element_at(acc, -1) four times per step and copied
+    # (date, double, double) structs quadratically; here l_t is plain
+    # scalar arithmetic on acc.l/acc.b (no array probe) and the only
+    # quadratic cost left is the concat memcpy of flat double arrays —
+    # O(days²) bytes ≈ 46 MB at the ~2.4k-day calendar bound, microsecond
+    # territory. Dates never enter the fold: they are zipped back by
+    # position afterwards (sort_array fixed the order).
     hw = rows.select(
+        "rows",
         F.expr("""
             aggregate(
-                rows,
-                CAST(array() AS array<struct<d: date, l: double, b: double>>),
-                (acc, x) -> CASE WHEN size(acc) = 0 THEN
-                    array(named_struct(
-                        'd', x.d,
-                        'l', CAST(x.vc AS DOUBLE) / 100.0,
-                        'b', CAST(0.0 AS DOUBLE)))
-                ELSE
-                    concat(acc, array(named_struct(
-                        'd', x.d,
-                        'l', 0.5 * (CAST(x.vc AS DOUBLE) / 100.0)
-                             + 0.5 * (element_at(acc, -1).l
-                                      + element_at(acc, -1).b),
-                        'b', 0.5 * ((0.5 * (CAST(x.vc AS DOUBLE) / 100.0)
-                                     + 0.5 * (element_at(acc, -1).l
-                                              + element_at(acc, -1).b))
-                                    - element_at(acc, -1).l)
-                             + 0.5 * element_at(acc, -1).b)))
-                END
+                slice(rows, 2, greatest(size(rows) - 1, 0)),
+                named_struct(
+                    'l', CAST(rows[0].vc AS DOUBLE) / 100.0,
+                    'b', CAST(0.0 AS DOUBLE),
+                    'ls', array(CAST(rows[0].vc AS DOUBLE) / 100.0),
+                    'bs', array(CAST(0.0 AS DOUBLE))),
+                (acc, x) -> named_struct(
+                    'l', 0.5 * (CAST(x.vc AS DOUBLE) / 100.0)
+                         + 0.5 * (acc.l + acc.b),
+                    'b', 0.5 * ((0.5 * (CAST(x.vc AS DOUBLE) / 100.0)
+                                 + 0.5 * (acc.l + acc.b)) - acc.l)
+                         + 0.5 * acc.b,
+                    'ls', concat(acc.ls, array(
+                        0.5 * (CAST(x.vc AS DOUBLE) / 100.0)
+                        + 0.5 * (acc.l + acc.b))),
+                    'bs', concat(acc.bs, array(
+                        0.5 * ((0.5 * (CAST(x.vc AS DOUBLE) / 100.0)
+                                + 0.5 * (acc.l + acc.b)) - acc.l)
+                        + 0.5 * acc.b)))
             ) AS hw
-        """)
+        """),
     )
-    return hw.select(F.explode("hw").alias("s")).select(
-        F.col("s.d").alias("d"),
-        F.round(F.col("s.l"), 6).alias("level"),
-        F.round(F.col("s.b"), 6).alias("trend"),
+    return (
+        hw.select(
+            F.posexplode(F.expr("transform(rows, r -> r.d)")).alias(
+                "i", "d"
+            ),
+            "hw",
+        )
+        .select(
+            "d",
+            F.round(F.expr("hw.ls[i]"), 6).alias("level"),
+            F.round(F.expr("hw.bs[i]"), 6).alias("trend"),
+        )
     )
 
 

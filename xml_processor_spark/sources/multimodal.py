@@ -43,12 +43,17 @@ def _decode_stub(content: bytes) -> tuple[int, int, str]:
     Stands in for image decode (PIL et al. unavailable here). Derives fake
     dimensions from the content hash so outputs are stable and testable.
     A real decoder raises NotImplementedError paths away; plumbing is what
-    this exercises.
+    this exercises. The dimension formula works on HEX CHARACTERS of the
+    digest (ord of the 1st..4th hex chars), not raw digest bytes, so the
+    DuckDB oracle can recompute it with ascii(substring(sha256(...)))
+    — the same cross-engine trick q_mm_meta uses.
     """
     import hashlib
 
-    h = hashlib.sha256(content).digest()
-    return 16 + h[0] % 64, 16 + h[1] % 64, "fake/deterministic"
+    hx = hashlib.sha256(content).hexdigest()
+    w = 16 + (ord(hx[0]) * 16 + ord(hx[1])) % 64
+    h = 16 + (ord(hx[2]) * 16 + ord(hx[3])) % 64
+    return w, h, "fake/deterministic"
 
 
 def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -73,23 +78,60 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 @register(
     "E-MULTIMODAL",
-    oracle=None,
+    oracle="""
+        WITH b AS (
+            SELECT o_orderkey,
+                   substring(repeat(CAST(o_orderkey AS VARCHAR) || ':' ||
+                                    CAST(CAST(round(o_totalprice * 100)
+                                              AS BIGINT) AS VARCHAR),
+                                    50), 1, 997) AS blob
+            FROM orders WHERE o_orderkey % 500 = 0
+        ), h AS (
+            SELECT o_orderkey, blob, sha256(blob) AS sha FROM b
+        )
+        SELECT 'blob_' || lpad(CAST(o_orderkey AS VARCHAR),
+                               CAST(greatest(6, len(CAST(o_orderkey
+                                    AS VARCHAR))) AS INTEGER),
+                               '0') || '.bin' AS path,
+               CAST(len(blob) AS BIGINT) AS n_bytes,
+               sha,
+               CAST(16 + (ascii(substring(sha, 1, 1)) * 16
+                          + ascii(substring(sha, 2, 1))) % 64 AS INT)
+                   AS width,
+               CAST(16 + (ascii(substring(sha, 3, 1)) * 16
+                          + ascii(substring(sha, 4, 1))) % 64 AS INT)
+                   AS height,
+               'fake/deterministic' AS kind
+        FROM h
+    """,
     origin="LLM",
     doc="binaryFile source → mapInPandas decode/feature stage: generate "
         "deterministic binary fixtures, ingest as BinaryType + metadata, "
-        "run the Arrow-batched decode stub, return per-file features.",
+        "run the Arrow-batched decode stub, return per-file features. "
+        "Oracle-checked since r9 (VERDICT r8 #3): the fixture bytes are a "
+        "pure-integer text unit (okey ':' exact-cents, repeated ×50, "
+        "truncated at 997 bytes) so DuckDB reconstructs the identical "
+        "bytes with repeat/substring and recomputes sha256 + the hex-char "
+        "dimension formula; a hash match proves the binaryFile ingest and "
+        "the Arrow decode stage read every fixture byte-exactly, once.",
 )
 def e_multimodal(spark, sf_dir):
     tmp = tempfile.mkdtemp(prefix="multimodal_")
-    # Deterministic binary fixtures derived from the orders table.
+    # Deterministic binary fixtures derived from the orders table. The
+    # driver-side collect is bounded fixture generation (|orders|/500
+    # rows), not a data-plane collect; exact-cents formatting keeps the
+    # unit text reproducible cross-engine (no float repr dependency).
     rows = (
         table(spark, sf_dir, "orders")
-        .limit(20)
-        .select("o_orderkey", "o_totalprice")
+        .filter(F.col("o_orderkey") % 500 == 0)
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
         .collect()
     )
     for r in rows:
-        blob = (f"{r.o_orderkey}:{r.o_totalprice}".encode() * 50)[:997]
+        blob = (f"{r.o_orderkey}:{r.cents}".encode() * 50)[:997]
         with open(os.path.join(tmp, f"blob_{r.o_orderkey:06d}.bin"), "wb") as f:
             f.write(blob)
     files = spark.read.format("binaryFile").load(tmp)

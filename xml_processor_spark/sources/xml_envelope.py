@@ -298,22 +298,35 @@ def q_json_typed(spark, sf_dir):
 
 @register(
     "E-XML-SRC",
-    oracle=None,
+    oracle="""
+        SELECT o_orderkey AS okey, o_orderstatus AS status,
+               o_totalprice AS total,
+               CAST(o_orderkey % 4 AS BIGINT) AS bucket
+        FROM orders WHERE o_orderkey % 100 < 2
+    """,
     origin="REF",
     doc="XMLReader batch source shape [P: XMLReaderBatchSource.java — "
         "(offset, fileName, record) rows from a file glob]: write XML files "
-        "derived from orders, read with the native XML datasource + "
-        "input_file_name(); raw-record mode via the text source.",
+        "derived from a deterministic orders subset (okey % 100 < 2), read "
+        "with the native XML datasource + input_file_name(). Oracle-checked "
+        "since r9 (VERDICT r8 #3): the files are written partitionBy(bucket) "
+        "so the path segment 'bucket=N' — recovered from input_file_name() "
+        "on the read side, the file-provenance surface XMLReader exposes — "
+        "is deterministic, and the oracle recomputes it as okey % 4 from "
+        "the orders view. A hash match proves (a) the XML write→read "
+        "roundtrip dropped/duplicated no record and preserved long/string/"
+        "double typing, and (b) every row's file provenance points at "
+        "exactly the partition directory its key mandates.",
 )
 def e_xml_src(spark, sf_dir):
-    o = table(spark, sf_dir, "orders").limit(200)
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 < 2)
     tmp = tempfile.mkdtemp(prefix="xmlsrc_")
     xml_dir = os.path.join(tmp, "xml")
     # One well-formed document per bucket (the XML datasource scans for
     # rowTag occurrences inside a rooted document, as the Hadoop
     # XmlInputFormat underlying XMLReader does [P]).
     docs = (
-        o.select((F.col("o_orderkey") % 2).alias("bucket"), _order_xml().alias("x"))
+        o.select((F.col("o_orderkey") % 4).alias("bucket"), _order_xml().alias("x"))
         .groupBy("bucket")
         .agg(
             F.concat(
@@ -322,17 +335,24 @@ def e_xml_src(spark, sf_dir):
                 F.lit("</orders>"),
             ).alias("value")
         )
-        .select("value")
+        .select("bucket", "value")
     )
-    docs.repartition(2).write.mode("overwrite").text(xml_dir)
+    docs.write.mode("overwrite").partitionBy("bucket").text(xml_dir)
     parsed = (
         spark.read.format("xml")
         .option("rowTag", "order")
         .schema("okey LONG, status STRING, total DOUBLE, odate DATE, closed BOOLEAN")
         .load(xml_dir)
-        .withColumn("fileName", F.element_at(F.split(F.input_file_name(), "/"), -1))
+        .withColumn("fileName", F.input_file_name())
     )
-    return parsed.select("okey", "status", "total", "fileName")
+    return parsed.select(
+        "okey",
+        "status",
+        "total",
+        F.regexp_extract("fileName", r"bucket=(\d+)", 1)
+        .cast("long")
+        .alias("bucket"),
+    )
 
 
 @register(
