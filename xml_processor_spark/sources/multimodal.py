@@ -236,13 +236,63 @@ def _audio_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 @register(
     "E-MM-AUDIO",
-    oracle=None,
+    # Oracle-checkable (r9): the PCM fixture is encode(text,'UTF-8') and the
+    # corpus is pure ASCII (octet_length == length for every doc, probed),
+    # so DuckDB can re-derive every byte as ascii(substring(text,p,1)) over
+    # an unnested position series. Determinism is exact-integer: the RMS
+    # numerator Σ(byte-128)² is an integer < 2^53 (docs ≤ ~600 bytes ×
+    # 128² per term), so numpy's pairwise sum and DuckDB's sequential sum
+    # both compute it EXACTLY; the single division and sqrt are then
+    # correctly-rounded IEEE ops on identical operands — bit-identical
+    # before the 6-dp round, not a float truce.
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+            FROM documents
+        ), pos AS (
+            SELECT doc_id, text,
+                   unnest(generate_series(1, n)) AS p
+            FROM d
+        ), s AS (
+            SELECT doc_id,
+                   ascii(substring(text, p, 1)) AS byte,
+                   CASE WHEN p > 1
+                        THEN ascii(substring(text, p - 1, 1)) END AS prev
+            FROM pos
+        ), agg AS (
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_samples,
+                   sum(CAST((byte - 128) * (byte - 128) AS BIGINT)) AS ss,
+                   max(abs(byte - 128)) AS peak,
+                   sum(CASE WHEN prev IS NOT NULL
+                             AND (byte < 128) <> (prev < 128)
+                            THEN 1 ELSE 0 END) AS zc
+            FROM s GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(a.n_samples, 0) AS n_samples,
+               round(CAST(d.n AS DOUBLE) * 1000.0 / {_PCM_RATE}, 6)
+                   AS duration_ms,
+               CASE WHEN a.n_samples IS NULL THEN 0.0
+                    ELSE round(sqrt(CAST(a.ss AS DOUBLE)
+                                    / CAST(a.n_samples AS DOUBLE)), 6)
+               END AS rms,
+               CAST(COALESCE(a.peak, 0) AS INTEGER) AS peak,
+               CAST(COALESCE(a.zc, 0) AS BIGINT) AS zero_crossings
+        FROM d LEFT JOIN agg a USING (doc_id)
+    """,
     origin="LLM",
     doc="Audio feature extraction over a binary PCM column: duration, RMS "
         "energy, peak amplitude, zero-crossing count — computed for REAL "
         "(uint8 PCM is plain byte math; no codec library involved) in one "
         "Arrow-batched numpy pass per batch via mapInPandas. Zero shuffle; "
-        "per-task memory bounded by the Arrow batch size, not file count.",
+        "per-task memory bounded by the Arrow batch size, not file count. "
+        "Oracle-checked since r9: DuckDB re-derives the byte stream from "
+        "the ASCII fixture and recomputes all four features with "
+        "exact-integer moments (see oracle comment); the signed-PCM "
+        "zero-crossing channel (absent from ASCII, where every centered "
+        "byte is negative) stays pinned by the pure-Python recompute in "
+        "tests/test_multimodal.py.",
 )
 def e_mm_audio(spark, sf_dir):
     d = widen(table(spark, sf_dir, "documents")).select(
@@ -383,14 +433,39 @@ def _frames_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 @register(
     "E-MM-FRAMES",
-    oracle=None,
+    # Oracle-checkable (r9): the demux stub's whole output is string
+    # arithmetic over sha256(content) — and DuckDB's sha256()/md5() return
+    # the same lowercase hex as hashlib's hexdigest (probed), while the
+    # ASCII fixture makes content == text bytes. So the oracle replays the
+    # exact 1→N expansion: n_frames = 1 + length % 240, every 30th index,
+    # md5('<sha256hex>:<idx>') — exact strings, no float anywhere.
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id,
+                   CAST(1 + length(text) % 240 AS INTEGER) AS n_frames,
+                   sha256(text) AS sig
+            FROM documents
+        ), f AS (
+            SELECT doc_id, n_frames, sig,
+                   unnest(generate_series(0, n_frames - 1, {_FRAME_STRIDE}))
+                       AS frame_idx
+            FROM d
+        )
+        SELECT doc_id, n_frames,
+               CAST(frame_idx AS INTEGER) AS frame_idx,
+               md5(sig || ':' || CAST(frame_idx AS VARCHAR)) AS frame_md5
+        FROM f
+    """,
     origin="LLM",
     doc="Video frame sampling: binary column → demux stub (frame count; "
         f"swap-in point for ffmpeg) → every-{_FRAME_STRIDE}th-frame sample "
         "emitted as ROWS — a 1→N mapInPandas stage proving the cardinality-"
         "changing UDF contract (output rows are streamed per Arrow batch, "
         "never a per-file driver-side list). Zero shuffle; downstream "
-        "per-frame work inherits scan parallelism.",
+        "per-frame work inherits scan parallelism. Oracle-checked since "
+        "r9: DuckDB replays the sha256-derived expansion exactly (see "
+        "oracle comment) — a lost/duplicated frame row, wrong stride, or "
+        "drifting digest hash-mismatches.",
 )
 def e_mm_frames(spark, sf_dir):
     d = widen(table(spark, sf_dir, "documents")).select(
