@@ -229,6 +229,11 @@ HEADLINE = [
     "q_cust_lifetime",
     "q_text_collocations",
     "q_source_vocab_overlap",
+    # r9 additions, second batch: the two published-recipe curation ops —
+    # SemDeDup within-cluster pairing and DSIR hashed-bigram importance
+    # weights (both stream the full corpus/vector volume).
+    "q_dedup_semantic",
+    "q_text_dsir",
 ]
 
 

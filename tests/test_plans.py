@@ -1593,3 +1593,28 @@ def test_vocab_overlap_joins_on_token_key(spark, queries):
         n["SortMergeJoin"] + n["ShuffledHashJoin"] + n["BroadcastHashJoin"] >= 1
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_semantic_dedup_pairs_only_within_cluster(spark, queries):
+    """SemDeDup's whole point: the pair stage is an equi join on the
+    cluster key — never a corpus-level cartesian. The only nested-loop
+    work allowed is the k-row broadcast centroid assignment; the pair
+    join itself must be a hash/merge equi join, and no Python runs."""
+    plan = explain(queries["q_dedup_semantic"](spark, SF_MID))
+    n = node_counts(plan)
+    assert "CartesianProduct" not in plan
+    assert n["SortMergeJoin"] + n["ShuffledHashJoin"] + n["BroadcastHashJoin"] >= 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dsir_single_fact_shuffle_and_broadcast_lr(spark, queries):
+    """DSIR: the (doc, bucket) pre-aggregate is the ONE data-sized
+    shuffle; the <=128-row log-ratio table and the 1-row totals come
+    back as broadcasts (no second fact-sized exchange), and no Python
+    anywhere."""
+    plan = explain(queries["q_text_dsir"](spark, SF_MID))
+    n = node_counts(plan)
+    assert "CartesianProduct" not in plan
+    assert n["BroadcastHashJoin"] >= 2  # lr-to-doc-counts + final doc join legs
+    assert "partial_count" in plan or "partial_sum" in plan  # map-side combine
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -895,3 +895,169 @@ def q_dedup_url_canon(spark, sf_dir):
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR: data selection via importance resampling (hashed n-gram features).
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 128          # hashed bigram feature buckets
+_DSIR_TARGET = "en"    # the target distribution: English documents
+
+_DSIR_BIGRAM_SQL = f"""
+        big AS (
+            SELECT t.doc_id,
+                   {phash60_sql("t.toks[u.gs] || ' ' || t.toks[u.gs + 1]")}
+                       % {_DSIR_B} AS bucket
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM documents) t,
+                 LATERAL (SELECT unnest(generate_series(1, len(t.toks) - 1))
+                          AS gs) u
+        ),
+        dc AS (
+            SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+            FROM big GROUP BY doc_id, bucket
+        ),
+        raw AS (
+            SELECT bucket, CAST(sum(cnt) AS BIGINT) AS cr
+            FROM dc GROUP BY bucket
+        ),
+        tgt AS (
+            SELECT dc.bucket, CAST(sum(dc.cnt) AS BIGINT) AS ct
+            FROM dc JOIN documents d USING (doc_id)
+            WHERE d.lang = '{_DSIR_TARGET}'
+            GROUP BY dc.bucket
+        ),
+        tots AS (
+            SELECT (SELECT CAST(sum(cr) AS BIGINT) FROM raw) AS tot_r,
+                   (SELECT COALESCE(CAST(sum(ct) AS BIGINT), 0) FROM tgt)
+                       AS tot_t
+        ),
+        lr AS (
+            SELECT r.bucket,
+                   CAST(round((ln((COALESCE(t.ct, 0) + 1.0)
+                                  / (tots.tot_t + {_DSIR_B}.0))
+                               - ln((r.cr + 1.0)
+                                    / (tots.tot_r + {_DSIR_B}.0)))
+                              * 1000000) AS BIGINT) AS lr_e6
+            FROM raw r LEFT JOIN tgt t USING (bucket), tots
+        )
+"""
+
+
+@register(
+    "q_text_dsir",
+    oracle=f"""
+        WITH {_DSIR_BIGRAM_SQL}
+        SELECT d.doc_id, d.lang,
+               COALESCE(w.n_bigrams, 0) AS n_bigrams,
+               COALESCE(w.w_e6, 0) AS w_e6,
+               round(COALESCE(w.w_e6, 0) / 1000000.0, 6) AS logw
+        FROM documents d LEFT JOIN (
+            SELECT dc.doc_id,
+                   CAST(sum(dc.cnt) AS BIGINT) AS n_bigrams,
+                   CAST(sum(dc.cnt * lr.lr_e6) AS BIGINT) AS w_e6
+            FROM dc JOIN lr USING (bucket)
+            GROUP BY dc.doc_id
+        ) w USING (doc_id)
+    """,
+    origin="LLM",
+    doc=f"DSIR — Data Selection via Importance Resampling (Xie et al. "
+        "2023, arXiv:2302.03169): per-document log importance weight "
+        "log p_target/p_raw under hashed-bigram bag-of-ngrams language "
+        f"models ({_DSIR_B} buckets, add-one smoothing), the standard "
+        "recipe for selecting raw-corpus documents that look like a "
+        f"target domain (here lang='{_DSIR_TARGET}'). The per-bucket "
+        "log-ratio is fixed-pointed to 1e-6 from EXACT integer counts "
+        "(the kmeans round(x*1e6) discipline), so each document's weight "
+        "is an exact integer dot product Σ cnt·lr_e6 — no float "
+        "aggregation in partition order anywhere; the one ln() per "
+        "bucket runs on identical exact-int-derived operands in both "
+        "engines. Scale shape: ONE corpus scan explodes bigrams into a "
+        "(doc, bucket) map-side-combined pre-aggregate (the only "
+        f"data-sized shuffle, ≤ {_DSIR_B} rows per doc); the raw/target "
+        f"histograms fold that pre-aggregate into ≤ {_DSIR_B}-row tables "
+        "(target via a broadcast semi-join on lang), the log-ratio table "
+        "is broadcast back, and the final weight is one groupBy(doc_id). "
+        "Hash buckets are phash60 (md5-derived — the cross-engine "
+        "portable family), exactly the paper's hashed feature trick that "
+        "makes the n-gram LM memory O(buckets), not O(vocab) — at 100 TB "
+        "the bucket table stays tiny and broadcastable while every "
+        "per-doc stage is linear.",
+)
+def q_text_dsir(spark, sf_dir):
+    d = widen(table(spark, sf_dir, "documents"))
+    toks = F.split("text", " ")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    dc = (
+        d.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .select("doc_id", (phash60("bigram") % _DSIR_B).alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    raw = dc.groupBy("bucket").agg(F.sum("cnt").alias("cr"))
+    tgt = (
+        dc.join(
+            F.broadcast(d.filter(F.col("lang") == _DSIR_TARGET).select("doc_id")),
+            "doc_id",
+            "left_semi",
+        )
+        .groupBy("bucket")
+        .agg(F.sum("cnt").alias("ct"))
+    )
+    tots = (
+        raw.agg(F.sum("cr").alias("tot_r"))
+        .crossJoin(
+            F.broadcast(
+                tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("tot_t"))
+            )
+        )
+    )
+    lr = (
+        raw.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "bucket",
+            F.round(
+                (
+                    F.log(
+                        (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
+                        / (F.col("tot_t") + F.lit(float(_DSIR_B)))
+                    )
+                    - F.log(
+                        (F.col("cr") + F.lit(1.0))
+                        / (F.col("tot_r") + F.lit(float(_DSIR_B)))
+                    )
+                )
+                * 1_000_000,
+                0,
+            )
+            .cast("long")
+            .alias("lr_e6"),
+        )
+    )
+    w = (
+        dc.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_bigrams"),
+            F.sum(F.col("cnt") * F.col("lr_e6")).cast("long").alias("w_e6"),
+        )
+    )
+    return d.select("doc_id", "lang").join(w, "doc_id", "left").select(
+        "doc_id",
+        "lang",
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+        F.coalesce(F.col("w_e6"), F.lit(0)).cast("long").alias("w_e6"),
+        F.round(
+            F.coalesce(F.col("w_e6"), F.lit(0)).cast("double") / 1_000_000.0, 6
+        ).alias("logw"),
+    )

@@ -1254,3 +1254,188 @@ def q_emb_silhouette(spark, sf_dir):
             6,
         ).alias("sil_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: within-cluster semantic dedup over the k-means clustering.
+# ---------------------------------------------------------------------------
+
+_SEM_TAU = 0.35  # same cosine bar as q_dedup_emb_cosine's all-pairs truth
+
+# The q_emb_kmeans Lloyd pipeline as a reusable oracle prefix (ev ->
+# round-2 centroids -> final assignment with distances). Kept textually in
+# lockstep with the q_emb_kmeans / q_emb_silhouette oracles — all three
+# keys pin the IDENTICAL deterministic clustering.
+_KM_A2_SQL = """
+        ev AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) * {scale})
+                            AS BIGINT)) AS xe
+            FROM embeddings
+        ),
+        init AS (SELECT vec_id AS c, xe AS ce FROM ev WHERE vec_id < {k}),
+        p1 AS (
+            SELECT e.vec_id, i.c,
+                   {d2_init} AS d2
+            FROM ev e, init i
+        ),
+        a1 AS (
+            SELECT vec_id, c FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY d2, c) AS rn
+                FROM p1
+            ) WHERE rn = 1
+        ),
+        m AS (
+            SELECT a1.c, u.gs AS pos,
+                   CAST(round(CAST(SUM(e.xe[u.gs]) AS DOUBLE) / count(*))
+                        AS BIGINT) AS cv
+            FROM a1 JOIN ev e USING (vec_id),
+                 LATERAL (SELECT unnest(generate_series(1, len(e.xe))) AS gs) u
+            GROUP BY a1.c, u.gs
+        ),
+        c2 AS (SELECT c, list(cv ORDER BY pos) AS ce FROM m GROUP BY c),
+        p2 AS (
+            SELECT e.vec_id, k.c,
+                   {d2_c2} AS d2
+            FROM ev e, c2 k
+        ),
+        a2 AS (
+            SELECT vec_id, c, d2 FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY d2, c) AS rn
+                FROM p2
+            ) WHERE rn = 1
+        )
+""".format(
+    scale=_KM_SCALE,
+    k=_KM_K,
+    d2_init=_KM_D2_SQL.format(a="e.xe", b="i.ce"),
+    d2_c2=_KM_D2_SQL.format(a="e.xe", b="k.ce"),
+)
+
+
+@register(
+    "q_dedup_semantic",
+    oracle=f"""
+        WITH {_KM_A2_SQL},
+        n2 AS (
+            SELECT vec_id,
+                   (SELECT SUM(x * x) FROM (SELECT unnest(xe) AS x)) AS nn
+            FROM ev
+        ),
+        sims AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.c,
+                   a.d2 AS d2_a, b.d2 AS d2_b,
+                   CAST((SELECT SUM(x * y)
+                         FROM (SELECT unnest(ea.xe) AS x,
+                                      unnest(eb.xe) AS y)) AS DOUBLE)
+                       / sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE))
+                       AS cos
+            FROM a2 a JOIN a2 b ON a.c = b.c AND a.vec_id < b.vec_id
+            JOIN ev ea ON ea.vec_id = a.vec_id
+            JOIN ev eb ON eb.vec_id = b.vec_id
+            JOIN n2 na ON na.vec_id = a.vec_id
+            JOIN n2 nb ON nb.vec_id = b.vec_id
+            WHERE CAST((SELECT SUM(x * y)
+                        FROM (SELECT unnest(ea.xe) AS x,
+                                     unnest(eb.xe) AS y)) AS DOUBLE)
+                  / sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE))
+                  >= {_SEM_TAU}
+        ),
+        verdicts AS (
+            SELECT CASE WHEN d2_a > d2_b
+                         OR (d2_a = d2_b AND id_a > id_b)
+                        THEN id_a ELSE id_b END AS removed_id,
+                   CASE WHEN d2_a > d2_b
+                         OR (d2_a = d2_b AND id_a > id_b)
+                        THEN id_b ELSE id_a END AS winner_id,
+                   c, cos
+            FROM sims
+        )
+        SELECT removed_id, c AS cluster,
+               CAST(count(*) AS BIGINT) AS n_better_twins,
+               min(winner_id) AS kept_example,
+               round(max(cos), 6) AS sim_max
+        FROM verdicts
+        GROUP BY removed_id, c
+    """,
+    origin="LLM",
+    doc=f"SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic "
+        "deduplication that bounds the quadratic inside k-means clusters "
+        "— pairs are generated ONLY within a cluster, never across the "
+        f"corpus. A member is REMOVED when some same-cluster member with "
+        f"cos >= {_SEM_TAU} sits closer to the centroid (exact integer "
+        "d2; ties by vec_id) — the paper's keep-the-most-central rule "
+        "made deterministic. Output: one row per removed vector with its "
+        "cluster, dominating-twin count, min kept example and 6-dp max "
+        "similarity. Shares the exact fixed-point Lloyd pipeline with "
+        "q_emb_kmeans/q_emb_silhouette (identical clustering, pinned by "
+        "the shared oracle prefix); cosine is computed from EXACT int64 "
+        "dot products and norms (|xe| <= ~5e5 at 64 dims keeps every sum "
+        "< 2^53), so one double division + sqrt per pair is the only "
+        "float — bit-identical cross-engine before the 6-dp round. Scale "
+        "shape: the round-2 centroid table is checkpointed (k rows) and "
+        "broadcast over one vector scan; the pair stage is an equi join "
+        "ON THE CLUSTER KEY, so shuffle volume is |vectors| and pair work "
+        "is sum over clusters of s_c^2 — bounded because SemDeDup scales "
+        "k WITH the corpus (k ~ n/target-cluster-size; the paper uses "
+        "50k clusters for LAION-440M) keeping s_c constant, and the "
+        "cluster-key cardinality then exceeds any executor count (no "
+        "8-key skew at real scale; k = 8 here mirrors the q_emb_kmeans "
+        "contract at test sf). No all-pairs stage ever materializes "
+        "across clusters.",
+)
+def q_dedup_semantic(spark, sf_dir):
+    vecs, c2 = _km_vectors_and_round2_centroids(spark, sf_dir)
+    c2 = c2.localCheckpoint(eager=True)
+    a2 = _km_assign(vecs, c2)
+    nn = F.aggregate(
+        F.transform("xe", lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    ).alias("nn")
+    mem = a2.join(vecs, "vec_id").select("vec_id", "c", "d2", "xe", nn)
+    # Within-cluster oriented pairs: equi join on the cluster key only —
+    # the quadratic is confined to each cluster (the SemDeDup bound).
+    lhs = mem.select(
+        F.col("vec_id").alias("id_a"), F.col("c").alias("c_a"),
+        F.col("d2").alias("d2_a"), F.col("xe").alias("xe_a"),
+        F.col("nn").alias("nn_a"),
+    )
+    rhs = mem.select(
+        F.col("vec_id").alias("id_b"), F.col("c").alias("c_b"),
+        F.col("d2").alias("d2_b"), F.col("xe").alias("xe_b"),
+        F.col("nn").alias("nn_b"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("xe_a"), F.col("xe_b"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    cos = dot.cast("double") / F.sqrt(
+        F.col("nn_a").cast("double") * F.col("nn_b").cast("double")
+    )
+    sims = (
+        lhs.join(
+            rhs, (F.col("c_a") == F.col("c_b")) & (F.col("id_a") < F.col("id_b"))
+        )
+        .select("id_a", "id_b", F.col("c_a").alias("c"), "d2_a", "d2_b",
+                cos.alias("cos"))
+        .filter(F.col("cos") >= _SEM_TAU)
+    )
+    a_loses = (F.col("d2_a") > F.col("d2_b")) | (
+        (F.col("d2_a") == F.col("d2_b")) & (F.col("id_a") > F.col("id_b"))
+    )
+    verdicts = sims.select(
+        F.when(a_loses, F.col("id_a")).otherwise(F.col("id_b")).alias("removed_id"),
+        F.when(a_loses, F.col("id_b")).otherwise(F.col("id_a")).alias("winner_id"),
+        "c",
+        "cos",
+    )
+    return verdicts.groupBy("removed_id", F.col("c").alias("cluster")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_better_twins"),
+        F.min("winner_id").alias("kept_example"),
+        F.round(F.max("cos"), 6).alias("sim_max"),
+    )
