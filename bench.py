@@ -234,6 +234,7 @@ HEADLINE = [
     # weights (both stream the full corpus/vector volume).
     "q_dedup_semantic",
     "q_text_dsir",
+    "q_dedup_lsh_buckets",
 ]
 
 

@@ -1618,3 +1618,17 @@ def test_dsir_single_fact_shuffle_and_broadcast_lr(spark, queries):
     assert n["BroadcastHashJoin"] >= 2  # lr-to-doc-counts + final doc join legs
     assert "partial_count" in plan or "partial_sum" in plan  # map-side combine
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_lsh_bucket_audit_never_joins(spark, queries):
+    """The bucket audit must be strictly cheaper than the candidate join
+    it gates: no join of any kind in the plan (the signature aggregate,
+    a (band, bucket) count, and a bands-row rollup only), map-side
+    combine present, no Python."""
+    plan = explain(queries["q_dedup_lsh_buckets"](spark, SF_MID))
+    n = node_counts(plan)
+    assert n["SortMergeJoin"] + n["ShuffledHashJoin"] + n["BroadcastHashJoin"] == 0
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_min" in plan or "partial_count" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

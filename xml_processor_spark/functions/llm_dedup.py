@@ -1058,6 +1058,82 @@ def q_minhash_est(spark, sf_dir):
     )
 
 
+# --- q_dedup_lsh_buckets: band-bucket load audit ---------------------------
+
+
+@register(
+    "q_dedup_lsh_buckets",
+    oracle=_SIG_SHINGLE_CTE + f"""
+        , sig AS (SELECT doc_id, {_EST_SIG_COLS} FROM sh GROUP BY doc_id)
+        , bands AS ({_EST_BAND_SQL})
+        , b AS (
+            SELECT bi, bh, CAST(count(*) AS BIGINT) AS s
+            FROM bands GROUP BY bi, bh
+        )
+        SELECT bi AS band,
+               CAST(count(*) AS BIGINT) AS n_buckets,
+               CAST(sum(s) AS BIGINT) AS n_docs,
+               CAST(max(s) AS BIGINT) AS max_bucket,
+               CAST(sum(CASE WHEN s >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_multi_buckets,
+               CAST(sum(s * (s - 1) // 2) AS BIGINT) AS cand_pairs,
+               round(max(s) * count(*) / CAST(sum(s) AS DOUBLE), 6) AS skew
+        FROM b GROUP BY bi
+    """,
+    origin="LLM",
+    doc="LSH band-bucket load audit — the operational pre-check run "
+        "BEFORE the candidate join at scale: per band, bucket count, doc "
+        "count, the largest bucket, multi-occupancy bucket count, the "
+        "EXACT candidate-pair volume Σ s·(s−1)/2 the banded equi join "
+        "will emit, and the max/mean occupancy skew. This is the number "
+        "that decides whether a band family is safe to join (the r5 "
+        "XOR-rotate family collapse — 10M+ candidates from correlated "
+        "bands — would have shown up here as cand_pairs exploding before "
+        "any join ran, and a boilerplate template family shows up as one "
+        "hot bucket). All-integer arithmetic off the same portable md5 "
+        "signature/banding machinery q_minhash_est pins, so the audit "
+        "audits exactly the production pipeline. Scale shape: signature "
+        "aggregation (map-side partial mins, the one |docs|-sized "
+        "shuffle) → (band, bucket-hash) map-side-combined count → "
+        "|bands|-row rollup; strictly cheaper than the candidate join it "
+        "gates, and the output is bands-sized, not data-sized.",
+)
+def q_dedup_lsh_buckets(spark, sf_dir):
+    d = widen(table(spark, sf_dir, "documents"))
+    sh = d.select("doc_id", F.explode(shingles(F.col("text"))).alias("s"))
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"h{i}")
+            for i in range(_SIG_SEEDS)
+        ]
+    )
+    band_hashes = [
+        F.md5(
+            F.concat(*[F.col(f"h{bi * _EST_ROWS + r}") for r in range(_EST_ROWS)])
+        )
+        for bi in range(_EST_BANDS)
+    ]
+    buckets = (
+        sig.select(
+            "doc_id", F.posexplode(F.array(*band_hashes)).alias("bi", "bh")
+        )
+        .groupBy("bi", "bh")
+        .agg(F.count(F.lit(1)).alias("s"))
+    )
+    return buckets.groupBy(F.col("bi").alias("band")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum("s").cast("long").alias("n_docs"),
+        F.max("s").cast("long").alias("max_bucket"),
+        F.sum(F.when(F.col("s") >= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_multi_buckets"),
+        F.expr("CAST(sum(s * (s - 1) DIV 2) AS BIGINT)").alias("cand_pairs"),
+        F.round(
+            (F.max("s") * F.count(F.lit(1))) / F.sum("s").cast("double"), 6
+        ).alias("skew"),
+    )
+
+
 # --- q_dedup_keep_best: cluster survivor policy ----------------------------
 
 # Composite quality key: longer doc wins, doc_id breaks exact ties toward
