@@ -332,3 +332,21 @@ def test_cms_estimate_dominates_exact(spark, queries):
     for r in rows:
         assert r.cms_est >= r.n_exact, r
         assert r.cms_est == r.n_exact, f"collision at 30-word vocab: {r}"
+
+
+def test_dsir_weights_separate_target_language(spark, queries):
+    """DSIR's reason to exist: documents drawn from the target
+    distribution (lang='en') must average a POSITIVE log importance
+    weight and every non-target language a NEGATIVE one — hashed-bigram
+    LMs trained on the corpus itself must separate the declared target.
+    (The oracle hash-match proves Spark == DuckDB; this pins that the
+    shared semantics point the right way.)"""
+    import pandas as pd
+
+    rows = queries["q_text_dsir"](spark, SF_SMALL).collect()
+    df = pd.DataFrame([(r.lang, r.logw) for r in rows], columns=["lang", "w"])
+    means = df.groupby("lang")["w"].mean()
+    assert means["en"] > 0, f"target lang weight {means['en']:.3f} not positive"
+    for lang, m in means.items():
+        if lang != "en":
+            assert m < 0, f"non-target {lang} weight {m:.3f} not negative"

@@ -552,3 +552,24 @@ def test_dedup_degree_closed_form_at_10x(spark, queries, stress_dir):
     r = rows[0]
     assert (r.degree, r.n_docs, r.example_doc) == (1, 2 * _N_DUP_DOCS, 0)
     assert wall < 120, f"degree histogram took {wall:.0f}s at 10x"
+
+
+@pytest.mark.slow
+def test_semantic_dedup_removes_planted_twin_at_4x(spark, queries, stress_dir):
+    """SemDeDup at the 4x embeddings corpus: each planted near-copy
+    (i, 7800+i, cos ~ 0.9998) lands in the same k-means cluster (the
+    vectors are nearly identical, so their nearest centroid agrees) and
+    far above the 0.35 bar, so every planted pair must surface at least
+    one removed member — the centroid-dominance rule fires on ~every
+    twin relation. Random unique vectors may also pair above 0.35
+    within a cluster; assert the planted recall >= 0.99 and that no
+    removed row lacks a kept example."""
+    out = queries["q_dedup_semantic"](spark, stress_dir).collect()
+    removed = {r.removed_id for r in out}
+    hit = sum(
+        1 for i in range(_N_DUP_VECS) if i in removed or _N_UNIQ_VECS + i in removed
+    )
+    assert hit / _N_DUP_VECS >= 0.99, f"planted-twin recall {hit / _N_DUP_VECS:.3f}"
+    for r in out:
+        assert r.kept_example is not None and r.kept_example != r.removed_id
+        assert r.sim_max >= 0.35
