@@ -1396,7 +1396,14 @@ def q_dedup_semantic(spark, sf_dir):
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     ).alias("nn")
-    mem = a2.join(vecs, "vec_id").select("vec_id", "c", "d2", "xe", nn)
+    # Both sides of the within-cluster self-join read the member table;
+    # materialize it once (the _ngram_pairs_pinned precedent) so the
+    # broadcast-assignment pipeline doesn't run per join leg.
+    mem = (
+        a2.join(vecs, "vec_id")
+        .select("vec_id", "c", "d2", "xe", nn)
+        .localCheckpoint(eager=True)
+    )
     # Within-cluster oriented pairs: equi join on the cluster key only —
     # the quadratic is confined to each cluster (the SemDeDup bound).
     lhs = mem.select(
