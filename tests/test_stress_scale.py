@@ -573,3 +573,44 @@ def test_semantic_dedup_removes_planted_twin_at_4x(spark, queries, stress_dir):
     for r in out:
         assert r.kept_example is not None and r.kept_example != r.removed_id
         assert r.sim_max >= 0.35
+
+
+@pytest.mark.slow
+def test_dsir_no_separation_on_identical_distributions_at_10x(spark, queries, stress_dir):
+    """Negative control for DSIR at 50k docs: the stress corpus assigns
+    langs round-robin over ONE shared token distribution, so the
+    'target' (en) and raw hashed-bigram LMs are near-identical and every
+    language's mean importance weight must sit near zero — a corpus
+    where DSIR separates langs here would mean the weights reflect the
+    hash family, not the data. Bound: |mean logw| < 0.05 for every lang
+    (sampling noise over ~12.5k docs/lang), and the en-vs-rest gap must
+    be an order of magnitude below the real-corpus separation (~0.5)."""
+    import pandas as pd
+
+    rows = queries["q_text_dsir"](spark, stress_dir).collect()
+    df = pd.DataFrame([(r.lang, r.logw) for r in rows], columns=["lang", "w"])
+    means = df.groupby("lang")["w"].mean()
+    for lang, m in means.items():
+        assert abs(m) < 0.05, f"{lang} mean weight {m:.4f} not ~0 on identical dists"
+    gap = means["en"] - means.drop("en").mean()
+    assert abs(gap) < 0.05, f"spurious en separation {gap:.4f}"
+
+
+@pytest.mark.slow
+def test_lsh_bucket_audit_tracks_planted_pairs_at_10x(spark, queries, stress_dir):
+    """The bucket audit at 50k docs must predict the candidate volume the
+    banded join would emit: every doc signs (60-token docs), so each of
+    the 2 bands holds all 50k docs; planted J=0.983 pairs collide in a
+    band with p = 0.983^4 ~ 0.93 while random pairs almost never do, so
+    total cand_pairs across bands must land in [5000, 30000] (~2 bands x
+    5000 x 0.93 plus rare chains) — far from both failure modes: ~0
+    (band family stopped hashing shingles) and ~1e6+ (family collapsed
+    toward shared buckets). Max bucket stays tiny (no hot template)."""
+    rows = queries["q_dedup_lsh_buckets"](spark, stress_dir).collect()
+    assert len(rows) == 2  # one row per band
+    n = _N_UNIQ_DOCS + _N_DUP_DOCS
+    total_cand = sum(r.cand_pairs for r in rows)
+    for r in rows:
+        assert r.n_docs == n, f"band {r.band}: {r.n_docs} signed docs != {n}"
+        assert r.max_bucket <= 10, f"band {r.band}: hot bucket {r.max_bucket}"
+    assert 5_000 <= total_cand <= 30_000, f"cand volume {total_cand} off-model"
