@@ -1608,14 +1608,19 @@ def test_semantic_dedup_pairs_only_within_cluster(spark, queries):
 
 
 def test_dsir_single_fact_shuffle_and_broadcast_lr(spark, queries):
-    """DSIR: the (doc, bucket) pre-aggregate is the ONE data-sized
-    shuffle; the <=128-row log-ratio table and the 1-row totals come
-    back as broadcasts (no second fact-sized exchange), and no Python
-    anywhere."""
+    """DSIR after the r9 conditional-sum restructure: the (doc, bucket)
+    pre-aggregate is materialized once and both histograms ride ONE
+    aggregation, so the whole plan holds exactly TWO equi joins — the
+    <=128-row log-ratio broadcast into the doc counts and the final
+    per-doc join back to documents — plus at most the 1-row totals fold
+    as a nested loop. No semi-join, no bucket-level join, no cartesian,
+    map-side combine present, no Python anywhere."""
     plan = explain(queries["q_text_dsir"](spark, SF_MID))
     n = node_counts(plan)
     assert "CartesianProduct" not in plan
-    assert n["BroadcastHashJoin"] >= 2  # lr-to-doc-counts + final doc join legs
+    assert n["BroadcastHashJoin"] >= 1  # the <=128-row lr table broadcasts
+    assert n["BroadcastHashJoin"] + n["SortMergeJoin"] + n["ShuffledHashJoin"] == 2
+    assert n["BroadcastNestedLoopJoin"] <= 1  # 1-row totals fold only
     assert "partial_count" in plan or "partial_sum" in plan  # map-side combine
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
