@@ -1057,9 +1057,15 @@ def q_orders_priority_drift(spark, sf_dir):
         )
         SELECT spend.seg,
                CAST(count(*) AS BIGINT) AS n_customers,
-               round(q1 / 100, 2) AS q1_spend,
-               round(q3 / 100, 2) AS q3_spend,
-               round((q3 - q1) / 100, 2) AS iqr_spend,
+               -- Round in CENT space, divide after: q1/q3 are interpolated
+               -- quarter-cent values (binary-exact multiples of 0.25), so
+               -- round() sees the exact value in both engines. The old
+               -- round(q1/100, 2) form hit x.285-dollar boundaries where
+               -- Spark (decimal-repr HALF_UP) and DuckDB (binary value)
+               -- disagree by one cent — first seen at sf0.1.
+               round(q1) / 100 AS q1_spend,
+               round(q3) / 100 AS q3_spend,
+               round(q3 - q1) / 100 AS iqr_spend,
                CAST(count(*) FILTER (CAST(s AS DOUBLE) > q3 + 1.5 * (q3 - q1))
                     AS BIGINT) AS n_high_outliers,
                round(CAST(count(*) FILTER (CAST(s AS DOUBLE)
@@ -1108,9 +1114,13 @@ def q_cust_iqr(spark, sf_dir):
         )
         .select(
             "seg", "n_customers",
-            F.round(F.col("q1") / 100, 2).alias("q1_spend"),
-            F.round(F.col("q3") / 100, 2).alias("q3_spend"),
-            F.round((F.col("q3") - F.col("q1")) / 100, 2).alias("iqr_spend"),
+            # Cent-space round then divide (see oracle comment): the
+            # quarter-cent percentile is binary-exact, so both engines
+            # round the same value; dividing first lands on x.285-dollar
+            # boundaries where the engines' double rounding diverges.
+            (F.round(F.col("q1"), 0) / 100).alias("q1_spend"),
+            (F.round(F.col("q3"), 0) / 100).alias("q3_spend"),
+            (F.round(F.col("q3") - F.col("q1"), 0) / 100).alias("iqr_spend"),
             "n_high_outliers",
             r6(
                 F.col("n_high_outliers").cast("double")
