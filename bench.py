@@ -235,6 +235,7 @@ HEADLINE = [
     "q_dedup_semantic",
     "q_text_dsir",
     "q_dedup_lsh_buckets",
+    "q_corpus_budget_fill",
 ]
 
 

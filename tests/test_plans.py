@@ -1637,3 +1637,18 @@ def test_lsh_bucket_audit_never_joins(spark, queries):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "partial_min" in plan or "partial_count" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_budget_fill_windows_stay_on_band_table(spark, queries):
+    """The banded two-pass must keep every corpus-sized stage window-free:
+    windows run over the bounded (lang, n_chars) band table and inside
+    the single boundary band; the whole-band selection is a semi join by
+    band key. No cartesian, no Python, map-side combine on the band
+    aggregate."""
+    plan = explain(queries["q_corpus_budget_fill"](spark, SF_MID))
+    n = node_counts(plan)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert n["SortMergeJoin"] + n["ShuffledHashJoin"] + n["BroadcastHashJoin"] >= 2
+    assert "partial_sum" in plan or "partial_count" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

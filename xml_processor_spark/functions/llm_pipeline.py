@@ -1069,3 +1069,136 @@ def q_text_dsir(spark, sf_dir):
             F.coalesce(F.col("w_e6"), F.lit(0)).cast("double") / 1_000_000.0, 6
         ).alias("logw"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget corpus fill: select best docs per language until a token
+# budget is reached.
+# ---------------------------------------------------------------------------
+
+_BUDGET_FRAC_NUM, _BUDGET_FRAC_DEN = 1, 2  # budget = 1/2 of each lang's tokens
+
+
+@register(
+    "q_corpus_budget_fill",
+    # The oracle uses the NAIVE single-window formulation (rank every doc,
+    # running token total, cut at the budget) — deliberately a different
+    # algorithm than the Spark side's banded two-pass, so the hash match
+    # checks the selection SEMANTICS, not a shared plan.
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, lang,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                   n_chars
+            FROM documents
+        ),
+        r AS (
+            SELECT doc_id, lang, n_tok,
+                   COALESCE(CAST(sum(n_tok) OVER (
+                       PARTITION BY lang
+                       ORDER BY n_chars DESC, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS BIGINT), 0) AS cum_before,
+                   CAST(sum(n_tok) OVER (PARTITION BY lang) AS BIGINT)
+                       AS tot
+            FROM d
+        )
+        SELECT doc_id, lang, n_tok
+        FROM r
+        WHERE cum_before * {_BUDGET_FRAC_DEN} < tot * {_BUDGET_FRAC_NUM}
+    """,
+    origin="LLM",
+    doc=f"Token-budget corpus fill — the curation step that assembles a "
+        "training mix: per language, take documents best-first "
+        "(n_chars desc, doc_id tie-break — the repo's quality key) until "
+        f"{_BUDGET_FRAC_NUM}/{_BUDGET_FRAC_DEN} of that language's total "
+        "whitespace tokens is reached (a doc is selected iff the tokens "
+        "BEFORE it fall short of the budget, so the crossing doc is "
+        "included — exact integer rule, no float boundary). THE SCALE "
+        "POINT: the naive formulation is a per-language global sort with "
+        "a running total — one reducer per language at 100 TB. This "
+        "implementation is the banded two-pass instead: (1) aggregate "
+        "docs into (lang, n_chars) bands — bounded by |langs| x "
+        "|distinct lengths|, windows run on THAT table; (2) bands "
+        "strictly above the cutoff select wholesale (their docs join by "
+        "band key, no per-doc window), and only the single boundary band "
+        "per language pays a per-doc running total — a partition of "
+        "same-length docs, not the corpus. Shuffle: one map-side "
+        "combined band aggregate + two equi joins; the per-doc sort "
+        "exists only inside the boundary band.",
+)
+def q_corpus_budget_fill(spark, sf_dir):
+    d = widen(table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+        "n_chars",
+    )
+    # Pass 1: bounded (lang, n_chars) band table with per-band token sums;
+    # running totals best-first over the band table only.
+    bands = d.groupBy("lang", "n_chars").agg(F.sum("n_tok").alias("btok"))
+    wb = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("n_chars"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wt = Window.partitionBy("lang")
+    banded = bands.select(
+        "lang",
+        "n_chars",
+        "btok",
+        F.coalesce(F.sum("btok").over(wb), F.lit(0)).alias("cum_above"),
+        F.sum("btok").over(wt).alias("tot"),
+    )
+    # Band classification against the budget (num/den of tot, exact
+    # integer cross-multiplication — no float boundary):
+    #   starts_in & !crosses : cum_above + btok stays under budget →
+    #                          every doc's cum_before < budget, select
+    #                          the whole band by key join, no per-doc work
+    #   starts_in & crosses  : the budget lands inside this band → only
+    #                          here does a per-doc running total run
+    #   !starts_in           : band begins at/after the budget → dropped
+    num, den = _BUDGET_FRAC_NUM, _BUDGET_FRAC_DEN
+    marks = banded.select(
+        "lang",
+        "n_chars",
+        "cum_above",
+        "tot",
+        "btok",
+        (F.col("cum_above") * den < F.col("tot") * num).alias("starts_in"),
+        (
+            (F.col("cum_above") + F.col("btok")) * den >= F.col("tot") * num
+        ).alias("crosses"),
+    )
+    whole_bands = marks.filter(F.col("starts_in") & ~F.col("crosses")).select(
+        "lang", "n_chars"
+    )
+    sel_whole = d.join(whole_bands, ["lang", "n_chars"], "left_semi").select(
+        "doc_id", "lang", "n_tok"
+    )
+    # Pass 2: per-doc refinement ONLY inside the boundary band of each
+    # language (same-length docs, ordered by doc_id).
+    bd = marks.filter(F.col("starts_in") & F.col("crosses")).select(
+        "lang", "n_chars", "cum_above", "tot"
+    )
+    wdoc = (
+        Window.partitionBy("lang", "n_chars")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sel_boundary = (
+        d.join(F.broadcast(bd), ["lang", "n_chars"])
+        .select(
+            "doc_id",
+            "lang",
+            "n_tok",
+            (
+                F.col("cum_above")
+                + F.coalesce(F.sum("n_tok").over(wdoc), F.lit(0))
+            ).alias("cum_before"),
+            "tot",
+        )
+        .filter(F.col("cum_before") * den < F.col("tot") * num)
+        .select("doc_id", "lang", "n_tok")
+    )
+    return sel_whole.unionByName(sel_boundary)
