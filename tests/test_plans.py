@@ -1596,13 +1596,17 @@ def test_vocab_overlap_joins_on_token_key(spark, queries):
 
 
 def test_semantic_dedup_pairs_only_within_cluster(spark, queries):
-    """SemDeDup's whole point: the pair stage is an equi join on the
-    cluster key — never a corpus-level cartesian. The only nested-loop
-    work allowed is the k-row broadcast centroid assignment; the pair
-    join itself must be a hash/merge equi join, and no Python runs."""
+    """SemDeDup's whole point: the quadratic never leaves the cluster.
+    After the r9 BLAS rewrite the pair stage is EXACTLY ONE Arrow-batched
+    per-cluster kernel (FlatMapGroupsInPandas on the cluster key — its
+    shuffle is |vectors| rows hash-partitioned by cluster); the only
+    joins are the vec_id member join and the k-row broadcast centroid
+    assignment. No corpus-level cartesian, no per-row Python eval nodes,
+    and no pair-level equi self-join survives in the plan."""
     plan = explain(queries["q_dedup_semantic"](spark, SF_MID))
     n = node_counts(plan)
     assert "CartesianProduct" not in plan
+    assert n["FlatMapGroupsInPandas"] == 1
     assert n["SortMergeJoin"] + n["ShuffledHashJoin"] + n["BroadcastHashJoin"] >= 1
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
