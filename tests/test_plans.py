@@ -427,14 +427,20 @@ def test_tpch_q2_min_cost_subquery_decorrelates(spark, queries):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_tpch_q11_threshold_is_broadcast_scalar(spark, queries):
-    """Q11's fraction-of-total HAVING subquery must plan as a one-row
-    scalar (Subquery/ReusedSubquery), never a join that re-shuffles the
-    nation slice per group."""
+def test_tpch_q11_threshold_is_single_plan_totals_fold(spark, queries):
+    """Q11 r9 restructure: the fraction-of-total threshold must NOT be a
+    scalar subquery (Spark plans those as a separate AdaptiveSparkPlan,
+    re-running the whole lineitem aggregate with no exchange reuse —
+    measured 2x at sf0.1). It must fold the 1-row total inside the SAME
+    plan via the house totals-fold (1-row broadcast nested loop), with
+    both consumers sharing the per-part aggregate exchange."""
     plan = explain(queries["q_tpch_q11"](spark, SF_MID))
-    assert "Subquery" in plan
+    n = node_counts(plan)
+    assert "Subquery" not in plan
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    assert n["BroadcastNestedLoopJoin"] <= 1  # the 1-row totals fold only
+    # one driving plan: the threshold branch lives inside it, not apart
+    assert plan.count("== Physical Plan ==") == 1
 
 
 def test_tpch_q16_not_in_is_anti_join(spark, queries):

@@ -649,12 +649,16 @@ _Q11_SQL = f"""
         JOIN supplier ON s_suppkey = ps_suppkey
         JOIN nation ON n_nationkey = s_nationkey
         WHERE n_name = 'NATION_3'
-    )
-    SELECT ps_partkey,
-           CAST(SUM(value_c) AS DOUBLE) / 1e2 AS value
-    FROM natps
-    GROUP BY ps_partkey
-    HAVING SUM(value_c) > (SELECT SUM(value_c) * 0.001 FROM natps)
+    ),
+    g AS (
+        SELECT ps_partkey, CAST(SUM(value_c) AS BIGINT) AS sv_c
+        FROM natps
+        GROUP BY ps_partkey
+    ),
+    tot AS (SELECT CAST(SUM(sv_c) AS BIGINT) AS tot_c FROM g)
+    SELECT ps_partkey, CAST(sv_c AS DOUBLE) / 1e2 AS value
+    FROM g, tot
+    WHERE CAST(sv_c AS DOUBLE) > CAST(tot_c AS DOUBLE) * 0.001
     ORDER BY value DESC, ps_partkey
 """
 
@@ -664,11 +668,19 @@ _sql_query(
     "TPC-H Q11 shape (important stock identification) adapted to the "
     "fixture (de facto partsupp; cost x shipped-quantity stands in for "
     "cost x availqty): per-part inventory value within one nation, kept "
-    "when above a fraction of the nation total — the signature HAVING-"
-    "against-scalar-subquery over the same CTE. Value accumulates as "
-    "exact int64 (cents x quantity), so the group sums, the global sum, "
-    "and the threshold comparison are order-independent at any "
-    "partitioning; the scalar broadcasts.",
+    "when above a fraction of the nation total. The textbook HAVING-"
+    "against-scalar-subquery re-derives the whole partsupp pipeline: "
+    "Spark plans a scalar subquery as a SEPARATE AdaptiveSparkPlan, so "
+    "the big lineitem group-by shuffle ran TWICE with no exchange reuse "
+    "across the subquery boundary (measured 2x at sf0.1). Restructured "
+    "so the total folds from the per-part aggregate g via a 1-row cross "
+    "join in the SAME plan — tot's partial aggregate sits above the "
+    "identical g exchange, ReuseExchange dedupes it, and the threshold "
+    "total = sum of group sums is the same number by associativity. "
+    "Value accumulates as exact int64 (cents x quantity) well under "
+    "2^53, so the explicit double casts in the comparison reproduce "
+    "both engines' prior implicit promotion bit-for-bit; the 1-row tot "
+    "broadcast is the house totals-fold pattern.",
 )
 
 _Q16_SQL = f"""
