@@ -499,16 +499,10 @@ _EMB_BAND_BITS = 6
 _EMB_SEED = 1234
 
 
-def _sign_lsh_pairs(vecs, bands: int, band_bits: int, seed: int):
-    """Candidate (id_a, id_b) pairs colliding in >= 1 sign-LSH band.
-
-    ``vecs`` is a DataFrame of (vec_id, embedding). The hyperplane
-    projections are one Arrow-batched numpy matmul per batch (interpreted
-    zip_with/aggregate folds per row would be the slow path); banding, the
-    equi join, and dedup stay JVM-side. The band family (bands x band_bits)
-    is the τ knob: per-hyperplane agreement for a pair at angle θ is
-    1 - θ/π, so tight thresholds (small θ) support many bits per band —
-    which is what crushes the random-pair collision rate (0.5^bits)."""
+def _band_code_udf(bands: int, band_bits: int, seed: int):
+    """Arrow-batched sign-LSH band codes: embedding -> array<int> of
+    per-band codes. One numpy matmul per batch (interpreted
+    zip_with/aggregate folds per row would be the slow path)."""
 
     @F.pandas_udf("array<int>")
     def band_codes(batch: pd.Series) -> pd.Series:
@@ -528,6 +522,20 @@ def _sign_lsh_pairs(vecs, bands: int, band_bits: int, seed: int):
         codes = bits.reshape(len(mat), bands, band_bits) @ weights
         return pd.Series([row.astype("int32").tolist() for row in codes])
 
+    return band_codes
+
+
+def _sign_lsh_pairs(vecs, bands: int, band_bits: int, seed: int):
+    """Candidate (id_a, id_b) pairs colliding in >= 1 sign-LSH band.
+
+    ``vecs`` is a DataFrame of (vec_id, embedding). The hyperplane
+    projections are Arrow-batched numpy (see :func:`_band_code_udf`);
+    banding, the equi join, and dedup stay JVM-side. The band family
+    (bands x band_bits) is the τ knob: per-hyperplane agreement for a
+    pair at angle θ is 1 - θ/π, so tight thresholds (small θ) support
+    many bits per band — which is what crushes the random-pair collision
+    rate (0.5^bits)."""
+    band_codes = _band_code_udf(bands, band_bits, seed)
     banded = vecs.select(
         "vec_id", F.posexplode(band_codes("embedding")).alias("band", "code")
     )
@@ -545,7 +553,15 @@ def _cosine_rescore(cand, vecs, tau: float):
     """Exact double-precision cosine over candidate pairs, kept if >= tau.
 
     Precision 1.0 by construction: every emitted pair is exactly scored.
-    JVM higher-order functions (zip_with/aggregate), no Python."""
+    JVM higher-order functions (zip_with/aggregate), no Python. This is
+    the SPARSE-candidate rescore: right when the band family prunes hard
+    (E-EMB-LSH-HI's 16-bit codes → ~5e-4 candidate fraction), because per
+    pair it ships both arrays through the vec_id joins. At dense candidate
+    fractions the bucket-matmul path (:func:`_lsh_bucket_cosine`) wins —
+    measured at sf0.1: buckets 13.2s vs pairs 2.0s on the sparse HI
+    family, pairs 3.9s vs buckets 2.0s on the dense τ=0.35 family (the
+    ~76k near-singleton buckets of a 16-bit family pay per-group pandas
+    overhead with no matmul to amortize it)."""
     dot = F.aggregate(
         F.zip_with(
             F.col("ea"), F.col("eb"),
@@ -578,6 +594,62 @@ def _cosine_rescore(cand, vecs, tau: float):
     )
 
 
+def _lsh_bucket_cosine(vecs, bands: int, band_bits: int, seed: int,
+                       tau: float):
+    """Banded LSH candidates + exact in-bucket cosine, kept if >= tau.
+
+    Precision 1.0 by construction: every emitted pair is exactly scored in
+    double precision. Unlike a candidate-pair join that ships BOTH 64-dim
+    arrays once per pair (at the τ=0.35 operating point that is ~1M pair
+    rows ≈ 1 GB of array traffic at sf0.1), this shuffles each embedding
+    exactly ``bands`` times — |vecs|·bands rows — groups by (band, code),
+    and scores each bucket with one BLAS matmul (S = X·Xᵀ / outer(‖x‖)).
+    Per-bucket work is O(m²·dim) where m is the bucket size; bucket load
+    is linear in corpus at fixed code width, and the hot-bucket tail is
+    the measured quantity `q_lsh_bucket_audit` tracks. Cross-band
+    duplicate collisions are collapsed by a (id_a, id_b) max-agg — the
+    per-band scores agree to the last ulp (same K-ordered dgemm), max is
+    belt-and-braces. Summation order differs from the JVM HOF fold only
+    in the last ulp; consumers gate with >= tau far from any fixture
+    pair, so the emitted pair set is unchanged (subset-of-truth asserted
+    in tests/test_llm.py)."""
+    import numpy as np
+
+    band_codes = _band_code_udf(bands, band_bits, seed)
+    banded = vecs.select(
+        "vec_id",
+        "embedding",
+        F.posexplode(band_codes("embedding")).alias("band", "code"),
+    )
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame({
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+                "sim_raw": pd.Series([], dtype="float64"),
+            })
+        ids = pdf["vec_id"].to_numpy(np.int64)
+        x = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+        nrm = np.sqrt(np.einsum("ij,ij->i", x, x))
+        s = (x @ x.T) / np.outer(nrm, nrm)
+        iu, ju = np.triu_indices(m, k=1)
+        keep = s[iu, ju] >= tau
+        ia, ib = ids[iu[keep]], ids[ju[keep]]
+        lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+        return pd.DataFrame(
+            {"id_a": lo, "id_b": hi, "sim_raw": s[iu, ju][keep]}
+        )
+
+    return (
+        banded.groupBy("band", "code")
+        .applyInPandas(score, "id_a long, id_b long, sim_raw double")
+        .groupBy("id_a", "id_b")
+        .agg(F.round(F.max("sim_raw"), 6).alias("sim"))
+    )
+
+
 def _emb_lsh_candidates(spark, sf_dir):
     """The 48x6 (τ=0.35) candidate stream over the fixture embeddings."""
     e = widen(table(spark, sf_dir, "embeddings"))
@@ -605,7 +677,9 @@ def _emb_lsh_candidates(spark, sf_dir):
 )
 def e_emb_lsh(spark, sf_dir):
     e = widen(table(spark, sf_dir, "embeddings"))
-    return _cosine_rescore(_emb_lsh_candidates(spark, sf_dir), e, _COS_TAU)
+    return _lsh_bucket_cosine(
+        e, _EMB_BANDS, _EMB_BAND_BITS, _EMB_SEED, _COS_TAU
+    )
 
 
 # Realistic near-dup operating point: embedding near-dups in production
