@@ -236,6 +236,11 @@ HEADLINE = [
     "q_text_dsir",
     "q_dedup_lsh_buckets",
     "q_corpus_budget_fill",
+    # r9 additions, third batch: UniMax domain allocation (bounded-table
+    # water-filling off one corpus scan) and incremental batch-vs-index
+    # dedup (token-blocked join, new side only).
+    "q_domain_unimax",
+    "q_dedup_incremental",
 ]
 
 

@@ -1662,3 +1662,31 @@ def test_budget_fill_windows_stay_on_band_table(spark, queries):
     assert n["SortMergeJoin"] + n["ShuffledHashJoin"] + n["BroadcastHashJoin"] >= 2
     assert "partial_sum" in plan or "partial_count" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_unimax_windows_stay_on_domain_table(spark, queries):
+    """UniMax: ONE corpus scan collapses map-side to the |domains| table;
+    the water-filling windows and the capped test run on that bounded
+    table only; the level and totals are 1-row broadcasts (nested-loop
+    folds over a bounded side). No Python, no cartesian on data rows."""
+    plan = explain(queries["q_domain_unimax"](spark, SF_MID))
+    n = node_counts(plan)
+    assert "CartesianProduct" not in plan
+    # 1-row totals fold (appears twice: the level branch re-derives it)
+    # + the 1-row level broadcast — every nested-loop side is <= 1 row.
+    assert n["BroadcastNestedLoopJoin"] <= 3
+    assert "partial_sum" in plan or "partial_count" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dedup_incremental_blocks_on_token_key(spark, queries):
+    """Incremental dedup: the pair join is token-blocked with the NEW
+    batch on one side — an equi join, never a doc-level cross join; the
+    new-side filter is pushed into the scan side of the join (no
+    post-join modulo filtering of the corpus against itself)."""
+    plan = explain(queries["q_dedup_incremental"](spark, SF_MID))
+    n = node_counts(plan)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert n["SortMergeJoin"] + n["ShuffledHashJoin"] + n["BroadcastHashJoin"] >= 3
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -30,6 +30,7 @@ BASELINE.json (same family as llm_text.py).
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from xml_processor_spark.functions.deterministic import r6
@@ -41,6 +42,125 @@ from xml_processor_spark.registry import register
 # AND the output bound — at ANY corpus size the result is at most
 # total_bigrams / _MIN_PAIR rows.
 _MIN_PAIR = 5
+
+# UniMax epoch cap: no domain may be repeated more than this many times in
+# the sampled mixture (UniMax, arXiv:2304.09151 — cap repetition of
+# low-resource domains instead of temperature-flattening everything).
+_UNIMAX_CAP = 2
+
+
+@register(
+    "q_domain_unimax",
+    oracle=f"""
+        WITH dom AS (
+            SELECT source, lang,
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS s
+            FROM documents GROUP BY 1, 2
+        ), tot AS (
+            SELECT CAST(sum(s) AS BIGINT) AS budget,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM dom
+        ), ord AS (
+            SELECT source, lang, s, {_UNIMAX_CAP} * s AS cap,
+                   row_number() OVER w AS i,
+                   coalesce(sum({_UNIMAX_CAP} * s) OVER (
+                       w ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS prefix
+            FROM dom
+            WINDOW w AS (ORDER BY {_UNIMAX_CAP} * s, source, lang)
+        ), flag AS (
+            SELECT ord.*, tot.budget, tot.n,
+                   cap * (tot.n - i + 1) <= tot.budget - prefix AS capped
+            FROM ord CROSS JOIN tot
+        ), lvl AS (
+            SELECT CAST(budget - prefix AS DOUBLE) / CAST(n - i + 1 AS DOUBLE)
+                   AS t
+            FROM flag WHERE NOT capped ORDER BY i LIMIT 1
+        )
+        SELECT source, lang, s AS n_tokens, cap AS capacity, capped,
+               round(CASE WHEN capped THEN CAST(cap AS DOUBLE)
+                          ELSE (SELECT t FROM lvl) END, 6) AS alloc,
+               round(CASE WHEN capped THEN CAST(cap AS DOUBLE)
+                          ELSE (SELECT t FROM lvl) END
+                     / CAST(s AS DOUBLE), 6) AS epochs
+        FROM flag
+    """,
+    origin="LLM",
+    doc="UniMax domain-mixture allocation (arXiv:2304.09151): spread a "
+        "token budget (= one corpus pass) across (source, lang) domains "
+        "uniformly, but cap every domain at "
+        f"{_UNIMAX_CAP} epochs of its own tokens — the published "
+        "alternative to temperature sampling that stops low-resource "
+        "domain over-repetition. Water-filling in closed form: domains "
+        "sorted ascending by capacity; a domain is capped iff "
+        "cap·r ≤ B − prefix (ALL exact BIGINT — the branch never floats), "
+        "where r counts remaining domains and prefix is the exclusive "
+        "capacity cumsum; the test is monotone along the sort, so the "
+        "capped set is a prefix and every uncapped domain gets the SINGLE "
+        "water level t = (B − prefix_k)/r_k fixed at the first uncapped "
+        "row k — one double division, identical cross-engine. Scale "
+        "shape: ONE corpus scan collapses map-side to the |domains| "
+        "grouped table; every window after runs on that bounded table "
+        "(|sources|·|langs| rows at ANY corpus size), and the level is a "
+        "1-row broadcast.",
+)
+def q_domain_unimax(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    dom = (
+        d.groupBy("source", "lang")
+        .agg(F.sum(F.size(F.split("text", " "))).cast("long").alias("s"))
+        .withColumn("cap", F.lit(_UNIMAX_CAP) * F.col("s"))
+    )
+    # Bounded-table windows: dom is |domains| rows (99 at the fixture,
+    # |sources|x|langs| always), so the unpartitioned frames below never
+    # see corpus-scale data.
+    w = Window.orderBy("cap", "source", "lang")
+    tot = dom.agg(
+        F.sum("s").cast("long").alias("budget"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    flag = (
+        dom.withColumn("i", F.row_number().over(w))
+        .withColumn(
+            "prefix",
+            F.coalesce(
+                F.sum("cap").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "capped",
+            F.col("cap") * (F.col("n") - F.col("i") + 1)
+            <= F.col("budget") - F.col("prefix"),
+        )
+    )
+    lvl = (
+        flag.filter(~F.col("capped"))
+        .orderBy("i")
+        .limit(1)
+        .select(
+            (
+                (F.col("budget") - F.col("prefix")).cast("double")
+                / (F.col("n") - F.col("i") + 1).cast("double")
+            ).alias("t")
+        )
+    )
+    alloc = F.when(
+        F.col("capped"), F.col("cap").cast("double")
+    ).otherwise(F.col("t"))
+    return (
+        flag.crossJoin(F.broadcast(lvl))
+        .select(
+            "source",
+            "lang",
+            F.col("s").alias("n_tokens"),
+            F.col("cap").alias("capacity"),
+            "capped",
+            r6(alloc).alias("alloc"),
+            r6(alloc / F.col("s").cast("double")).alias("epochs"),
+        )
+    )
 
 
 @register(

@@ -100,6 +100,84 @@ def q_dedup_near_jaccard(spark, sf_dir):
     )
 
 
+@register(
+    "q_dedup_incremental",
+    oracle=f"""
+        WITH dt AS (
+            SELECT doc_id, unnest(list_distinct(string_split(text, ' ')))
+                   AS tok
+            FROM documents
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n FROM dt GROUP BY doc_id
+        ), inter AS (
+            SELECT n.doc_id AS doc_id, p.doc_id AS partner_id,
+                   count(*) AS i
+            FROM dt n JOIN dt p ON n.tok = p.tok
+            WHERE n.doc_id % 5 = 0 AND p.doc_id <> n.doc_id
+              AND (p.doc_id % 5 <> 0 OR p.doc_id < n.doc_id)
+            GROUP BY 1, 2
+        )
+        SELECT inter.doc_id AS doc_id, partner_id,
+               round(i / CAST(sn.n + sp.n - i AS DOUBLE), 6) AS jaccard,
+               partner_id % 5 = 0 AS partner_is_new
+        FROM inter
+        JOIN sizes sn ON sn.doc_id = inter.doc_id
+        JOIN sizes sp ON sp.doc_id = partner_id
+        WHERE {_TAU_DEN} * i >= {_TAU_NUM} * (sn.n + sp.n - i)
+    """,
+    origin="LLM",
+    doc="Incremental near-dup admission — the daily-crawl production "
+        "shape: dedup ONLY the new batch (doc_id % 5 = 0, the synthetic "
+        "increment) against the frozen corpus index plus earlier "
+        "new-batch rows, never re-pairing the historical corpus against "
+        "itself. Emits (new doc, partner, token-set Jaccard ≥ 0.95, "
+        "partner-side flag); integer-exact threshold as "
+        "q_dedup_near_jaccard. Scale shape: the pair join is "
+        "token-blocked with the NEW batch on one side, so candidate "
+        "volume is ∝ |batch|·posting-depth, not |corpus|² — the "
+        "historical (doc_id, token) posting table is exactly the "
+        "reusable index a production pipeline materializes once and "
+        "bucket-joins each increment against (write it bucketed BY tok "
+        "and the per-drop dedup is shuffle-free on the corpus side).",
+)
+def q_dedup_incremental(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    dt = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+    )
+    sizes = dt.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    new_side = dt.filter(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("id_n"), "tok"
+    )
+    partner_side = dt.select(F.col("doc_id").alias("id_p"), "tok")
+    inter = (
+        new_side.join(partner_side, "tok")
+        .filter(
+            (F.col("id_p") != F.col("id_n"))
+            & ((F.col("id_p") % 5 != 0) | (F.col("id_p") < F.col("id_n")))
+        )
+        .groupBy("id_n", "id_p")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sn = sizes.select(F.col("doc_id").alias("id_n"), F.col("n").alias("nn"))
+    sp = sizes.select(F.col("doc_id").alias("id_p"), F.col("n").alias("np"))
+    union_sz = F.col("nn") + F.col("np") - F.col("i")
+    return (
+        inter.join(sn, "id_n")
+        .join(sp, "id_p")
+        .filter(_TAU_DEN * F.col("i") >= _TAU_NUM * union_sz)
+        .select(
+            F.col("id_n").alias("doc_id"),
+            F.col("id_p").alias("partner_id"),
+            F.round(F.col("i") / union_sz.cast("double"), 6).alias(
+                "jaccard"
+            ),
+            (F.col("id_p") % 5 == 0).alias("partner_is_new"),
+        )
+    )
+
+
 _N_HASHES = 32  # MinHash signature length
 # 4 bands × 8 rows: P(candidate | J=0.95) ≈ 1-(1-0.95^8)^4 ≈ 0.99.
 _N_BANDS = 4
