@@ -102,17 +102,21 @@ def q_dedup_near_jaccard(spark, sf_dir):
 
 @register(
     "q_dedup_incremental",
-    oracle=f"""
-        WITH dt AS (
-            SELECT doc_id, unnest(list_distinct(string_split(text, ' ')))
-                   AS tok
+    oracle="""
+        WITH sh AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       generate_series(1, len(string_split(text,' ')) - 2),
+                       i -> string_split(text,' ')[i] || ' ' ||
+                            string_split(text,' ')[i+1] || ' ' ||
+                            string_split(text,' ')[i+2]))) AS s
             FROM documents
         ), sizes AS (
-            SELECT doc_id, count(*) AS n FROM dt GROUP BY doc_id
+            SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
         ), inter AS (
             SELECT n.doc_id AS doc_id, p.doc_id AS partner_id,
                    count(*) AS i
-            FROM dt n JOIN dt p ON n.tok = p.tok
+            FROM sh n JOIN sh p ON n.s = p.s
             WHERE n.doc_id % 5 = 0 AND p.doc_id <> n.doc_id
               AND (p.doc_id % 5 <> 0 OR p.doc_id < n.doc_id)
             GROUP BY 1, 2
@@ -123,36 +127,35 @@ def q_dedup_near_jaccard(spark, sf_dir):
         FROM inter
         JOIN sizes sn ON sn.doc_id = inter.doc_id
         JOIN sizes sp ON sp.doc_id = partner_id
-        WHERE {_TAU_DEN} * i >= {_TAU_NUM} * (sn.n + sp.n - i)
+        WHERE 10 * i >= 8 * (sn.n + sp.n - i)
     """,
     origin="LLM",
     doc="Incremental near-dup admission — the daily-crawl production "
         "shape: dedup ONLY the new batch (doc_id % 5 = 0, the synthetic "
         "increment) against the frozen corpus index plus earlier "
         "new-batch rows, never re-pairing the historical corpus against "
-        "itself. Emits (new doc, partner, token-set Jaccard ≥ 0.95, "
-        "partner-side flag); integer-exact threshold as "
-        "q_dedup_near_jaccard. Scale shape: the pair join is "
-        "token-blocked with the NEW batch on one side, so candidate "
+        "itself. Emits (new doc, partner, 3-word-shingle Jaccard ≥ 0.8, "
+        "partner-side flag); shingle features + integer-exact threshold "
+        "as q_dedup_ngram_jaccard (unigram-token blocking would collapse "
+        "on a small vocabulary — the shingles() rationale — and measured "
+        "24s at sf0.1 vs 1.5s shingled). Scale shape: the pair join is "
+        "shingle-blocked with the NEW batch on one side, so candidate "
         "volume is ∝ |batch|·posting-depth, not |corpus|² — the "
-        "historical (doc_id, token) posting table is exactly the "
+        "historical (doc_id, shingle) posting table is exactly the "
         "reusable index a production pipeline materializes once and "
-        "bucket-joins each increment against (write it bucketed BY tok "
+        "bucket-joins each increment against (write it bucketed BY s "
         "and the per-drop dedup is shuffle-free on the corpus side).",
 )
 def q_dedup_incremental(spark, sf_dir):
-    d = table(spark, sf_dir, "documents")
-    dt = d.select(
-        "doc_id",
-        F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+    d = widen(table(spark, sf_dir, "documents"))
+    sh = d.select("doc_id", F.explode(shingles(F.col("text"))).alias("s"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    new_side = sh.filter(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("id_n"), "s"
     )
-    sizes = dt.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    new_side = dt.filter(F.col("doc_id") % 5 == 0).select(
-        F.col("doc_id").alias("id_n"), "tok"
-    )
-    partner_side = dt.select(F.col("doc_id").alias("id_p"), "tok")
+    partner_side = sh.select(F.col("doc_id").alias("id_p"), "s")
     inter = (
-        new_side.join(partner_side, "tok")
+        new_side.join(partner_side, "s")
         .filter(
             (F.col("id_p") != F.col("id_n"))
             & ((F.col("id_p") % 5 != 0) | (F.col("id_p") < F.col("id_n")))
@@ -166,7 +169,7 @@ def q_dedup_incremental(spark, sf_dir):
     return (
         inter.join(sn, "id_n")
         .join(sp, "id_p")
-        .filter(_TAU_DEN * F.col("i") >= _TAU_NUM * union_sz)
+        .filter(_NG_DEN * F.col("i") >= _NG_NUM * union_sz)
         .select(
             F.col("id_n").alias("doc_id"),
             F.col("id_p").alias("partner_id"),
