@@ -350,3 +350,26 @@ def test_dsir_weights_separate_target_language(spark, queries):
     for lang, m in means.items():
         if lang != "en":
             assert m < 0, f"non-target {lang} weight {m:.3f} not negative"
+
+
+def test_incremental_dedup_consistent_with_full_pair_set(spark, queries):
+    """The incremental batch-vs-index pass must be a pure RESTRICTION of
+    the full corpus pair set: every emitted (new, partner) pair appears
+    in q_dedup_ngram_jaccard with the identical jaccard, and every full
+    pair that touches a new-batch doc is emitted exactly once (no pair
+    lost by the new-side orientation, none double-counted)."""
+    full = {
+        frozenset((r.id_a, r.id_b)): r.jaccard
+        for r in queries["q_dedup_ngram_jaccard"](spark, SF_SMALL).collect()
+    }
+    inc = {
+        frozenset((r.doc_id, r.partner_id)): r.jaccard
+        for r in queries["q_dedup_incremental"](spark, SF_SMALL).collect()
+    }
+    expected = {
+        pair: j
+        for pair, j in full.items()
+        if any(x % 5 == 0 for x in pair)
+    }
+    assert inc == expected
+    assert expected, "fixture has no near-dup pair touching the new batch?"
