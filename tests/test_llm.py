@@ -373,3 +373,29 @@ def test_incremental_dedup_consistent_with_full_pair_set(spark, queries):
     }
     assert inc == expected
     assert expected, "fixture has no near-dup pair touching the new batch?"
+
+
+def test_unimax_water_filling_invariants(spark, queries):
+    """The UniMax allocation must satisfy the water-filling optimality
+    conditions independently of the oracle: (1) allocations sum to the
+    budget (= total corpus tokens); (2) every capped domain sits exactly
+    at capacity; (3) every uncapped domain gets the identical water
+    level; (4) the level is >= every capped capacity (otherwise a swap
+    would improve uniformity); (5) no allocation exceeds capacity."""
+    rows = queries["q_domain_unimax"](spark, SF_SMALL).collect()
+    assert rows
+    budget = sum(r.n_tokens for r in rows)
+    total_alloc = sum(r.alloc for r in rows)
+    # alloc is 6-dp rounded in the output, so the reassembled total can
+    # drift by up to 5e-7 per row — bound, not exact equality.
+    assert abs(total_alloc - budget) <= 5e-7 * len(rows) + 1e-9
+    capped = [r for r in rows if r.capped]
+    uncapped = [r for r in rows if not r.capped]
+    assert capped and uncapped, "degenerate fixture: one-sided split"
+    for r in capped:
+        assert r.alloc == float(r.capacity)
+    levels = {r.alloc for r in uncapped}
+    assert len(levels) == 1
+    level = levels.pop()
+    assert all(level >= r.capacity for r in capped)
+    assert all(r.alloc <= r.capacity for r in rows)

@@ -614,3 +614,28 @@ def test_lsh_bucket_audit_tracks_planted_pairs_at_10x(spark, queries, stress_dir
         assert r.n_docs == n, f"band {r.band}: {r.n_docs} signed docs != {n}"
         assert r.max_bucket <= 10, f"band {r.band}: hot bucket {r.max_bucket}"
     assert 5_000 <= total_cand <= 30_000, f"cand volume {total_cand} off-model"
+
+
+@pytest.mark.slow
+def test_dedup_incremental_exact_at_10x(spark, queries, stress_dir):
+    """Batch-vs-index dedup at 50k docs: the injected near-dup pairs
+    (i, 45000+i) land in the increment exactly when i % 5 == 0 (both
+    sides share the mod-5 class by construction), always oriented with
+    the larger id as the admitted doc and flagged new-new. Unique docs
+    share no 3-shingle at a 1e12 feature space, so the output is the
+    EXACT 1,000-pair set — and the shingle-blocked join must deliver it
+    in bounded wall time (the 23.9s unigram-blocking regression at
+    sf0.1 is the failure mode this guards)."""
+    import time
+
+    t0 = time.time()
+    out = queries["q_dedup_incremental"](spark, stress_dir).toPandas()
+    wall = time.time() - t0
+    got = set(zip(out["doc_id"], out["partner_id"]))
+    truth = {
+        (_N_UNIQ_DOCS + i, i) for i in range(_N_DUP_DOCS) if i % 5 == 0
+    }
+    assert got == truth
+    assert out["partner_is_new"].all()
+    assert (out["jaccard"].round(3) == 0.983).all()
+    assert wall < 60, f"incremental dedup took {wall:.0f}s at 10x"
