@@ -241,6 +241,7 @@ HEADLINE = [
     # dedup (token-blocked join, new side only).
     "q_domain_unimax",
     "q_dedup_incremental",
+    "q_emb_hard_negatives",
 ]
 
 

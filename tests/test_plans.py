@@ -1690,3 +1690,19 @@ def test_dedup_incremental_blocks_on_token_key(spark, queries):
     assert "BroadcastNestedLoopJoin" not in plan
     assert n["SortMergeJoin"] + n["ShuffledHashJoin"] + n["BroadcastHashJoin"] >= 3
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_hard_negatives_bounded_probe_loop(spark, queries):
+    """Hard-negative mining: the only nested loop is the bounded probe
+    broadcast (5 rows) against the vector scan — the q_knn_cosine
+    declaration; the clustering stages underneath are equi joins and the
+    centroid table is a checkpointed broadcast. No corpus-level
+    cartesian, no Python eval nodes."""
+    plan = explain(queries["q_emb_hard_negatives"](spark, SF_MID))
+    n = node_counts(plan)
+    assert "CartesianProduct" not in plan
+    # The bounded probe loop + the k-row centroid assignment cross join
+    # (appears under both the probe and member branches) — every
+    # nested-loop build side is <= max(k, n_probes) rows.
+    assert n["BroadcastNestedLoopJoin"] <= 3
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

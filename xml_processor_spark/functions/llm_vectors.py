@@ -1465,3 +1465,117 @@ def q_dedup_semantic(spark, sf_dir):
         "kept_example",
         F.round("sim_max_raw", 6).alias("sim_max"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining: cross-cluster nearest neighbors for contrastive
+# training (in-batch negatives are easy; the valuable negatives are the
+# most-similar examples the clustering calls DIFFERENT).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_emb_hard_negatives",
+    oracle=f"""
+        WITH {_KM_A2_SQL},
+        n2 AS (
+            SELECT vec_id,
+                   (SELECT SUM(x * x) FROM (SELECT unnest(xe) AS x)) AS nn
+            FROM ev
+        ),
+        probes AS (
+            SELECT a.vec_id AS probe_id, a.c AS probe_c, e.xe AS pe,
+                   n.nn AS pn
+            FROM a2 a JOIN ev e ON e.vec_id = a.vec_id
+            JOIN n2 n ON n.vec_id = a.vec_id
+            WHERE a.vec_id < {_N_PROBES}
+        ),
+        scored AS (
+            SELECT p.probe_id, a.vec_id, a.c AS cluster,
+                   CAST((SELECT SUM(x * y)
+                         FROM (SELECT unnest(p.pe) AS x,
+                                      unnest(e.xe) AS y)) AS DOUBLE)
+                       / sqrt(CAST(p.pn AS DOUBLE) * CAST(n.nn AS DOUBLE))
+                       AS sim_raw
+            FROM probes p
+            JOIN a2 a ON a.c <> p.probe_c
+            JOIN ev e ON e.vec_id = a.vec_id
+            JOIN n2 n ON n.vec_id = a.vec_id
+        )
+        SELECT probe_id, vec_id, cluster, round(sim_raw, 6) AS sim,
+               rn AS rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+                                           ORDER BY sim_raw DESC, vec_id)
+                        AS rn
+              FROM scored)
+        WHERE rn <= {_TOP_K}
+    """,
+    origin="LLM",
+    doc=f"Hard-negative mining for contrastive/embedding training: for "
+        f"each probe (vec_id < {_N_PROBES}), the top-{_TOP_K} most "
+        "cosine-similar vectors OUTSIDE the probe's k-means cluster — "
+        "similar-but-semantically-different examples, the negatives that "
+        "actually move a contrastive loss (in-batch random negatives are "
+        "trivially easy). Pins the IDENTICAL fixed-point Lloyd clustering "
+        "as q_emb_kmeans/q_dedup_semantic via the shared oracle prefix; "
+        "similarity uses the same exact int64 fixed-point dots/norms with "
+        "ONE double division per pair, and ranking carries the house "
+        "(sim DESC, vec_id) unique tie-break. Scale shape: the probe set "
+        "is a bounded broadcast (the q_knn_cosine declaration) over one "
+        "vector scan — a bounded nested loop, never vectors x vectors; "
+        "the cluster filter rides the scan side and the per-probe top-k "
+        "is a window over |probes| x |vecs| scored rows, "
+        "TakeOrdered-shaped per probe. The corpus-scale variant swaps "
+        "the brute-force scan for the E-KNN-IVF probe-list join and "
+        "keeps this exact contract as its truth twin.",
+)
+def q_emb_hard_negatives(spark, sf_dir):
+    vecs, c2 = _km_vectors_and_round2_centroids(spark, sf_dir)
+    c2 = c2.localCheckpoint(eager=True)
+    a2 = _km_assign(vecs, c2)
+    nn = vecs.select(
+        "vec_id",
+        F.aggregate(
+            F.transform("xe", lambda x: x * x), F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("nn"),
+    )
+    mem = a2.join(vecs, "vec_id").join(nn, "vec_id")
+    probes = (
+        mem.filter(F.col("vec_id") < _N_PROBES)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("c").alias("probe_c"),
+            F.col("xe").alias("pe"),
+            F.col("nn").alias("pn"),
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("pe"), F.col("xe"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(mem, F.col("c") != F.col("probe_c"))
+        .select(
+            "probe_id",
+            "vec_id",
+            F.col("c").alias("cluster"),
+            (
+                dot.cast("double")
+                / F.sqrt(F.col("pn").cast("double") * F.col("nn").cast("double"))
+            ).alias("sim_raw"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("sim_raw").desc(), "vec_id"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select(
+            "probe_id", "vec_id", "cluster",
+            F.round("sim_raw", 6).alias("sim"), "rank",
+        )
+    )
