@@ -242,6 +242,7 @@ HEADLINE = [
     "q_domain_unimax",
     "q_dedup_incremental",
     "q_emb_hard_negatives",
+    "q_domain_temperature",
 ]
 
 

@@ -1706,3 +1706,15 @@ def test_hard_negatives_bounded_probe_loop(spark, queries):
     # nested-loop build side is <= max(k, n_probes) rows.
     assert n["BroadcastNestedLoopJoin"] <= 3
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_domain_temperature_single_scan_bounded_fold(spark, queries):
+    """Temperature mixture: one corpus scan collapses map-side to the
+    |domains| table; the only nested loop is the 1-row totals broadcast;
+    the pow fixed-pointing stays JVM-side (no Python)."""
+    plan = explain(queries["q_domain_temperature"](spark, SF_MID))
+    n = node_counts(plan)
+    assert "CartesianProduct" not in plan
+    assert n["BroadcastNestedLoopJoin"] <= 1  # 1-row totals fold
+    assert "partial_sum" in plan or "partial_count" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

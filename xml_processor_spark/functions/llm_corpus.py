@@ -48,6 +48,80 @@ _MIN_PAIR = 5
 # low-resource domains instead of temperature-flattening everything).
 _UNIMAX_CAP = 2
 
+# Temperature-sampling exponent: p_d ∝ s_d^α. α = 0.3 is the published
+# multilingual-pretraining convention (XLM-R / mT5) UniMax argues against;
+# both belong in a curation toolbox so mixtures can be compared.
+_TEMP_ALPHA = 0.3
+
+
+@register(
+    "q_domain_temperature",
+    oracle=f"""
+        WITH dom AS (
+            SELECT source, lang,
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS s
+            FROM documents GROUP BY 1, 2
+        ), pw AS (
+            SELECT source, lang, s,
+                   CAST(round(pow(CAST(s AS DOUBLE), {_TEMP_ALPHA})
+                              * 1000000) AS BIGINT) AS p_e6
+            FROM dom
+        ), tot AS (
+            SELECT CAST(sum(s) AS BIGINT) AS st,
+                   CAST(sum(p_e6) AS BIGINT) AS pt_e6
+            FROM pw
+        )
+        SELECT source, lang, s AS n_tokens,
+               round(CAST(s AS DOUBLE) / CAST(tot.st AS DOUBLE), 6)
+                   AS raw_share,
+               round(CAST(p_e6 AS DOUBLE) / CAST(tot.pt_e6 AS DOUBLE), 6)
+                   AS temp_share,
+               round(CAST(p_e6 AS DOUBLE) / CAST(tot.pt_e6 AS DOUBLE)
+                     / (CAST(s AS DOUBLE) / CAST(tot.st AS DOUBLE)), 6)
+                   AS boost
+        FROM pw CROSS JOIN tot
+    """,
+    origin="LLM",
+    doc=f"Temperature-sampling mixture weights (α = {_TEMP_ALPHA}, the "
+        "XLM-R/mT5 multilingual convention): per (source, lang) domain, "
+        "the raw corpus share s_d/Σs, the temperature-flattened share "
+        "s_d^α/Σs^α, and the resulting up/down-sampling boost — the "
+        "baseline mixture q_domain_unimax's capped water-filling is the "
+        "published improvement over. Determinism: the only "
+        "transcendental, pow(s, α), is fixed-pointed to 1e-6 PER DOMAIN "
+        "before the total folds (the DSIR lr_e6 pattern), so Σs^α is an "
+        "exact integer sum — order-independent on any partitioning — and "
+        "every 6-dp output is one division of exact integers. Scale "
+        "shape: ONE corpus scan collapses map-side to the |domains| "
+        "table; the totals row is a 1-row broadcast.",
+)
+def q_domain_temperature(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    dom = d.groupBy("source", "lang").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("s")
+    )
+    pw = dom.withColumn(
+        "p_e6",
+        F.round(
+            F.pow(F.col("s").cast("double"), F.lit(_TEMP_ALPHA)) * 1_000_000,
+            0,
+        ).cast("long"),
+    )
+    tot = pw.agg(
+        F.sum("s").cast("long").alias("st"),
+        F.sum("p_e6").cast("long").alias("pt_e6"),
+    )
+    raw = F.col("s").cast("double") / F.col("st").cast("double")
+    temp = F.col("p_e6").cast("double") / F.col("pt_e6").cast("double")
+    return pw.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "lang",
+        F.col("s").alias("n_tokens"),
+        r6(raw).alias("raw_share"),
+        r6(temp).alias("temp_share"),
+        r6(temp / raw).alias("boost"),
+    )
+
 
 @register(
     "q_domain_unimax",
