@@ -208,8 +208,13 @@ def _ivf_candidates(spark, sf_dir):
     )
 
     def cos(a, b):
+        # 6-dp rounded BEFORE ranking (the q_knn_cosine discipline): list
+        # assignment and probe fan-out order on (csim DESC, cid), and the
+        # 1e-6 grain + unique tie-break makes that order reproducible on
+        # any engine/partitioning — which is what lets E-KNN-IVF carry a
+        # full DuckDB oracle instead of a rows-only check (r9).
         d = _dot(F.col(a), F.col(b))
-        return d / F.sqrt(_norm2(F.col(a))) / F.sqrt(_norm2(F.col(b)))
+        return r6(d / F.sqrt(_norm2(F.col(a))) / F.sqrt(_norm2(F.col(b))))
 
     # Build the inverted lists: each vector lands in its `assign` nearest.
     va = (
@@ -249,9 +254,61 @@ def _ivf_candidates(spark, sf_dir):
     )
 
 
+_IVF_COS_SQL = (
+    "round(" + _DOT + " / sqrt(" + _NORM2.replace("{a}", "{na}") + ")"
+    " / sqrt(" + _NORM2.replace("{a}", "{nb}") + "), 6)"
+)
+
+
 @register(
     "E-KNN-IVF",
-    oracle=None,
+    oracle=f"""
+        WITH cents AS (
+            SELECT vec_id AS cid, embedding AS ce FROM embeddings
+            WHERE vec_id % {_IVF_CENTROID_MOD} = 0
+        ), va AS (
+            SELECT e.vec_id, c.cid,
+                   {_IVF_COS_SQL.format(a='e.embedding', b='c.ce',
+                                        na='e.embedding', nb='c.ce')} AS csim
+            FROM embeddings e, cents c
+        ), lists AS (
+            SELECT vec_id, cid FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY csim DESC, cid) AS rn
+                FROM va
+            ) WHERE rn <= {_IVF_ASSIGN}
+        ), probes AS (
+            SELECT vec_id AS probe_id, embedding AS pe FROM embeddings
+            WHERE vec_id < {_N_PROBES}
+        ), pa AS (
+            SELECT p.probe_id, c.cid,
+                   {_IVF_COS_SQL.format(a='p.pe', b='c.ce',
+                                        na='p.pe', nb='c.ce')} AS csim
+            FROM probes p, cents c
+        ), probe_lists AS (
+            SELECT probe_id, cid FROM (
+                SELECT *, row_number() OVER (PARTITION BY probe_id
+                                             ORDER BY csim DESC, cid) AS rn
+                FROM pa
+            ) WHERE rn <= {_IVF_NPROBE}
+        ), cand AS (
+            SELECT DISTINCT pl.probe_id, l.vec_id
+            FROM probe_lists pl JOIN lists l ON l.cid = pl.cid
+            WHERE l.vec_id <> pl.probe_id
+        ), scored AS (
+            SELECT c.probe_id, c.vec_id,
+                   {_IVF_COS_SQL.format(a='p.pe', b='e.embedding',
+                                        na='p.pe', nb='e.embedding')} AS sim
+            FROM cand c
+            JOIN probes p ON p.probe_id = c.probe_id
+            JOIN embeddings e ON e.vec_id = c.vec_id
+        )
+        SELECT probe_id, vec_id, sim, rn AS rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+                                           ORDER BY sim DESC, vec_id) AS rn
+              FROM scored)
+        WHERE rn <= {_TOP_K}
+    """,
     origin="LLM",
     doc="IVF approximate nearest neighbor — the similarity-search scale "
         "path: a deterministic coarse quantizer (centroid set = sampled "
@@ -259,8 +316,13 @@ def _ivf_candidates(spark, sf_dir):
         f"inverted lists; each probe scans only its {_IVF_NPROBE} nearest "
         "lists, then exact cosine top-10 within them. Mean recall >= 0.8 "
         "while scanning < 50% of brute force, both asserted in "
-        "tests/test_llm.py. At 100 TB: lists are hash-partitioned, probes "
-        "broadcast, and each probe touches nprobe partitions only.",
+        "tests/test_llm.py. Oracle-checked since r9: every ranking stage "
+        "orders on 6-dp-rounded cosine with a unique id tie-break, so "
+        "list assignment, probe fan-out and the final top-k replay "
+        "identically in DuckDB SQL — the whole index build is "
+        "deterministic dataframe algebra, no RNG anywhere. At 100 TB: "
+        "lists are hash-partitioned, probes broadcast, and each probe "
+        "touches nprobe partitions only.",
 )
 def e_knn_ivf(spark, sf_dir):
     scored = _ivf_candidates(spark, sf_dir).select(
