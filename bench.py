@@ -243,6 +243,7 @@ HEADLINE = [
     "q_dedup_incremental",
     "q_emb_hard_negatives",
     "q_domain_temperature",
+    "q_emb_knn_graph",
 ]
 
 

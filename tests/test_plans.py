@@ -1718,3 +1718,16 @@ def test_domain_temperature_single_scan_bounded_fold(spark, queries):
     assert n["BroadcastNestedLoopJoin"] <= 1  # 1-row totals fold
     assert "partial_sum" in plan or "partial_count" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_knn_graph_pairs_only_within_lists(spark, queries):
+    """The kNN-graph candidate stage must be a self equi join on the
+    list key — never an all-pairs operator; the only nested loop is the
+    bounded centroid broadcast used by the list build (appears under
+    both list sides)."""
+    plan = explain(queries["q_emb_knn_graph"](spark, SF_MID))
+    n = node_counts(plan)
+    assert "CartesianProduct" not in plan
+    assert n["BroadcastNestedLoopJoin"] <= 2  # centroid fan-out, 2 branches
+    assert n["SortMergeJoin"] + n["ShuffledHashJoin"] + n["BroadcastHashJoin"] >= 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

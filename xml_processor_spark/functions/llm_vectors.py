@@ -194,35 +194,33 @@ _IVF_ASSIGN = 2  # each vector is replicated into its 2 nearest lists
 # shuffle rounds); nprobe only scales the broadcast probe fan-out.
 
 
-def _ivf_candidates(spark, sf_dir):
-    """(probe_id, pe, vec_id, embedding) pairs within the probed lists.
+def _ivf_cos(a, b):
+    # 6-dp rounded BEFORE ranking (the q_knn_cosine discipline): list
+    # assignment and probe fan-out order on (csim DESC, cid), and the
+    # 1e-6 grain + unique tie-break makes that order reproducible on
+    # any engine/partitioning — which is what lets E-KNN-IVF and
+    # q_emb_knn_graph carry full DuckDB oracles instead of rows-only
+    # checks (r9).
+    d = _dot(F.col(a), F.col(b))
+    return r6(d / F.sqrt(_norm2(F.col(a))) / F.sqrt(_norm2(F.col(b))))
 
-    Factored out so the recall test can measure the scanned-candidate
-    count directly (the pruning claim, not just the recall claim).
-    """
+
+def _ivf_lists(spark, sf_dir):
+    """(vec_id, embedding, cid) inverted lists: each vector replicated
+    into its `_IVF_ASSIGN` nearest coarse lists. Shared by the probe
+    search (E-KNN-IVF) and the kNN-graph build (q_emb_knn_graph)."""
     # widen(): the per-(vector, centroid) cosine is an interpreted
     # aggregate over 64-dim arrays; spread the one-row-group scan first.
     e = widen(table(spark, sf_dir, "embeddings"))
     cents = e.filter(F.col("vec_id") % _IVF_CENTROID_MOD == 0).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
     )
-
-    def cos(a, b):
-        # 6-dp rounded BEFORE ranking (the q_knn_cosine discipline): list
-        # assignment and probe fan-out order on (csim DESC, cid), and the
-        # 1e-6 grain + unique tie-break makes that order reproducible on
-        # any engine/partitioning — which is what lets E-KNN-IVF carry a
-        # full DuckDB oracle instead of a rows-only check (r9).
-        d = _dot(F.col(a), F.col(b))
-        return r6(d / F.sqrt(_norm2(F.col(a))) / F.sqrt(_norm2(F.col(b))))
-
-    # Build the inverted lists: each vector lands in its `assign` nearest.
     va = (
         e.select("vec_id", "embedding")
         .join(F.broadcast(cents), F.lit(True))
         .select(
             "vec_id", "embedding", "cid",
-            cos("embedding", "ce").alias("csim"),
+            _ivf_cos("embedding", "ce").alias("csim"),
         )
     )
     w_assign = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), "cid")
@@ -231,6 +229,17 @@ def _ivf_candidates(spark, sf_dir):
         .filter(F.col("rn") <= _IVF_ASSIGN)
         .select("vec_id", "embedding", "cid")
     )
+    return e, cents, lists
+
+
+def _ivf_candidates(spark, sf_dir):
+    """(probe_id, pe, vec_id, embedding) pairs within the probed lists.
+
+    Factored out so the recall test can measure the scanned-candidate
+    count directly (the pruning claim, not just the recall claim).
+    """
+    e, cents, lists = _ivf_lists(spark, sf_dir)
+    cos = _ivf_cos
     # Probes pick their nprobe nearest lists.
     probes = e.filter(F.col("vec_id") < _N_PROBES).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
@@ -259,11 +268,11 @@ _IVF_COS_SQL = (
     " / sqrt(" + _NORM2.replace("{a}", "{nb}") + "), 6)"
 )
 
-
-@register(
-    "E-KNN-IVF",
-    oracle=f"""
-        WITH cents AS (
+# Shared inverted-list build (centroids -> rounded-cosine assignment ->
+# replicated lists), textually in lockstep between the E-KNN-IVF and
+# q_emb_knn_graph oracles — both keys pin the IDENTICAL index.
+_IVF_LISTS_SQL = f"""
+        cents AS (
             SELECT vec_id AS cid, embedding AS ce FROM embeddings
             WHERE vec_id % {_IVF_CENTROID_MOD} = 0
         ), va AS (
@@ -277,7 +286,14 @@ _IVF_COS_SQL = (
                                              ORDER BY csim DESC, cid) AS rn
                 FROM va
             ) WHERE rn <= {_IVF_ASSIGN}
-        ), probes AS (
+        )
+"""
+
+
+@register(
+    "E-KNN-IVF",
+    oracle=f"""
+        WITH {_IVF_LISTS_SQL}, probes AS (
             SELECT vec_id AS probe_id, embedding AS pe FROM embeddings
             WHERE vec_id < {_N_PROBES}
         ), pa AS (
@@ -338,6 +354,87 @@ def e_knn_ivf(spark, sf_dir):
         scored.withColumn("rank", F.row_number().over(w_top))
         .filter(F.col("rank") <= _TOP_K)
         .select("probe_id", "vec_id", "sim", "rank")
+    )
+
+
+_KNN_GRAPH_K = 3  # neighbors kept per vector
+
+
+@register(
+    "q_emb_knn_graph",
+    oracle=f"""
+        WITH {_IVF_LISTS_SQL}, cand AS (
+            SELECT DISTINCT a.vec_id AS src_id, b.vec_id AS nbr_id
+            FROM lists a JOIN lists b ON a.cid = b.cid
+            WHERE a.vec_id <> b.vec_id
+        ), scored AS (
+            SELECT c.src_id, c.nbr_id,
+                   {_IVF_COS_SQL.format(a='ea.embedding', b='eb.embedding',
+                                        na='ea.embedding',
+                                        nb='eb.embedding')} AS sim
+            FROM cand c
+            JOIN embeddings ea ON ea.vec_id = c.src_id
+            JOIN embeddings eb ON eb.vec_id = c.nbr_id
+        )
+        SELECT src_id, nbr_id, sim, rn AS rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY src_id
+                                           ORDER BY sim DESC, nbr_id) AS rn
+              FROM scored)
+        WHERE rn <= {_KNN_GRAPH_K}
+    """,
+    origin="LLM",
+    doc=f"Approximate kNN-graph construction — every vector's top-"
+        f"{_KNN_GRAPH_K} cosine neighbors among vectors sharing an "
+        "inverted list (the SAME index E-KNN-IVF probes, pinned by the "
+        "shared oracle prefix). The kNN graph is the backbone artifact "
+        "of vector pipelines: HNSW/NSW bootstrapping, connectivity "
+        "audits, graph-based dedup seeding. Scale shape: candidate "
+        "generation is a self equi join ON THE LIST KEY — per-list "
+        "work is O(s²·dim) with s the list occupancy, the quantity "
+        "IVF keeps constant by scaling the centroid count with the "
+        "corpus (the SemDeDup argument; the list build replicates each "
+        f"vector {_IVF_ASSIGN}x map-side). No all-pairs stage exists at "
+        "any corpus size; every ranking orders on 6-dp-rounded cosine "
+        "with a unique id tie-break, which is what lets the whole graph "
+        "replay in DuckDB SQL.",
+)
+def q_emb_knn_graph(spark, sf_dir):
+    _, _, lists = _ivf_lists(spark, sf_dir)
+    a = lists.select(F.col("vec_id").alias("src_id"), "cid")
+    b = lists.select(
+        F.col("vec_id").alias("nbr_id"), F.col("embedding").alias("eb"), "cid"
+    )
+    # Dedup (src, nbr) BEFORE scoring: a pair sharing both replicated
+    # lists must score once (and ship its arrays once), not twice.
+    cand = (
+        a.join(b.select("nbr_id", "cid"), "cid")
+        .filter(F.col("src_id") != F.col("nbr_id"))
+        .select("src_id", "nbr_id")
+        .distinct()
+    )
+    ea = widen(table(spark, sf_dir, "embeddings")).select(
+        F.col("vec_id").alias("src_id"), F.col("embedding").alias("ea")
+    )
+    eb = table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("nbr_id"), F.col("embedding").alias("eb")
+    )
+    scored = (
+        cand.join(ea, "src_id")
+        .join(eb, "nbr_id")
+        .select(
+            "src_id", "nbr_id",
+            r6(
+                _dot(F.col("ea"), F.col("eb"))
+                / F.sqrt(_norm2(F.col("ea")))
+                / F.sqrt(_norm2(F.col("eb")))
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("src_id").orderBy(F.col("sim").desc(), "nbr_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _KNN_GRAPH_K)
+        .select("src_id", "nbr_id", "sim", "rank")
     )
 
 
