@@ -244,6 +244,7 @@ HEADLINE = [
     "q_emb_hard_negatives",
     "q_domain_temperature",
     "q_emb_knn_graph",
+    "q_part_price_elasticity",
 ]
 
 

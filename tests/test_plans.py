@@ -1731,3 +1731,17 @@ def test_knn_graph_pairs_only_within_lists(spark, queries):
     assert n["BroadcastNestedLoopJoin"] <= 2  # centroid fan-out, 2 branches
     assert n["SortMergeJoin"] + n["ShuffledHashJoin"] + n["BroadcastHashJoin"] >= 2
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_price_elasticity_single_join_then_rollup(spark, queries):
+    """Grouped OLS: one lineitem-part key join feeds a map-side-combined
+    |brands|-row moment rollup — no window, no second fact shuffle, no
+    Python, no cartesian."""
+    plan = explain(queries["q_part_price_elasticity"](spark, SF_MID))
+    n = node_counts(plan)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert n["SortMergeJoin"] + n["ShuffledHashJoin"] + n["BroadcastHashJoin"] == 1
+    assert n["Window"] == 0
+    assert "partial_sum" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -1842,3 +1842,112 @@ def q_part_supplier_hhi(spark, sf_dir):
         .otherwise("diverse")
         .alias("sourcing"),
     )
+
+
+_ELA_E6 = 1_000_000  # fixed-point grain for the per-row log terms
+
+
+@register(
+    "q_part_price_elasticity",
+    oracle=f"""
+        WITH j AS (
+            SELECT p_brand,
+                   CAST(round(l_quantity) AS BIGINT) AS q,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+        ), t AS (
+            SELECT p_brand,
+                   CAST(round(ln(CAST(pc AS DOUBLE) / CAST(100 * q AS DOUBLE))
+                              * {_ELA_E6}) AS BIGINT) AS x,
+                   CAST(round(ln(CAST(q AS DOUBLE)) * {_ELA_E6}) AS BIGINT)
+                       AS y
+            FROM j
+        ), m AS (
+            SELECT p_brand,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+                   CAST(sum(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+                   CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0))
+                       AS sxx,
+                   CAST(sum(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0))
+                       AS sxy,
+                   CAST(sum(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0))
+                       AS syy
+            FROM t GROUP BY 1
+        )
+        SELECT p_brand, n AS n_obs,
+               round((n * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (n * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+                   AS elasticity,
+               round((n * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     * (n * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / ((n * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (n * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+                   AS r2
+        FROM m
+    """,
+    doc="Per-brand price elasticity of demand: the closed-form OLS slope "
+        "of ln(quantity) on ln(unit price) over that brand's lineitems — "
+        "the grouped-regression shape every pricing/demand team runs, "
+        "plus R² so flat-price brands read as noise (TPC-H prices don't "
+        "respond to volume; the mechanics, not the economics, are the "
+        "contract). Determinism discipline: BOTH log terms are "
+        "fixed-pointed to 1e-6 PER ROW (one ln() each on identical "
+        "double operands — the DSIR lr_e6 pattern), so all five moments "
+        "are exact integer sums, order-independent on any partitioning; "
+        "the slope/R² closed forms then combine the moments in double "
+        "over identical trees. Σx² terms reach ~1.3e14/row — the moment "
+        "sums ride decimal(38,0) (the q_events_burstiness overflow "
+        "argument: int64 crosses at ~70k rows/brand; sf1 already has "
+        "240k). Scale shape: ONE lineitem⋈part key join (no hint — part "
+        "∝ sf, AQE decides), then a map-side-combined |brands|-row "
+        "moment rollup. No window, no second join, nothing unbounded "
+        "past the fact shuffle.",
+)
+def q_part_price_elasticity(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    pt = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    q = F.round("l_quantity", 0).cast("long")
+    pc = cents("l_extendedprice")
+    t = li.join(pt, li["l_partkey"] == pt["p_partkey"]).select(
+        "p_brand",
+        F.round(
+            F.log(pc.cast("double") / (100 * q).cast("double")) * _ELA_E6, 0
+        ).cast("long").alias("x"),
+        F.round(F.log(q.cast("double")) * _ELA_E6, 0).cast("long").alias("y"),
+    )
+    dec = "decimal(38,0)"
+    m = t.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x").cast(dec) * F.col("x"))).cast(dec).alias("sxx"),
+        F.sum((F.col("x").cast(dec) * F.col("y"))).cast(dec).alias("sxy"),
+        F.sum((F.col("y").cast(dec) * F.col("y"))).cast(dec).alias("syy"),
+    )
+    num = (
+        F.col("n") * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    )
+    den_x = (
+        F.col("n") * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    den_y = (
+        F.col("n") * F.col("syy").cast("double")
+        - F.col("sy").cast("double") * F.col("sy").cast("double")
+    )
+    return m.select(
+        "p_brand",
+        F.col("n").alias("n_obs"),
+        r6(num / den_x).alias("elasticity"),
+        r6(num * num / (den_x * den_y)).alias("r2"),
+    )
