@@ -245,6 +245,7 @@ HEADLINE = [
     "q_domain_temperature",
     "q_emb_knn_graph",
     "q_part_price_elasticity",
+    "q_events_paths",
 ]
 
 

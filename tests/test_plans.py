@@ -1745,3 +1745,17 @@ def test_price_elasticity_single_join_then_rollup(spark, queries):
     assert n["Window"] == 0
     assert "partial_sum" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_events_paths_single_fact_shuffle(spark, queries):
+    """Path mining must ride one user_id partitioning: the lag/lead
+    windows and session running sum share a single fact Exchange; the
+    only nested loop is the 1-row total broadcast; no join of the fact
+    table to itself, no Python."""
+    plan = explain(queries["q_events_paths"](spark, SF_MID))
+    n = node_counts(plan)
+    assert "CartesianProduct" not in plan
+    assert n["BroadcastNestedLoopJoin"] <= 1  # 1-row total fold
+    assert n["SortMergeJoin"] + n["ShuffledHashJoin"] + n["BroadcastHashJoin"] == 0
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

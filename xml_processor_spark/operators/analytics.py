@@ -1060,3 +1060,99 @@ def q_fk_orphans(spark, sf_dir):
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@register(
+    "q_events_paths",
+    oracle=f"""
+        WITH t AS (
+            SELECT user_id, event_id, event_type, ts,
+                   epoch_us(ts) AS us,
+                   lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+            FROM events
+        ), s AS (
+            SELECT user_id, event_id, event_type, ts, us,
+                   CAST(sum(CASE WHEN prev_us IS NULL
+                                 OR us - prev_us > {_SESSION_GAP_US}
+                                 THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+            FROM t
+        ), tri AS (
+            SELECT event_type AS step1,
+                   lead(event_type, 1) OVER w AS step2,
+                   lead(event_type, 2) OVER w AS step3,
+                   session_idx,
+                   lead(session_idx, 1) OVER w AS k2,
+                   lead(session_idx, 2) OVER w AS k3
+            FROM s
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), paths AS (
+            SELECT step1, step2, step3, CAST(count(*) AS BIGINT) AS n_paths
+            FROM tri
+            WHERE k2 = session_idx AND k3 = session_idx
+            GROUP BY 1, 2, 3
+        ), tot AS (
+            SELECT CAST(sum(n_paths) AS BIGINT) AS nt FROM paths
+        )
+        SELECT step1, step2, step3, n_paths,
+               round(CAST(n_paths AS DOUBLE) / CAST(tot.nt AS DOUBLE), 6)
+                   AS share
+        FROM paths CROSS JOIN tot
+    """,
+    doc="Session path mining — the funnel-DISCOVERY operator (the "
+        "declared funnels in q_events_funnel/funnel_ordered check known "
+        "paths; this one finds them): every within-session 3-step "
+        "event-type path with its corpus-wide count and share. Sessions "
+        "are the SAME 30-minute-gap rule as q_events_sessionize "
+        "(textually shared CTE prefix); steps are consecutive events "
+        "under the total (ts, event_id) order, and a trigram counts only "
+        "when all three events share a session (lead-of-session-idx "
+        "equality — no cross-session stitching). Output is bounded by "
+        "|types|³ at ANY corpus size. Scale shape: the lag/lead windows, "
+        "the session running sum, and the trigram projection all ride "
+        "ONE user_id hash partitioning — one fact shuffle, then a "
+        "map-side-combined count to the bounded path table and a 1-row "
+        "total broadcast.",
+)
+def q_events_paths(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    prev = F.lag(us).over(w_u)
+    new_sess = F.when(
+        prev.isNull() | ((us - prev) > _SESSION_GAP_US), 1
+    ).otherwise(0)
+    s = ev.select(
+        "user_id", "event_id", "event_type", "ts",
+        F.sum(new_sess)
+        .over(w_u.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("session_idx"),
+    )
+    tri = s.select(
+        F.col("event_type").alias("step1"),
+        F.lead("event_type", 1).over(w_u).alias("step2"),
+        F.lead("event_type", 2).over(w_u).alias("step3"),
+        "session_idx",
+        F.lead("session_idx", 1).over(w_u).alias("k2"),
+        F.lead("session_idx", 2).over(w_u).alias("k3"),
+    )
+    paths = (
+        tri.filter(
+            (F.col("k2") == F.col("session_idx"))
+            & (F.col("k3") == F.col("session_idx"))
+        )
+        .groupBy("step1", "step2", "step3")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+    )
+    tot = paths.agg(F.sum("n_paths").cast("long").alias("nt"))
+    return paths.crossJoin(F.broadcast(tot)).select(
+        "step1", "step2", "step3", "n_paths",
+        r6(
+            F.col("n_paths").cast("double") / F.col("nt").cast("double")
+        ).alias("share"),
+    )
