@@ -136,3 +136,41 @@ def test_dpp_prunes_fact_partitions(spark, queries):
     plan = explain(queries["q_join_dpp"](spark, SF_MID))
     assert "dynamicpruning" in plan.lower()
     assert "PartitionFilters" in plan
+
+
+def test_compact_exec_one_file_per_bin(spark, queries):
+    """The compaction executor's physical claim: after the rewrite,
+    every target_file directory holds exactly ONE data file (the
+    repartition-on-bin + partitionBy write), the bin count matches the
+    planner's target, and no rows are lost vs the source fact table."""
+    import glob
+    import os
+
+    out = queries["E-COMPACT-EXEC"](spark, SF_SMALL)
+    rows = out.collect()
+    from xml_processor_spark.operators.lakeops import _COMPACT_BINS
+    assert len(rows) == _COMPACT_BINS
+    from xml_processor_spark.io import table
+    assert sum(r.n_rows for r in rows) == table(
+        spark, SF_SMALL, "lineitem"
+    ).count()
+    # Bins are contiguous, non-overlapping month ranges in bin order.
+    ordered = sorted(rows, key=lambda r: r.target_file)
+    for a, b in zip(ordered, ordered[1:]):
+        assert a.shard_max <= b.shard_min
+    # Physical layout: re-run the write via the registered fn is
+    # side-effectful; instead assert the MOST RECENT compacted dir of
+    # this session has one parquet data file per bin directory.
+    import tempfile
+    base = tempfile.gettempdir()
+    cands = sorted(
+        glob.glob(os.path.join(base, "compact_*", "compacted")),
+        key=os.path.getmtime,
+    )
+    assert cands, "no compacted output directory found"
+    newest = cands[-1]
+    bin_dirs = glob.glob(os.path.join(newest, "target_file=*"))
+    assert len(bin_dirs) == _COMPACT_BINS
+    for d in bin_dirs:
+        files = [f for f in glob.glob(os.path.join(d, "*.parquet"))]
+        assert len(files) == 1, f"{d} has {len(files)} data files"

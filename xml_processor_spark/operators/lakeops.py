@@ -511,3 +511,76 @@ def q_compaction_plan(spark, sf_dir):
         .cast("long")
         .alias("target_file"),
     )
+
+
+@register(
+    "E-COMPACT-EXEC",
+    oracle=f"""
+        WITH shards AS (
+            SELECT strftime(l_shipdate, '%Y-%m') AS shard,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM lineitem GROUP BY 1
+        ), tot AS (SELECT sum(n_rows) AS t FROM shards),
+        planned AS (
+            SELECT shard, n_rows,
+                   sum(n_rows) OVER (ORDER BY shard
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS cum_before,
+                   t
+            FROM shards, tot
+        ), plan AS (
+            SELECT shard,
+                   CAST(floor(coalesce(cum_before, 0)
+                              / ceil(t / {_COMPACT_BINS}.0)) AS BIGINT)
+                       AS target_file
+            FROM planned
+        )
+        SELECT p.target_file,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               min(p.shard) AS shard_min,
+               max(p.shard) AS shard_max
+        FROM lineitem l
+        JOIN plan p ON strftime(l.l_shipdate, '%Y-%m') = p.shard
+        GROUP BY 1
+    """,
+    origin="LLM",
+    doc="Small-file compaction EXECUTOR — the rewrite half of "
+        "q_compaction_plan (which stays the pure-metadata planner): join "
+        "the bounded (shard → target_file) plan to the fact table on the "
+        "ship-month shard key (83-row broadcast), physically rewrite the "
+        "data clustered by target file (repartition on target_file + "
+        "partitionBy write → ONE file per bin), then re-read the "
+        "compacted layout and report per-bin row count and shard "
+        "min/max. The oracle replays the identical plan in SQL against "
+        "the SOURCE table, so a hash match proves the physical rewrite "
+        "dropped/duplicated nothing AND preserved time-adjacency (the "
+        "shard_min/max columns are the zone-tightness evidence — "
+        "sequential first-fit keeps each bin a contiguous month range). "
+        "File-count claims (one data file per bin) are pinned in "
+        "tests/test_lakeops.py. Scale shape: one fact shuffle keyed by "
+        "the bin id — exactly the shuffle the write needs — and the "
+        "plan side is calendar-bounded at any corpus size.",
+)
+def e_compact_exec(spark, sf_dir):
+    import os
+    import tempfile
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity",
+        F.date_format("l_shipdate", "yyyy-MM").alias("shard"),
+    )
+    plan = q_compaction_plan(spark, sf_dir).select("shard", "target_file")
+    out = os.path.join(tempfile.mkdtemp(prefix="compact_"), "compacted")
+    (
+        li.join(F.broadcast(plan), "shard")
+        .repartition("target_file")
+        .write.mode("overwrite")
+        .partitionBy("target_file")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return back.groupBy("target_file").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("shard").alias("shard_min"),
+        F.max("shard").alias("shard_max"),
+    )
