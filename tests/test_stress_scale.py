@@ -639,3 +639,26 @@ def test_dedup_incremental_exact_at_10x(spark, queries, stress_dir):
     assert out["partner_is_new"].all()
     assert (out["jaccard"].round(3) == 0.983).all()
     assert wall < 60, f"incremental dedup took {wall:.0f}s at 10x"
+
+
+@pytest.mark.slow
+def test_knn_graph_finds_planted_neighbors_at_4x(spark, queries, stress_dir):
+    """kNN-graph quality off the tuned corpus: the 200 planted near-dups
+    (vec 7800+i = vec i + 2% noise, cos ~ 0.9998) have near-identical
+    centroid cosines, so both copies land in the same inverted lists and
+    each planted pair must appear in the graph as the other's rank-1
+    neighbor for >= 90% of pairs. Also pins the structural bound: every
+    vector emits at most _KNN_GRAPH_K edges."""
+    from xml_processor_spark.functions.llm_vectors import _KNN_GRAPH_K
+
+    out = queries["q_emb_knn_graph"](spark, stress_dir).toPandas()
+    per_src = out.groupby("src_id").size()
+    assert (per_src <= _KNN_GRAPH_K).all()
+    rank1 = out[out["rank"] == 1].set_index("src_id")["nbr_id"]
+    hits = sum(
+        1
+        for i in range(_N_DUP_VECS)
+        if rank1.get(_N_UNIQ_VECS + i) == i or rank1.get(i) == _N_UNIQ_VECS + i
+    )
+    recall = hits / _N_DUP_VECS
+    assert recall >= 0.9, f"planted-pair rank-1 recall {recall:.2f} at 4x"
