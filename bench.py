@@ -246,6 +246,7 @@ HEADLINE = [
     "q_emb_knn_graph",
     "q_part_price_elasticity",
     "q_events_paths",
+    "q_cust_seg_migration",
 ]
 
 

@@ -1759,3 +1759,17 @@ def test_events_paths_single_fact_shuffle(spark, queries):
     assert n["SortMergeJoin"] + n["ShuffledHashJoin"] + n["BroadcastHashJoin"] == 0
     assert "partial_count" in plan or "partial_sum" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_seg_migration_one_fact_scan_keyed_pivot(spark, queries):
+    """Segment migration: one orders scan feeds the (custkey, half)
+    aggregate; the halves pivot is a conditional aggregation — NO join
+    of any kind survives in the plan; the only nested loop is the 1-row
+    bounds broadcast; no Python."""
+    plan = explain(queries["q_cust_seg_migration"](spark, SF_MID))
+    n = node_counts(plan)
+    assert "CartesianProduct" not in plan
+    assert n["BroadcastNestedLoopJoin"] <= 1  # 1-row bounds fold
+    assert n["SortMergeJoin"] + n["ShuffledHashJoin"] + n["BroadcastHashJoin"] == 0
+    assert "partial_sum" in plan or "partial_count" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -1156,3 +1156,99 @@ def q_events_paths(spark, sf_dir):
             F.col("n_paths").cast("double") / F.col("nt").cast("double")
         ).alias("share"),
     )
+
+
+@register(
+    "q_cust_seg_migration",
+    oracle="""
+        WITH bounds AS (
+            SELECT min(o_orderdate) AS mn,
+                   CAST(date_diff('day', min(o_orderdate),
+                                  max(o_orderdate)) AS BIGINT) AS dd
+            FROM orders
+        ), halves AS (
+            SELECT o_custkey,
+                   CASE WHEN 2 * CAST(date_diff('day', b.mn, o_orderdate)
+                                 AS BIGINT) <= b.dd
+                        THEN 1 ELSE 2 END AS half,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders CROSS JOIN bounds b
+        ), spend AS (
+            SELECT o_custkey, half,
+                   CAST(sum(cents) AS BIGINT) AS spend_cents
+            FROM halves GROUP BY 1, 2
+        ), terc AS (
+            SELECT o_custkey, half,
+                   CAST(ntile(3) OVER (PARTITION BY half
+                        ORDER BY spend_cents DESC, o_custkey) AS BIGINT)
+                       AS t
+            FROM spend
+        ), wide AS (
+            SELECT o_custkey,
+                   max(CASE WHEN half = 1 THEN t END) AS t1,
+                   max(CASE WHEN half = 2 THEN t END) AS t2
+            FROM terc GROUP BY o_custkey
+        )
+        SELECT coalesce('T' || CAST(t1 AS VARCHAR), 'absent') AS seg_h1,
+               coalesce('T' || CAST(t2 AS VARCHAR), 'absent') AS seg_h2,
+               CAST(count(*) AS BIGINT) AS n_cust
+        FROM wide
+        GROUP BY 1, 2
+    """,
+    doc="Customer-segment migration matrix — the retention question RFM "
+        "snapshots can't answer: split the corpus at its order-date "
+        "midpoint (integer day arithmetic against a 1-row bounds "
+        "broadcast — no engine date-add semantics involved), tercile "
+        "customers by exact-cents spend WITHIN each half (spend DESC, "
+        "custkey tie-break — the q_orders_rfm per-stratum window "
+        "discipline), then count every (H1 tercile → H2 tercile) "
+        "transition, with 'absent' rows capturing acquisition (new in "
+        "H2) and churn (gone in H2). Output bounded by 4x4 states at "
+        "any corpus size. Scale shape: one orders scan → keyed "
+        "(custkey, half) aggregate; the two ntiles share ONE half-keyed "
+        "partitioning; the halves pivot is a conditional-aggregation "
+        "pass over the per-(customer, half) table (the q_pivot_status "
+        "shape — no self-join, the fact pipeline derives once); the "
+        "matrix is a map-side-combined count.",
+)
+def q_cust_seg_migration(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min("o_orderdate").alias("mn"),
+        F.datediff(F.max("o_orderdate"), F.min("o_orderdate"))
+        .cast("long")
+        .alias("dd"),
+    )
+    halves = o.crossJoin(F.broadcast(bounds)).select(
+        "o_custkey",
+        F.when(
+            2 * F.datediff("o_orderdate", "mn").cast("long") <= F.col("dd"), 1
+        )
+        .otherwise(2)
+        .alias("half"),
+        cents("o_totalprice").alias("c"),
+    )
+    spend = halves.groupBy("o_custkey", "half").agg(
+        F.sum("c").cast("long").alias("spend_cents")
+    )
+    w = Window.partitionBy("half").orderBy(
+        F.col("spend_cents").desc(), "o_custkey"
+    )
+    terc = spend.select(
+        "o_custkey", "half", F.ntile(3).over(w).cast("long").alias("t")
+    )
+    # Conditional-aggregation pivot (the q_pivot_status shape): one pass
+    # over the bounded per-(customer, half) table — no full-outer
+    # self-join, so the orders pipeline underneath derives ONCE.
+    wide = terc.groupBy("o_custkey").agg(
+        F.max(F.when(F.col("half") == 1, F.col("t"))).alias("t1"),
+        F.max(F.when(F.col("half") == 2, F.col("t"))).alias("t2"),
+    )
+    seg = lambda t: F.coalesce(  # noqa: E731
+        F.concat(F.lit("T"), t.cast("string")), F.lit("absent")
+    )
+    return wide.groupBy(
+        seg(F.col("t1")).alias("seg_h1"), seg(F.col("t2")).alias("seg_h2")
+    ).agg(F.count(F.lit(1)).alias("n_cust"))
