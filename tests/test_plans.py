@@ -1773,3 +1773,26 @@ def test_seg_migration_one_fact_scan_keyed_pivot(spark, queries):
     assert n["SortMergeJoin"] + n["ShuffledHashJoin"] + n["BroadcastHashJoin"] == 0
     assert "partial_sum" in plan or "partial_count" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pysource_partition_planning_and_reregistration(spark, queries):
+    """The Python Data Source must plan its declared partition count
+    (distributed generation, not a single driver-side iterator), produce
+    the full 2-hex-prefix bucket space, and tolerate re-registration in
+    the same session (the driver re-invokes queries())."""
+    from xml_processor_spark.sources.pysource import (
+        _PARTS,
+        _ROWS,
+        SequenceDataSource,
+    )
+
+    spark.dataSource.register(SequenceDataSource)
+    raw = spark.read.format("xps_seq").option("rows", _ROWS).load()
+    assert raw.rdd.getNumPartitions() == _PARTS
+    out1 = queries["E-PYSOURCE"](spark, SF_MID)
+    out2 = queries["E-PYSOURCE"](spark, SF_MID)  # re-register, same session
+    rows = out1.collect()
+    assert len(rows) == 256 and len(out2.collect()) == 256
+    assert sum(r.n for r in rows) == _ROWS
+    assert min(r.first_id for r in rows) == 0
+    assert max(r.last_id for r in rows) == _ROWS - 1
