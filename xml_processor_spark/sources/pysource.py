@@ -22,7 +22,12 @@ for its client library and keeps the planning contract.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 from xml_processor_spark.registry import register
 
@@ -108,3 +113,121 @@ def e_pysource(spark, sf_dir):
         F.min("seq_id").alias("first_id"),
         F.max("seq_id").alias("last_id"),
     )
+
+
+_STREAM_ROWS = 5_000
+_STREAM_BATCH = 1_000
+
+
+class _SeqStreamReader(SimpleDataSourceStreamReader):
+    """Offset-tracked micro-batch generator: batch k covers rows
+    [k*batch, (k+1)*batch) until the declared row count is exhausted,
+    then returns empty batches forever. Offsets are plain dicts, so
+    checkpoint recovery replays any batch identically (deterministic
+    content per offset range — the exactly-once contract a real
+    connector must honor)."""
+
+    def initialOffset(self):
+        return {"offset": 0}
+
+    def read(self, start):
+        import hashlib
+
+        off = int(start["offset"])
+        end = min(off + _STREAM_BATCH, _STREAM_ROWS)
+        rows = [
+            (i, hashlib.md5(str(i).encode()).hexdigest())
+            for i in range(off, end)
+        ]
+        return iter(rows), {"offset": end}
+
+    def readBetweenOffsets(self, start, end):
+        import hashlib
+
+        return iter(
+            (i, hashlib.md5(str(i).encode()).hexdigest())
+            for i in range(int(start["offset"]), int(end["offset"]))
+        )
+
+
+class SequenceStreamDataSource(DataSource):
+    """``spark.readStream.format("xps_seq_stream")`` source."""
+
+    @classmethod
+    def name(cls):
+        return "xps_seq_stream"
+
+    def schema(self):
+        return "seq_id BIGINT, fingerprint STRING"
+
+    def simpleStreamReader(self, schema):
+        return _SeqStreamReader()
+
+
+@register(
+    "E-PYSOURCE-STREAM",
+    oracle=f"""
+        WITH seq AS (
+            SELECT CAST(unnest(generate_series(0, {_STREAM_ROWS} - 1))
+                        AS BIGINT) AS seq_id
+        )
+        SELECT substring(md5(CAST(seq_id AS VARCHAR)), 1, 2) AS bucket,
+               CAST(count(*) AS BIGINT) AS n,
+               min(seq_id) AS first_id,
+               max(seq_id) AS last_id
+        FROM seq
+        GROUP BY 1
+    """,
+    origin="LLM",
+    doc="STREAMING Python Data Source (Spark 4 "
+        "SimpleDataSourceStreamReader): offset-tracked micro-batches "
+        f"({_STREAM_ROWS} rows in {_STREAM_ROWS // _STREAM_BATCH} "
+        "batches) from a registered Python source, aggregated by "
+        "fingerprint prefix in complete-mode into a memory sink, polled "
+        "to completion. Unlike the other streaming E-keys this one IS "
+        "oracle-checkable: the generator is deterministic and the query "
+        "drains it fully, so the final state equals the batch answer "
+        "DuckDB regenerates — a dropped, duplicated, or partially "
+        "committed micro-batch hash-mismatches. readBetweenOffsets "
+        "implements the checkpoint-replay contract (identical content "
+        "per offset range).",
+)
+def e_pysource_stream(spark, sf_dir):
+    import tempfile
+    import time
+    import uuid
+
+    spark.dataSource.register(SequenceStreamDataSource)
+    sink = f"pysource_stream_sink_{uuid.uuid4().hex[:8]}"
+    agg = (
+        spark.readStream.format("xps_seq_stream")
+        .load()
+        .groupBy(F.substring("fingerprint", 1, 2).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("seq_id").alias("first_id"),
+            F.max("seq_id").alias("last_id"),
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="pysrc_ckpt_")
+        )
+        .start()
+    )
+    try:
+        deadline = time.time() + 300
+        while time.time() < deadline:
+            q.processAllAvailable()
+            got = spark.sql(
+                f"SELECT coalesce(sum(n), 0) AS t FROM {sink}"
+            ).collect()[0].t
+            if got >= _STREAM_ROWS:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    return spark.table(sink)
