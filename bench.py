@@ -247,6 +247,7 @@ HEADLINE = [
     "q_part_price_elasticity",
     "q_events_paths",
     "q_cust_seg_migration",
+    "q_events_attribution_linear",
 ]
 
 

@@ -1796,3 +1796,16 @@ def test_pysource_partition_planning_and_reregistration(spark, queries):
     assert sum(r.n for r in rows) == _ROWS
     assert min(r.first_id for r in rows) == 0
     assert max(r.last_id for r in rows) == _ROWS - 1
+
+
+def test_attribution_user_keyed_pairing(spark, queries):
+    """Linear attribution: the touch-purchase pairing is an equi join on
+    user_id with the time range as a join predicate — never a cross-user
+    theta/nested-loop; the per-conversion size window rides the paired
+    rows; no Python."""
+    plan = explain(queries["q_events_attribution_linear"](spark, SF_MID))
+    n = node_counts(plan)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert n["SortMergeJoin"] + n["ShuffledHashJoin"] + n["BroadcastHashJoin"] == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -1351,3 +1351,82 @@ def q_events_freshness(spark, sf_dir):
             6,
         ).alias("last_day_volume_ratio"),
     )
+
+
+_ATTR_E6 = 1_000_000  # fixed-point credit grain
+
+
+@register(
+    "q_events_attribution_linear",
+    oracle=f"""
+        WITH purch AS (
+            SELECT user_id, event_id AS p_id, ts AS p_ts
+            FROM events WHERE event_type = 'purchase'
+        ), touch AS (
+            SELECT user_id, event_type, ts AS t_ts
+            FROM events WHERE event_type <> 'purchase'
+        ), j AS (
+            SELECT p.p_id, t.event_type
+            FROM purch p JOIN touch t
+              ON t.user_id = p.user_id
+             AND t.t_ts < p.p_ts
+             AND t.t_ts >= p.p_ts - INTERVAL 1 HOUR
+        ), sized AS (
+            SELECT p_id, event_type,
+                   count(*) OVER (PARTITION BY p_id) AS n
+            FROM j
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_touches,
+               CAST(count(DISTINCT p_id) AS BIGINT) AS n_conversions,
+               round(CAST(sum({_ATTR_E6} // n) AS DOUBLE)
+                     / {_ATTR_E6}, 6) AS credit
+        FROM sized
+        GROUP BY 1
+    """,
+    origin="CORE",
+    doc="Linear multi-touch attribution — the equal-credit counterpart "
+        "of q_events_first_touch: every non-purchase touch in the hour "
+        "before a purchase (the q_events_funnel window convention) "
+        "splits that conversion's credit equally. Determinism: the "
+        f"per-touch share is fixed-pointed as {_ATTR_E6} DIV n (exact "
+        "integer division — the summed credit is an integer total on "
+        "any partitioning; the documented floor bias is < n/1e6 of a "
+        "conversion and identical in both engines), divided back once "
+        "at the end. Scale shape: the touch⋈purchase pairing is a "
+        "user-keyed equi join with a time-range predicate (never a "
+        "time-theta join across users), the per-conversion size is a "
+        "window ON THE PAIRED ROWS keyed by purchase id, and the rollup "
+        "is map-side-combined onto |types| rows.",
+)
+def q_events_attribution_linear(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    touch = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id", "event_type", F.col("ts").alias("t_ts")
+    )
+    j = touch.join(
+        purch,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("t_ts") < F.col("p_ts"))
+        & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+    ).select("p_id", "event_type")
+    sized = j.withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("p_id"))
+    )
+    return sized.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.countDistinct("p_id").alias("n_conversions"),
+        # `div`, not floor(double /): true integer division matches the
+        # oracle's `//` bit-for-bit with no near-integer double hazard.
+        F.round(
+            F.sum(F.expr(f"{_ATTR_E6} div n")).cast("double") / _ATTR_E6,
+            6,
+        ).alias("credit"),
+    )
