@@ -399,3 +399,34 @@ def test_unimax_water_filling_invariants(spark, queries):
     level = levels.pop()
     assert all(level >= r.capacity for r in capped)
     assert all(r.alloc <= r.capacity for r in rows)
+
+
+def test_star_contraction_matches_propagation_and_log_rounds(spark):
+    """The star-contraction CC must (1) produce the identical labeling
+    as min-label propagation on the real pair graph, and (2) converge in
+    O(log n) rounds on the adversarial shape propagation cannot handle:
+    a 1,024-node chain has diameter 1,023 — propagation would need that
+    many rounds (its cap raises at 20), star contraction must finish
+    within its cap and label every node with the chain minimum."""
+    from xml_processor_spark.functions.llm_dedup import (
+        _min_label_propagate,
+        _star_contract,
+        q_dedup_ngram_jaccard,
+    )
+
+    pairs = q_dedup_ngram_jaccard(spark, SF_SMALL).select("id_a", "id_b")
+    lp, _ = _min_label_propagate(spark, pairs)
+    st, _ = _star_contract(spark, pairs)
+    a = {(r.id, r.root) for r in lp.collect()}
+    b = {(r.id, r.root) for r in st.collect()}
+    assert a == b and a
+
+    n = 1024
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    labels, rounds = _star_contract(spark, chain)
+    assert rounds <= 15, f"star contraction took {rounds} rounds on a chain"
+    rows = labels.collect()
+    assert len(rows) == n
+    assert all(r.root == 0 for r in rows)

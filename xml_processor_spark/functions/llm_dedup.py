@@ -897,6 +897,131 @@ def _min_label_propagate(spark, pairs, max_rounds=_CC_MAX_ROUNDS):
     return labels, rounds
 
 
+def _star_contract(spark, pairs, max_rounds=_CC_MAX_ROUNDS):
+    """Alternating large-star/small-star connected components.
+
+    The published MapReduce CC algorithm (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14): each round applies
+    Large-Star (every node points its LARGER neighbors at its minimum
+    neighborhood member) then Small-Star (every node folds its smaller
+    neighbors, and itself, onto that minimum), which contracts any
+    component onto its minimum id in O(log n) rounds REGARDLESS of
+    diameter — the variant :func:`_min_label_propagate`'s docstring
+    defers to for adversarially deep graphs (label propagation pays one
+    round per hop; a 1000-node chain needs 1000 rounds there and ~15
+    here, pinned in tests/test_llm.py). Returns ``(labels, rounds)``
+    with the same (id, root) contract as the propagate variant. Each
+    phase is one groupBy + one re-join — the same per-round shuffle
+    class, just fewer rounds. Reliable checkpoints per round (the
+    q_dedup_cluster fault story)."""
+    sc = spark.sparkContext
+    if sc.getCheckpointDir() is None:
+        import tempfile
+
+        sc.setCheckpointDir(tempfile.mkdtemp(prefix="xps-ckpt-"))
+    edges = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .checkpoint()
+    )
+    members = (
+        pairs.select(F.col("id_a").alias("id"))
+        .union(pairs.select("id_b"))
+        .distinct()
+        .checkpoint()
+    )
+
+    def large_star(e):
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        return (
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(e):
+        o = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        m = o.groupBy("u").agg(F.min("v").alias("m"))
+        folded = (
+            o.join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(m.select("u", F.col("m").alias("v")))
+        )
+        return folded.filter(F.col("u") != F.col("v")).distinct()
+
+    rounds = 0
+    for _ in range(max_rounds):
+        nxt = small_star(large_star(edges)).checkpoint()
+        rounds += 1
+        # Set equality: counts match AND no edge is new. subtract() is
+        # distinct-based and both sides are distinct by construction.
+        if nxt.count() == edges.count() and nxt.subtract(edges).isEmpty():
+            edges = nxt
+            break
+        edges = nxt
+    else:
+        raise RuntimeError(f"star contraction not converged in {max_rounds}")
+    # Converged edge set is a star forest (child -> component min).
+    labels = members.join(
+        edges.select(F.col("u").alias("id"), F.col("v").alias("root")),
+        "id",
+        "left",
+    ).select("id", F.coalesce("root", "id").alias("root"))
+    return labels, rounds
+
+
+@register(
+    "q_dedup_cc_star",
+    oracle=f"""
+        WITH RECURSIVE pairs AS ({_NGRAM_PAIRS_SQL}),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION ALL
+            SELECT id_b, id_a FROM pairs
+        ),
+        reach(id, r) AS (
+            SELECT DISTINCT src, src FROM edges
+            UNION
+            SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+        )
+        SELECT d.doc_id, COALESCE(m.root, d.doc_id) AS root
+        FROM documents d
+        LEFT JOIN (SELECT id, min(r) AS root FROM reach GROUP BY id) m
+          ON m.id = d.doc_id
+    """,
+    origin="LLM",
+    doc="Connected components via alternating large-star/small-star "
+        "contraction (Kiveris et al., SoCC'14) over the same "
+        "shingle-Jaccard pair graph as q_dedup_cluster — and the SAME "
+        "answer (identical oracle; cross-implementation equality also "
+        "pinned in tests/test_llm.py). The difference is the round "
+        "bound: label propagation pays one round per hop of component "
+        "diameter, star contraction pays O(log n) regardless — this is "
+        "the 100 TB answer when the dup graph contains long chains "
+        "(crawl rings, boilerplate gradients), where the propagate "
+        "variant's round count, not its shuffle volume, becomes the "
+        "bottleneck (its own docstring defers here). Per round: two "
+        "groupBy-min + re-join phases, reliable checkpoints, exact "
+        "set-equality convergence witness (count + subtract-empty — "
+        "no hash truce).",
+)
+def q_dedup_cc_star(spark, sf_dir):
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    labels, _ = _star_contract(spark, pairs)
+    d = table(spark, sf_dir, "documents")
+    return d.join(labels, d.doc_id == labels.id, "left").select(
+        "doc_id", F.coalesce("root", "doc_id").alias("root")
+    )
+
+
 @register(
     "q_dedup_cluster",
     oracle=f"""
