@@ -248,6 +248,7 @@ HEADLINE = [
     "q_events_paths",
     "q_cust_seg_migration",
     "q_events_attribution_linear",
+    "q_supplier_scorecard",
 ]
 
 

@@ -1809,3 +1809,16 @@ def test_attribution_user_keyed_pairing(spark, queries):
     assert "BroadcastNestedLoopJoin" not in plan
     assert n["SortMergeJoin"] + n["ShuffledHashJoin"] + n["BroadcastHashJoin"] == 1
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_supplier_scorecard_dims_join_rollup_not_fact(spark, queries):
+    """Scorecard: the fact scan collapses to the supplier-keyed rollup
+    BEFORE any dimension join (partial aggregation on the scan side);
+    nation broadcasts; no cartesian, no Python."""
+    plan = explain(queries["q_supplier_scorecard"](spark, SF_MID))
+    n = node_counts(plan)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert n["BroadcastHashJoin"] >= 1  # 25-row nation side
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

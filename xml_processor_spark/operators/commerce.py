@@ -1951,3 +1951,82 @@ def q_part_price_elasticity(spark, sf_dir):
         r6(num / den_x).alias("elasticity"),
         r6(num * num / (den_x * den_y)).alias("r2"),
     )
+
+
+@register(
+    "q_supplier_scorecard",
+    oracle="""
+        WITH li AS (
+            SELECT l_suppkey,
+                   CAST(count(*) AS BIGINT) AS n_lineitems,
+                   CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS revenue_cents,
+                   CAST(count(*) FILTER (WHERE l_returnflag = 'R')
+                        AS BIGINT) AS n_returned,
+                   CAST(sum(CAST(round(l_discount * 100) AS BIGINT))
+                        AS BIGINT) AS disc_pct_sum,
+                   max(l_shipdate) AS last_ship
+            FROM lineitem GROUP BY 1
+        )
+        SELECT s.s_suppkey, s.s_name, n.n_name AS nation,
+               li.n_lineitems, li.n_parts, li.revenue_cents,
+               round(CAST(li.n_returned AS DOUBLE)
+                     / CAST(li.n_lineitems AS DOUBLE), 6) AS return_rate,
+               round(CAST(li.disc_pct_sum AS DOUBLE)
+                     / CAST(li.n_lineitems AS DOUBLE), 6) AS avg_disc_pct,
+               li.last_ship
+        FROM li
+        JOIN supplier s ON s.s_suppkey = li.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+    """,
+    doc="Supplier scorecard — the operational KPI rollup every "
+        "procurement team keeps: per supplier, lineitem volume, "
+        "assortment breadth (distinct parts), exact-cents revenue, "
+        "return rate (flag 'R'), mean discount points and last ship "
+        "date, enriched with name and nation. Exact integer numerators "
+        "throughout; the two ratios are single 6-dp divisions. Scale "
+        "shape: ONE fact scan collapses map-side to the |suppliers| "
+        "keyed table (count-distinct inside the same keyed aggregate — "
+        "no second fact pass); supplier and nation are dimension joins "
+        "on the rollup, not the fact (supplier ∝ sf so no broadcast "
+        "hint — AQE decides; nation is 25 rows, always broadcast).",
+)
+def q_supplier_scorecard(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_lineitems"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.sum(cents("l_extendedprice")).cast("long").alias("revenue_cents"),
+        F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("n_returned"),
+        F.sum(cents("l_discount")).cast("long").alias("disc_pct_sum"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    n = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nationkey"),
+        F.col("n_name").alias("nation"),
+    )
+    return (
+        agg.join(s, agg["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), "s_nationkey")
+        .select(
+            "s_suppkey",
+            "s_name",
+            "nation",
+            "n_lineitems",
+            "n_parts",
+            "revenue_cents",
+            r6(
+                F.col("n_returned").cast("double")
+                / F.col("n_lineitems").cast("double")
+            ).alias("return_rate"),
+            r6(
+                F.col("disc_pct_sum").cast("double")
+                / F.col("n_lineitems").cast("double")
+            ).alias("avg_disc_pct"),
+            "last_ship",
+        )
+    )
