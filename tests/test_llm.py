@@ -430,3 +430,32 @@ def test_star_contraction_matches_propagation_and_log_rounds(spark):
     rows = labels.collect()
     assert len(rows) == n
     assert all(r.root == 0 for r in rows)
+
+
+def test_corpus_funnel_monotone_and_consistent(spark, queries):
+    """The funnel must be monotone (each stage a subset of the prior),
+    start at the full corpus, and agree with the standalone stage
+    operators: stage-2 survivors = count of docs that are their own
+    q_dedup_cluster root AND an exact keeper; stage-3 additionally
+    passes q_quality_rules.keep."""
+    rows = {r.stage: r.n_docs for r in
+            queries["q_corpus_funnel"](spark, SF_SMALL).collect()}
+    assert list(rows) == sorted(rows)
+    vals = [rows["0_raw"], rows["1_exact_dedup"],
+            rows["2_near_dedup"], rows["3_quality_gate"]]
+    assert vals[0] >= vals[1] >= vals[2] >= vals[3] > 0
+    assert vals[0] == 500
+    roots = {
+        r.doc_id for r in queries["q_dedup_cluster"](spark, SF_SMALL).collect()
+        if r.root == r.doc_id
+    }
+    keepers = {
+        r.keeper for r in queries["q_dedup_exact"](spark, SF_SMALL).collect()
+    }
+    keep = {
+        r.doc_id for r in queries["q_quality_rules"](spark, SF_SMALL).collect()
+        if r.keep
+    }
+    assert vals[1] == len(keepers)
+    assert vals[2] == len(roots & keepers)
+    assert vals[3] == len(roots & keepers & keep)

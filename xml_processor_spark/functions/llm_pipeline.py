@@ -1202,3 +1202,163 @@ def q_corpus_budget_fill(spark, sf_dir):
         .select("doc_id", "lang", "n_tok")
     )
     return sel_whole.unionByName(sel_boundary)
+
+
+@register(
+    "q_corpus_funnel",
+    oracle="""
+        WITH sh AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       generate_series(1, len(string_split(text,' ')) - 2),
+                       i -> string_split(text,' ')[i] || ' ' ||
+                            string_split(text,' ')[i+1] || ' ' ||
+                            string_split(text,' ')[i+2]))) AS s
+            FROM documents
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), pairs AS (
+            SELECT id_a, id_b
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE 10 * i >= 8 * (sa.n + sb.n - i)
+        ), edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION ALL
+            SELECT id_b, id_a FROM pairs
+        ), reach AS (
+            WITH RECURSIVE r(id, lbl) AS (
+                SELECT DISTINCT src, src FROM edges
+                UNION
+                SELECT e.dst, r.lbl FROM r JOIN edges e ON e.src = r.id
+            ) SELECT id, min(lbl) AS root FROM r GROUP BY id
+        ), flags AS (
+            SELECT d.doc_id,
+                   d.doc_id = min(d.doc_id) OVER (PARTITION BY md5(d.text))
+                       AS exact_keeper,
+                   COALESCE(m.root, d.doc_id) = d.doc_id AS cc_root,
+                   len(string_split(d.text, ' ')) BETWEEN 50 AND 100000
+                   AND (length(d.text) - len(string_split(d.text, ' ')) + 1)
+                       / CAST(len(string_split(d.text, ' ')) AS DOUBLE)
+                       BETWEEN 3.0 AND 10.0
+                   AND len(list_distinct(string_split(d.text, ' ')))
+                       / CAST(len(string_split(d.text, ' ')) AS DOUBLE)
+                       >= 0.3
+                   AND len(regexp_extract_all(d.text, '[a-z]'))
+                       / CAST(length(replace(d.text, ' ', '')) AS DOUBLE)
+                       >= 0.6 AS quality_keep
+            FROM documents d LEFT JOIN reach m ON m.id = d.doc_id
+        ), agg AS (
+            SELECT CAST(count(*) AS BIGINT) AS n0,
+                   CAST(count(*) FILTER (exact_keeper) AS BIGINT) AS n1,
+                   CAST(count(*) FILTER (exact_keeper AND cc_root)
+                        AS BIGINT) AS n2,
+                   CAST(count(*) FILTER (exact_keeper AND cc_root
+                                         AND quality_keep) AS BIGINT) AS n3
+            FROM flags
+        )
+        SELECT stage, n_docs,
+               round(CAST(n_docs AS DOUBLE) / CAST(n0 AS DOUBLE), 6)
+                   AS retained_frac
+        FROM (
+            SELECT '0_raw' AS stage, n0 AS n_docs, n0 FROM agg
+            UNION ALL SELECT '1_exact_dedup', n1, n0 FROM agg
+            UNION ALL SELECT '2_near_dedup', n2, n0 FROM agg
+            UNION ALL SELECT '3_quality_gate', n3, n0 FROM agg
+        )
+    """,
+    origin="LLM",
+    doc="Corpus-curation funnel — the observability dashboard every "
+        "training-data pipeline keeps: survivor counts through the "
+        "SEQUENTIAL stages raw → exact dedup (md5 keeper = min doc_id, "
+        "the q_dedup_exact rule) → near-dup dedup (survivor iff it is "
+        "its shingle-Jaccard component root — the q_dedup_cluster rule; "
+        "docs outside the pair graph are their own root) → quality gate "
+        "(the four q_quality_rules predicates). Each stage's count is "
+        "conditioned on surviving ALL prior stages, so the four numbers "
+        "are monotone and attribute kill volume per stage. Scale shape: "
+        "ONE flags projection per document (the md5-keeper flag is a "
+        "window over the md5 key, the CC root comes from the shared "
+        "bounded-round propagation labels, quality is scan-side scalar "
+        "math), then a single conditional-count aggregate — the funnel "
+        "itself adds no join and no extra fact pass beyond the pair "
+        "pipeline the dedup stages already require.",
+)
+def q_corpus_funnel(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from xml_processor_spark.functions.llm_dedup import (
+        _min_label_propagate,
+        q_dedup_ngram_jaccard,
+    )
+    from xml_processor_spark.functions.llm_text import (
+        _QR_MAX_TOKENS,
+        _QR_MAX_WLEN,
+        _QR_MIN_ALPHA,
+        _QR_MIN_TOKENS,
+        _QR_MIN_UNIQ,
+        _QR_MIN_WLEN,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    labels, _ = _min_label_propagate(spark, pairs)
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    mean_wlen = (F.length("text") - n + 1) / n.cast("double")
+    uniq = F.size(F.array_distinct(toks)) / n.cast("double")
+    alpha = F.size(
+        F.regexp_extract_all("text", F.lit("[a-z]"), F.lit(0))
+    ) / F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast(
+        "double"
+    )
+    quality = (
+        n.between(_QR_MIN_TOKENS, _QR_MAX_TOKENS)
+        & mean_wlen.between(_QR_MIN_WLEN, _QR_MAX_WLEN)
+        & (uniq >= _QR_MIN_UNIQ)
+        & (alpha >= _QR_MIN_ALPHA)
+    )
+    flags = (
+        d.join(labels, d.doc_id == labels.id, "left")
+        .withColumn(
+            "exact_keeper",
+            F.col("doc_id")
+            == F.min("doc_id").over(Window.partitionBy(F.md5("text"))),
+        )
+        .withColumn(
+            "cc_root",
+            F.coalesce("root", "doc_id") == F.col("doc_id"),
+        )
+        .withColumn("quality_keep", quality)
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.count(F.when(F.col("exact_keeper"), 1)).alias("n1"),
+        F.count(
+            F.when(F.col("exact_keeper") & F.col("cc_root"), 1)
+        ).alias("n2"),
+        F.count(
+            F.when(
+                F.col("exact_keeper")
+                & F.col("cc_root")
+                & F.col("quality_keep"),
+                1,
+            )
+        ).alias("n3"),
+    )
+    stages = F.expr(
+        "stack(4, '0_raw', n0, '1_exact_dedup', n1, "
+        "'2_near_dedup', n2, '3_quality_gate', n3) AS (stage, n_docs)"
+    )
+    return agg.select(stages, "n0").select(
+        "stage",
+        "n_docs",
+        F.round(
+            F.col("n_docs").cast("double") / F.col("n0").cast("double"), 6
+        ).alias("retained_frac"),
+    )
