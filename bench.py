@@ -249,6 +249,7 @@ HEADLINE = [
     "q_cust_seg_migration",
     "q_events_attribution_linear",
     "q_supplier_scorecard",
+    "q_orders_gmv_bridge",
 ]
 
 

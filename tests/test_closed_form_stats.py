@@ -140,3 +140,16 @@ def test_gini_matches_discrete_uniform_closed_form(spark, queries, cf_dir):
     exact = (_N_CUST**2 - 1) / (3.0 * _N_CUST**2)
     assert r["n_customers"] == _N_CUST
     assert abs(r["gini"] - exact) < 0.002, (r["gini"], exact)
+
+
+def test_gmv_bridge_effects_sum_to_delta(spark, queries):
+    """The Laspeyres/Paasche decomposition is an algebraic identity:
+    volume_effect + price_effect must equal delta_cents/100 for every
+    brand (up to the 6-dp output rounding of each effect)."""
+    from tests.conftest import SF_SMALL
+
+    rows = queries["q_orders_gmv_bridge"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        recon = r.volume_effect + r.price_effect
+        assert abs(recon - r.delta_cents / 100.0) <= 1e-5, r

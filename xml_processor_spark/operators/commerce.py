@@ -2030,3 +2030,116 @@ def q_supplier_scorecard(spark, sf_dir):
             "last_ship",
         )
     )
+
+
+@register(
+    "q_orders_gmv_bridge",
+    oracle="""
+        WITH bounds AS (
+            SELECT min(l_shipdate) AS mn,
+                   CAST(date_diff('day', min(l_shipdate),
+                                  max(l_shipdate)) AS BIGINT) AS dd
+            FROM lineitem
+        ), h AS (
+            SELECT p.p_brand,
+                   CASE WHEN 2 * CAST(date_diff('day', b.mn, l.l_shipdate)
+                                 AS BIGINT) <= b.dd
+                        THEN 1 ELSE 2 END AS half,
+                   CAST(round(l.l_quantity) AS BIGINT) AS q,
+                   CAST(round(l.l_extendedprice * 100) AS BIGINT) AS rc
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            CROSS JOIN bounds b
+        ), m AS (
+            SELECT p_brand,
+                   CAST(sum(CASE WHEN half = 1 THEN q ELSE 0 END)
+                        AS BIGINT) AS q1,
+                   CAST(sum(CASE WHEN half = 2 THEN q ELSE 0 END)
+                        AS BIGINT) AS q2,
+                   CAST(sum(CASE WHEN half = 1 THEN rc ELSE 0 END)
+                        AS BIGINT) AS r1,
+                   CAST(sum(CASE WHEN half = 2 THEN rc ELSE 0 END)
+                        AS BIGINT) AS r2
+            FROM h GROUP BY 1
+        )
+        SELECT p_brand, r1 AS rev_h1_cents, r2 AS rev_h2_cents,
+               r2 - r1 AS delta_cents,
+               round((CAST(q2 AS DOUBLE) - CAST(q1 AS DOUBLE))
+                     * (CAST(r1 AS DOUBLE) / CAST(q1 AS DOUBLE)) / 100.0, 6)
+                   AS volume_effect,
+               round((CAST(r2 AS DOUBLE) / CAST(q2 AS DOUBLE)
+                      - CAST(r1 AS DOUBLE) / CAST(q1 AS DOUBLE))
+                     * CAST(q2 AS DOUBLE) / 100.0, 6) AS price_effect
+        FROM m
+        WHERE q1 > 0 AND q2 > 0
+    """,
+    doc="GMV bridge — the FP&A revenue-change decomposition: per brand, "
+        "split the corpus at its ship-date midpoint (the "
+        "q_cust_seg_migration integer-day convention) and attribute "
+        "ΔGMV = volume effect (Δq at H1 prices, Laspeyres) + price "
+        "effect (Δavg-price at H2 volume, Paasche) — an exact algebraic "
+        "identity: the two effects sum to delta_cents/100 before the "
+        "6-dp round ((q2−q1)·r1/q1 + (r2/q2 − r1/q1)·q2 = r2 − r1), "
+        "asserted in tests/test_closed_form_stats.py. Exact BIGINT "
+        "revenue/quantity accumulations; the two effects are double "
+        "arithmetic over identical trees. Scale shape: one "
+        "lineitem⋈part key join, one conditional-sum aggregate onto "
+        "|brands| rows (the half pivot rides the SAME aggregate — no "
+        "second fact pass, no window), 1-row bounds broadcast. Brands "
+        "active in only one half are excluded (no base period — the "
+        "standard bridge convention).",
+)
+def q_orders_gmv_bridge(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_shipdate"
+    )
+    pt = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    bounds = li.agg(
+        F.min("l_shipdate").alias("mn"),
+        F.datediff(F.max("l_shipdate"), F.min("l_shipdate"))
+        .cast("long")
+        .alias("dd"),
+    )
+    half = F.when(
+        2 * F.datediff("l_shipdate", "mn").cast("long") <= F.col("dd"), 1
+    ).otherwise(2)
+    h = (
+        li.join(pt, li["l_partkey"] == pt["p_partkey"])
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "p_brand",
+            half.alias("half"),
+            F.round("l_quantity", 0).cast("long").alias("q"),
+            cents("l_extendedprice").alias("rc"),
+        )
+    )
+    m = h.groupBy("p_brand").agg(
+        F.sum(F.when(F.col("half") == 1, F.col("q")).otherwise(0))
+        .cast("long")
+        .alias("q1"),
+        F.sum(F.when(F.col("half") == 2, F.col("q")).otherwise(0))
+        .cast("long")
+        .alias("q2"),
+        F.sum(F.when(F.col("half") == 1, F.col("rc")).otherwise(0))
+        .cast("long")
+        .alias("r1"),
+        F.sum(F.when(F.col("half") == 2, F.col("rc")).otherwise(0))
+        .cast("long")
+        .alias("r2"),
+    )
+    p1 = F.col("r1").cast("double") / F.col("q1").cast("double")
+    p2 = F.col("r2").cast("double") / F.col("q2").cast("double")
+    return m.filter((F.col("q1") > 0) & (F.col("q2") > 0)).select(
+        "p_brand",
+        F.col("r1").alias("rev_h1_cents"),
+        F.col("r2").alias("rev_h2_cents"),
+        (F.col("r2") - F.col("r1")).alias("delta_cents"),
+        r6(
+            (F.col("q2").cast("double") - F.col("q1").cast("double"))
+            * p1
+            / 100.0
+        ).alias("volume_effect"),
+        r6((p2 - p1) * F.col("q2").cast("double") / 100.0).alias(
+            "price_effect"
+        ),
+    )
