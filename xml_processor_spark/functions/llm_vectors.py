@@ -1738,3 +1738,76 @@ def q_emb_hard_negatives(spark, sf_dir):
             F.round("sim_raw", 6).alias("sim"), "rank",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN index health: oracle-checked recall@k curve of IVF vs brute force.
+# ---------------------------------------------------------------------------
+
+from xml_processor_spark.registry import REGISTRY as _REG  # noqa: E402
+
+_ANN_IVF_SQL = _REG["E-KNN-IVF"].oracle
+_ANN_EXACT_SQL = _REG["q_knn_cosine"].oracle
+
+
+@register(
+    "q_emb_ann_recall",
+    oracle=f"""
+        WITH ivf AS ({_ANN_IVF_SQL}),
+        ex AS ({_ANN_EXACT_SQL}),
+        j AS (
+            SELECT i.probe_id, i.rank AS ra, e.rank AS re
+            FROM ivf i JOIN ex e
+              ON e.probe_id = i.probe_id AND e.vec_id = i.vec_id
+        ),
+        ks AS (SELECT unnest(generate_series(1, {_TOP_K})) AS k),
+        np AS (SELECT CAST(count(DISTINCT probe_id) AS BIGINT) AS n FROM ex)
+        SELECT ks.k, CAST(count(j.ra) AS BIGINT) AS n_hits,
+               round(count(j.ra) / CAST(ks.k * np.n AS DOUBLE), 6)
+                   AS mean_recall
+        FROM ks CROSS JOIN np
+        LEFT JOIN j ON j.ra <= ks.k AND j.re <= ks.k
+        GROUP BY ks.k, np.n
+    """,
+    origin="LLM",
+    doc=f"ANN index health check — the recall@k curve (k = 1..{_TOP_K}) "
+        "of the IVF index against the brute-force truth, as an "
+        "ORACLE-CHECKED operator rather than a test-only claim: both "
+        "sides are the exact registered pipelines (the E-KNN-IVF and "
+        "q_knn_cosine oracle texts are composed verbatim as CTEs, so "
+        "this key can never drift from the keys it audits). recall@k "
+        "counts a (probe, neighbor) pair iff it sits in the top-k of "
+        "BOTH rankings, averaged over probes. This is the dashboard "
+        "number a vector-search team alerts on after each index "
+        "rebuild. Scale shape: both top-k lists are |probes|·k rows; "
+        "everything downstream of the shared index/scan pipelines is "
+        "bounded-table algebra (the k-grid join is a ≤50-row nested "
+        "loop).",
+)
+def q_emb_ann_recall(spark, sf_dir):
+    ivf = e_knn_ivf(spark, sf_dir).select(
+        "probe_id", "vec_id", F.col("rank").alias("ra")
+    )
+    ex = q_knn_cosine(spark, sf_dir).select(
+        "probe_id", "vec_id", F.col("rank").alias("re")
+    )
+    j = ivf.join(ex, ["probe_id", "vec_id"]).select("ra", "re")
+    ks = spark.range(1, _TOP_K + 1).select(F.col("id").alias("k"))
+    np_ = ex.agg(F.countDistinct("probe_id").alias("n"))
+    hits = (
+        ks.join(
+            j, (F.col("ra") <= F.col("k")) & (F.col("re") <= F.col("k")),
+            "left",
+        )
+        .groupBy("k")
+        .agg(F.count("ra").alias("n_hits"))
+    )
+    return hits.crossJoin(F.broadcast(np_)).select(
+        "k",
+        "n_hits",
+        F.round(
+            F.col("n_hits").cast("double")
+            / (F.col("k") * F.col("n")).cast("double"),
+            6,
+        ).alias("mean_recall"),
+    )
