@@ -250,6 +250,7 @@ HEADLINE = [
     "q_events_attribution_linear",
     "q_supplier_scorecard",
     "q_orders_gmv_bridge",
+    "q_xml_validate",
 ]
 
 

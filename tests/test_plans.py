@@ -1822,3 +1822,15 @@ def test_supplier_scorecard_dims_join_rollup_not_fact(spark, queries):
     assert n["BroadcastHashJoin"] >= 1  # 25-row nation side
     assert "partial_count" in plan or "partial_sum" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_xml_validate_scan_side_no_shuffle_before_agg(spark, queries):
+    """Validation flags ride the scan: synthesis, parse and rule checks
+    are all scalar expressions; the only shuffle is the single global
+    aggregate's 1-row exchange; no Python, no join."""
+    plan = explain(queries["q_xml_validate"](spark, SF_MID))
+    n = node_counts(plan)
+    assert n["SortMergeJoin"] + n["ShuffledHashJoin"] + n["BroadcastHashJoin"] == 0
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

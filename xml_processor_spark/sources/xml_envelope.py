@@ -577,3 +577,78 @@ def q_json_schema_drift(spark, sf_dir):
             .alias("drift"),
         )
     )
+
+
+@register(
+    "q_xml_validate",
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(*) FILTER (WHERE o_orderkey % 7 = 0) AS BIGINT)
+                   AS n_missing_status,
+               CAST(count(*) FILTER (WHERE o_orderkey % 7 <> 0
+                                       AND o_orderkey % 13 = 0) AS BIGINT)
+                   AS n_bad_domain,
+               CAST(count(*) FILTER (WHERE o_orderkey % 11 = 0) AS BIGINT)
+                   AS n_bad_total,
+               CAST(count(*) FILTER (WHERE o_orderkey % 7 <> 0
+                                       AND o_orderkey % 13 <> 0
+                                       AND o_orderkey % 11 <> 0) AS BIGINT)
+                   AS n_valid
+        FROM orders
+    """,
+    origin="REF",
+    doc="Schema-validation routing — the XSD-lite half of an XML ETL "
+        "validator (q_xml_corrupt_route handles MALFORMED documents; "
+        "this one handles well-formed documents violating declared "
+        "constraints): required-element check (<status> omitted for "
+        "key%7=0), domain check (status 'X' outside {F,O,P} for "
+        "key%13=0 when present), and type check (<total> = 'N/A', "
+        "non-numeric via try_cast, for key%11=0) — the three rules "
+        "evaluated independently per document with a per-rule violation "
+        "census plus the all-rules-pass count, exactly the "
+        "valid/invalid split an error-dataset sink consumes. The "
+        "corruptions are deterministic functions of the key, so the "
+        "oracle asserts the census directly on the source columns — a "
+        "parse or validation bug on the Spark side breaks the hash. "
+        "Scan-side string synthesis + parse + flags; ONE "
+        "map-side-combined global aggregate; no shuffle beyond it.",
+)
+def q_xml_validate(spark, sf_dir):
+    o = widen(table(spark, sf_dir, "orders"))
+    status_el = F.when(F.col("o_orderkey") % 7 == 0, F.lit("")).otherwise(
+        F.concat(
+            F.lit("<status>"),
+            F.when(F.col("o_orderkey") % 13 == 0, F.lit("X")).otherwise(
+                F.col("o_orderstatus")
+            ),
+            F.lit("</status>"),
+        )
+    )
+    total_el = F.concat(
+        F.lit("<total>"),
+        F.when(F.col("o_orderkey") % 11 == 0, F.lit("N/A")).otherwise(
+            _price_str()
+        ),
+        F.lit("</total>"),
+    )
+    xml = F.concat(
+        F.lit("<order><okey>"),
+        F.col("o_orderkey").cast("string"),
+        F.lit("</okey>"),
+        status_el,
+        total_el,
+        F.lit("</order>"),
+    )
+    p = o.select(
+        F.from_xml(xml, "okey LONG, status STRING, total STRING").alias("p")
+    )
+    r_required = F.col("p.status").isNotNull()
+    r_domain = F.col("p.status").isin("F", "O", "P")
+    r_type = F.expr("try_cast(p.total AS DOUBLE)").isNotNull()
+    return p.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(~r_required, 1)).alias("n_missing_status"),
+        F.count(F.when(r_required & ~r_domain, 1)).alias("n_bad_domain"),
+        F.count(F.when(~r_type, 1)).alias("n_bad_total"),
+        F.count(F.when(r_required & r_domain & r_type, 1)).alias("n_valid"),
+    )
