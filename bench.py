@@ -251,6 +251,7 @@ HEADLINE = [
     "q_supplier_scorecard",
     "q_orders_gmv_bridge",
     "q_xml_validate",
+    "q_brand_abc_xyz",
 ]
 
 

@@ -2143,3 +2143,132 @@ def q_orders_gmv_bridge(spark, sf_dir):
             "price_effect"
         ),
     )
+
+
+@register(
+    "q_brand_abc_xyz",
+    oracle=f"""
+        WITH bounds AS (
+            SELECT min(l_shipdate) AS mn FROM lineitem
+        ), wk AS (
+            SELECT p.p_brand AS brand,
+                   CAST(date_diff('day', b.mn, l.l_shipdate) AS BIGINT) // 7
+                       AS week,
+                   CAST(round(l.l_quantity) AS BIGINT) AS q,
+                   CAST({_REV_UNITS} AS BIGINT) AS units
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            CROSS JOIN bounds b
+        ), weekly AS (
+            SELECT brand, week,
+                   CAST(sum(q) AS BIGINT) AS wq,
+                   CAST(sum(units) AS BIGINT) AS wu
+            FROM wk GROUP BY 1, 2
+        ), m AS (
+            SELECT brand,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(wq) AS BIGINT) AS s1,
+                   CAST(sum(CAST(wq AS DECIMAL(38,0)) * wq)
+                        AS DECIMAL(38,0)) AS s2,
+                   CAST(sum(wu) AS BIGINT) AS units
+            FROM weekly GROUP BY 1
+        ), ranked AS (
+            SELECT m.*,
+                   CAST(sum(units) OVER (ORDER BY units DESC, brand)
+                        AS BIGINT) AS cum_units,
+                   CAST(sum(units) OVER () AS BIGINT) AS total_units
+            FROM m
+        )
+        SELECT brand,
+               CASE WHEN CAST(cum_units AS DECIMAL(38,0)) * 5
+                         <= CAST(total_units AS DECIMAL(38,0)) * 4 THEN 'A'
+                    WHEN CAST(cum_units AS DECIMAL(38,0)) * 20
+                         <= CAST(total_units AS DECIMAL(38,0)) * 19 THEN 'B'
+                    ELSE 'C' END AS abc_class,
+               CASE WHEN 4 * (n * s2 - CAST(s1 AS DECIMAL(38,0)) * s1)
+                         <= CAST(s1 AS DECIMAL(38,0)) * s1 THEN 'X'
+                    WHEN n * s2 - CAST(s1 AS DECIMAL(38,0)) * s1
+                         <= CAST(s1 AS DECIMAL(38,0)) * s1 THEN 'Y'
+                    ELSE 'Z' END AS xyz_class,
+               round(CAST(units AS DOUBLE) / CAST(total_units AS DOUBLE), 6)
+                   AS rev_share,
+               round(sqrt(CAST(n * s2 - CAST(s1 AS DECIMAL(38,0)) * s1
+                               AS DOUBLE)) / CAST(s1 AS DOUBLE), 6) AS cv
+        FROM ranked
+    """,
+    doc="ABC-XYZ inventory segmentation — the planning matrix combining "
+        "the q_orders_abc revenue Pareto (A/B/C, same integer "
+        "cross-multiplied boundaries) with demand-variability classes "
+        "from the weekly quantity series: population CV over observed "
+        "weeks, X ≤ 0.5 < Y ≤ 1.0 < Z, decided ENTIRELY in exact "
+        "integer space via CV² = (n·Σq² − (Σq)²)/(Σq)² (class test "
+        "4·(nS2−S1²) ≤ S1² etc. — no float boundary can flip a class; "
+        "the reported cv itself is one sqrt + one division over exact "
+        "integers, CV = √(nS2−S1²)/S1). Weeks are integer-day DIV 7 "
+        "from the corpus min ship date (1-row bounds broadcast — no "
+        "engine week-truncation semantics). Scale shape: fact⋈part key "
+        "join → (brand, week) map-side-combined aggregate → |brands|-"
+        "row moments; ranking windows run on the bounded table only.",
+)
+def q_brand_abc_xyz(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    pt = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    bounds = li.agg(F.min("l_shipdate").alias("mn"))
+    wk = (
+        li.join(pt, li["l_partkey"] == pt["p_partkey"])
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            F.col("p_brand").alias("brand"),
+            (F.datediff("l_shipdate", "mn").cast("long") / 7)
+            .cast("long")
+            .alias("week"),
+            F.round("l_quantity", 0).cast("long").alias("q"),
+            F.expr(_REV_UNITS).alias("units"),
+        )
+    )
+    weekly = wk.groupBy("brand", "week").agg(
+        F.sum("q").cast("long").alias("wq"),
+        F.sum("units").cast("long").alias("wu"),
+    )
+    dec = "decimal(38,0)"
+    m = weekly.groupBy("brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("wq").cast("long").alias("s1"),
+        F.sum(F.col("wq").cast(dec) * F.col("wq")).cast(dec).alias("s2"),
+        F.sum("wu").cast("long").alias("units"),
+    )
+    w_cum = Window.partitionBy().orderBy(F.col("units").desc(), "brand")
+    w_all = Window.partitionBy()
+    ranked = m.select(
+        "*",
+        F.sum("units").over(w_cum).alias("cum_units"),
+        F.sum("units").over(w_all).alias("total_units"),
+    )
+    s1d = F.col("s1").cast(dec)
+    spread = F.col("n") * F.col("s2") - s1d * F.col("s1")
+    return ranked.select(
+        "brand",
+        F.when(
+            F.col("cum_units").cast(dec) * 5
+            <= F.col("total_units").cast(dec) * 4,
+            "A",
+        )
+        .when(
+            F.col("cum_units").cast(dec) * 20
+            <= F.col("total_units").cast(dec) * 19,
+            "B",
+        )
+        .otherwise("C")
+        .alias("abc_class"),
+        F.when(4 * spread <= s1d * F.col("s1"), "X")
+        .when(spread <= s1d * F.col("s1"), "Y")
+        .otherwise("Z")
+        .alias("xyz_class"),
+        r6(
+            F.col("units").cast("double")
+            / F.col("total_units").cast("double")
+        ).alias("rev_share"),
+        r6(
+            F.sqrt(spread.cast("double")) / F.col("s1").cast("double")
+        ).alias("cv"),
+    )
