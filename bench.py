@@ -252,6 +252,7 @@ HEADLINE = [
     "q_orders_gmv_bridge",
     "q_xml_validate",
     "q_brand_abc_xyz",
+    "q_events_bot_regularity",
 ]
 
 

@@ -273,3 +273,126 @@ def q_docs_length_drift(spark, sf_dir):
             F.round(F.col("st6").cast("double") / 1000000.0, 6).alias("chi2"),
         )
     )
+
+
+@register(
+    "q_events_bot_regularity",
+    oracle="""
+        WITH planted AS (
+            -- Deterministic cadence plants (negated user ids can never
+            -- collide with real users at any SF): users -1..-10 tick an
+            -- exact 60 s metronome; -11..-20 alternate 40 s / 80 s
+            -- (CV = 1/3 -> 'regular'). 20 events each.
+            SELECT -(u.u) AS user_id,
+                   CAST(1000000000000 AS BIGINT)
+                   + CASE WHEN u.u <= 10 THEN i.i * 60000000
+                          ELSE (i.i // 2) * 120000000
+                               + (i.i % 2) * 40000000 END AS us,
+                   CAST(u.u * 1000 + i.i AS BIGINT) AS event_id
+            FROM (SELECT unnest(generate_series(1, 20)) AS u) u,
+                 (SELECT unnest(generate_series(0, 19)) AS i) i
+        ), stream AS (
+            SELECT user_id, epoch_us(ts) AS us, event_id FROM events
+            UNION ALL
+            SELECT user_id, us, event_id FROM planted
+        ), gaps AS (
+            SELECT user_id,
+                   us - lag(us) OVER (
+                       PARTITION BY user_id ORDER BY us, event_id) AS g
+            FROM stream
+        ), m AS (
+            SELECT user_id,
+                   CAST(count(g) AS BIGINT) AS n,
+                   CAST(sum(g) AS BIGINT) AS s1,
+                   CAST(sum(CAST(g AS DECIMAL(38,0)) * g) AS DECIMAL(38,0))
+                       AS s2
+            FROM gaps WHERE g IS NOT NULL
+            GROUP BY 1
+            HAVING count(g) >= 5
+        ), cls AS (
+            SELECT user_id, n,
+                   CASE WHEN 100 * (n * s2 - CAST(s1 AS DECIMAL(38,0)) * s1)
+                             <= CAST(s1 AS DECIMAL(38,0)) * s1
+                        THEN 'metronomic'
+                        WHEN 4 * (n * s2 - CAST(s1 AS DECIMAL(38,0)) * s1)
+                             <= CAST(s1 AS DECIMAL(38,0)) * s1
+                        THEN 'regular'
+                        ELSE 'organic' END AS cadence
+            FROM m
+        )
+        SELECT cadence,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(n) AS BIGINT) AS n_gaps,
+               min(user_id) AS example_user
+        FROM cls GROUP BY 1
+    """,
+    doc="Bot-cadence audit — the trust-and-safety screen: per user, the "
+        "coefficient of variation of inter-event gaps (exact integer "
+        "MICROSECONDS under a total order, users with ≥5 gaps); a human "
+        "clickstream is bursty (CV ≳ 1), scripted traffic is metronomic "
+        "(CV ≈ 0). Classes decide ENTIRELY in exact integer space via "
+        "CV² cross-multiplication (100·(nS2−S1²) ≤ S1² ⇔ CV ≤ 0.1 "
+        "'metronomic'; 4·… ⇔ CV ≤ 0.5 'regular'; else 'organic') — the "
+        "q_brand_abc_xyz discipline, no float boundary can flip a user. "
+        "Σg² rides decimal(38,0) (day-scale gaps are ~1e11 µs; squares "
+        "cross int64 within a handful of gaps). The fixture has no "
+        "scripted users, so the query PLANTS them deterministically "
+        "(negated ids, exact 60 s metronome and 40/80 s alternation — "
+        "CV 0 and 1/3 by construction), exercising all three classes "
+        "in both engines. Scale shape: the lag window and the per-user "
+        "moments share ONE user_id hash partitioning — one fact "
+        "shuffle; the class census is a map-side-combined count onto "
+        "≤3 rows; the plant is a 400-row bounded generator.",
+)
+def q_events_bot_regularity(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    # Deterministic cadence plants (negated ids — the E-EMB-LSH-HI
+    # convention, collision-free at any SF): the synthetic fixture has
+    # no scripted users, so without plants the two bot classes would be
+    # dead branches. 20x20 bounded range cross join, pure integer math.
+    u = spark.range(1, 21).select(F.col("id").alias("u"))
+    i = spark.range(0, 20).select(F.col("id").alias("i"))
+    planted = u.crossJoin(i).select(
+        (-F.col("u")).alias("user_id"),
+        (
+            F.lit(1_000_000_000_000)
+            + F.when(F.col("u") <= 10, F.col("i") * 60_000_000).otherwise(
+                F.expr("i div 2") * 120_000_000
+                + (F.col("i") % 2) * 40_000_000
+            )
+        ).cast("long").alias("us"),
+        (F.col("u") * 1000 + F.col("i")).cast("long").alias("event_id"),
+    )
+    stream = ev.select(
+        "user_id", F.unix_micros("ts").alias("us"), "event_id"
+    ).unionByName(planted)
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    g = (F.col("us") - F.lag("us").over(w)).alias("g")
+    gaps = stream.select("user_id", g).filter(F.col("g").isNotNull())
+    dec = "decimal(38,0)"
+    m = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("g").alias("n"),
+            F.sum("g").cast("long").alias("s1"),
+            F.sum(F.col("g").cast(dec) * F.col("g")).cast(dec).alias("s2"),
+        )
+        .filter(F.col("n") >= 5)
+    )
+    s1d = F.col("s1").cast(dec)
+    spread = F.col("n") * F.col("s2") - s1d * F.col("s1")
+    cls = m.select(
+        "user_id",
+        "n",
+        F.when(100 * spread <= s1d * F.col("s1"), "metronomic")
+        .when(4 * spread <= s1d * F.col("s1"), "regular")
+        .otherwise("organic")
+        .alias("cadence"),
+    )
+    return cls.groupBy("cadence").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n").cast("long").alias("n_gaps"),
+        F.min("user_id").alias("example_user"),
+    )
