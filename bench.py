@@ -253,6 +253,7 @@ HEADLINE = [
     "q_xml_validate",
     "q_brand_abc_xyz",
     "q_events_bot_regularity",
+    "q_join_asof_forward",
 ]
 
 

@@ -294,6 +294,64 @@ def q_join_asof(spark, sf_dir):
     )
 
 
+@register(
+    "q_join_asof_forward",
+    oracle="""
+        SELECT view_id, view_ts, user_id, purchase_id, purchase_ts
+        FROM (
+            SELECT v.event_id AS view_id,
+                   date_trunc('second', v.ts) AS view_ts,
+                   v.user_id AS user_id,
+                   p.event_id AS purchase_id,
+                   date_trunc('second', p.ts) AS purchase_ts,
+                   row_number() OVER (PARTITION BY v.event_id
+                                      ORDER BY p.ts, p.event_id) AS rn
+            FROM events v JOIN events p
+              ON v.user_id = p.user_id
+             AND v.event_type = 'view' AND p.event_type = 'purchase'
+             AND p.ts >= v.ts
+        ) WHERE rn = 1
+    """,
+    doc="FORWARD as-of join — q_join_asof's time-mirror: the EARLIEST "
+        "purchase at-or-after each view per user (next-fill-after-order "
+        "in market-data terms; did-this-view-convert in clickstream "
+        "terms). Same window formulation with the ascending (ts, "
+        "event_id) order controlling ties; views with no later purchase "
+        "drop (inner semantics, matching the backward key). At scale "
+        "the plan partitions once by the probe key, identical to the "
+        "backward variant.",
+)
+def q_join_asof_forward(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+        F.col("user_id").alias("user_id"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("user_id").alias("p_user"),
+    )
+    w = Window.partitionBy("view_id").orderBy("p_ts", "purchase_id")
+    return (
+        v.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("v_ts")),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "view_id",
+            ts_sec("v_ts").alias("view_ts"),
+            "user_id",
+            "purchase_id",
+            ts_sec("p_ts").alias("purchase_ts"),
+        )
+    )
+
+
 _SALT_N = 8
 
 _SALTED_SQL = """
