@@ -254,6 +254,7 @@ HEADLINE = [
     "q_brand_abc_xyz",
     "q_events_bot_regularity",
     "q_join_asof_forward",
+    "q_text_hash_features",
 ]
 
 

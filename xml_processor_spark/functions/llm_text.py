@@ -1607,3 +1607,68 @@ def q_quality_calibration(spark, sf_dir):
         F.round(pos_rate, 6).alias("pos_rate"),
         F.round(mean_score - pos_rate, 6).alias("calib_gap"),
     )
+
+
+_HF_DIM = 64  # hashed feature dimensionality
+
+
+@register(
+    "q_text_hash_features",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ), b AS (
+            SELECT doc_id,
+                   {phash60_sql('tok')} % {_HF_DIM} AS bucket,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM t GROUP BY 1, 2
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS nnz,
+               CAST(sum(c) AS BIGINT) AS l1,
+               CAST(sum(c * c) AS BIGINT) AS l2sq,
+               md5(string_agg(CAST(bucket AS VARCHAR) || ':'
+                              || CAST(c AS VARCHAR), ',' ORDER BY bucket))
+                   AS vec_digest
+        FROM b GROUP BY doc_id
+    """,
+    origin="LLM",
+    doc=f"Hashing-trick featurization — the CountVectorizer/Vowpal "
+        f"doc-vector every classical text classifier consumes: tokens "
+        f"hash into {_HF_DIM} buckets (portable md5-derived phash60, the "
+        "cross-engine hash family — Spark's xxhash64 has no DuckDB "
+        "twin), per-doc bucket counts summarized as nnz / L1 / exact "
+        "integer L2² plus an md5 digest of the canonical "
+        "'bucket:count' vector string (sorted by bucket — the "
+        "E-MM-IMAGE fixed-point-digest pattern, because the comparator "
+        "cannot hash an array column). A digest match proves the ENTIRE "
+        "sparse vector matches, not just its moments. Scale shape: "
+        "explode → (doc, bucket) map-side-combined count → per-doc "
+        "rollup with a sort_array'd collect bounded by the feature "
+        f"dimension ({_HF_DIM} entries max per doc) — no join, two "
+        "keyed shuffles.",
+)
+def q_text_hash_features(spark, sf_dir):
+    d = widen(table(spark, sf_dir, "documents"))
+    t = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    b = (
+        t.select("doc_id", (phash60("tok") % _HF_DIM).alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    vec_str = F.concat_ws(
+        ",",
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("bucket", "c"))),
+            lambda s: F.concat(
+                s["bucket"].cast("string"), F.lit(":"), s["c"].cast("string")
+            ),
+        ),
+    )
+    return b.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("nnz"),
+        F.sum("c").cast("long").alias("l1"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("l2sq"),
+        F.md5(vec_str).alias("vec_digest"),
+    )
