@@ -255,6 +255,7 @@ HEADLINE = [
     "q_events_bot_regularity",
     "q_join_asof_forward",
     "q_text_hash_features",
+    "q_corpus_report",
 ]
 
 

@@ -417,3 +417,86 @@ def q_source_vocab_overlap(spark, sf_dir):
             ).alias("jaccard"),
         )
     )
+
+
+@register(
+    "q_corpus_report",
+    oracle="""
+        WITH g AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+                   CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                   CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_uniq,
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                       AS total_tokens,
+                   CAST(sum(length(text)) AS BIGINT) AS total_chars
+            FROM documents
+        ), l AS (
+            SELECT lang, CAST(count(*) AS BIGINT) AS c,
+                   row_number() OVER (ORDER BY count(*) DESC, lang) AS rn
+            FROM documents GROUP BY lang
+        )
+        SELECT g.n_docs, g.n_sources, g.n_langs, g.total_tokens,
+               g.total_chars,
+               round(CAST(g.total_tokens AS DOUBLE)
+                     / CAST(g.n_docs AS DOUBLE), 6) AS mean_doc_tokens,
+               round(1.0 - CAST(g.n_uniq AS DOUBLE)
+                     / CAST(g.n_docs AS DOUBLE), 6) AS exact_dup_rate,
+               l.lang AS top_lang,
+               round(CAST(l.c AS DOUBLE) / CAST(g.n_docs AS DOUBLE), 6)
+                   AS top_lang_share
+        FROM g CROSS JOIN (SELECT lang, c FROM l WHERE rn = 1) l
+    """,
+    origin="LLM",
+    doc="Corpus datasheet — the one-row health report (Datasheets for "
+        "Datasets / DataComp reporting convention) a pipeline publishes "
+        "with every data drop: document/source/language cardinalities, "
+        "exact token and char volumes, mean document length, the "
+        "md5-exact duplicate rate, and the dominant language with its "
+        "share ((count DESC, lang) tie-break — deterministic on any "
+        "engine). Complements q_corpus_funnel (stage attrition) with "
+        "the absolute inventory numbers. Scale shape: ONE corpus scan "
+        "feeds a single global multi-distinct aggregate (Spark expands "
+        "multi-distinct into one Expand + two-level aggregate — no "
+        "extra scan) plus a |langs|-row sub-aggregate; both fold to "
+        "1-row broadcasts.",
+)
+def q_corpus_report(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    g = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct(F.md5("text")).alias("n_uniq"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias(
+            "total_tokens"
+        ),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+    )
+    w = Window.orderBy(F.col("c").desc(), "lang")
+    top = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("lang").alias("top_lang"), F.col("c").alias("tc"))
+    )
+    return g.crossJoin(F.broadcast(top)).select(
+        "n_docs",
+        "n_sources",
+        "n_langs",
+        "total_tokens",
+        "total_chars",
+        r6(
+            F.col("total_tokens").cast("double")
+            / F.col("n_docs").cast("double")
+        ).alias("mean_doc_tokens"),
+        r6(
+            1.0
+            - F.col("n_uniq").cast("double") / F.col("n_docs").cast("double")
+        ).alias("exact_dup_rate"),
+        "top_lang",
+        r6(
+            F.col("tc").cast("double") / F.col("n_docs").cast("double")
+        ).alias("top_lang_share"),
+    )
