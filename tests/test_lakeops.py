@@ -158,17 +158,12 @@ def test_compact_exec_one_file_per_bin(spark, queries):
     ordered = sorted(rows, key=lambda r: r.target_file)
     for a, b in zip(ordered, ordered[1:]):
         assert a.shard_max <= b.shard_min
-    # Physical layout: re-run the write via the registered fn is
-    # side-effectful; instead assert the MOST RECENT compacted dir of
-    # this session has one parquet data file per bin directory.
-    import tempfile
-    base = tempfile.gettempdir()
-    cands = sorted(
-        glob.glob(os.path.join(base, "compact_*", "compacted")),
-        key=os.path.getmtime,
-    )
-    assert cands, "no compacted output directory found"
-    newest = cands[-1]
+    # Physical layout: the executor writes to a deterministic
+    # per-(process, sf_dir) path (ADVICE r9 — no mtime-glob races under
+    # parallel workers, no per-invocation /tmp leak).
+    from xml_processor_spark.operators.lakeops import _compact_out_dir
+    newest = _compact_out_dir(SF_SMALL)
+    assert os.path.isdir(newest), "no compacted output directory found"
     bin_dirs = glob.glob(os.path.join(newest, "target_file=*"))
     assert len(bin_dirs) == _COMPACT_BINS
     for d in bin_dirs:

@@ -63,7 +63,7 @@ _TEMP_ALPHA = 0.3
             FROM documents GROUP BY 1, 2
         ), pw AS (
             SELECT source, lang, s,
-                   CAST(round(pow(CAST(s AS DOUBLE), {_TEMP_ALPHA})
+                   CAST(round(exp({_TEMP_ALPHA} * ln(CAST(s AS DOUBLE)))
                               * 1000000) AS BIGINT) AS p_e6
             FROM dom
         ), tot AS (
@@ -87,8 +87,12 @@ _TEMP_ALPHA = 0.3
         "the raw corpus share s_d/Σs, the temperature-flattened share "
         "s_d^α/Σs^α, and the resulting up/down-sampling boost — the "
         "baseline mixture q_domain_unimax's capped water-filling is the "
-        "published improvement over. Determinism: the only "
-        "transcendental, pow(s, α), is fixed-pointed to 1e-6 PER DOMAIN "
+        "published improvement over. Determinism: s^α is evaluated as "
+        "exp(α·ln s) — one shared formulation BOTH engines compute with "
+        "the same two libm-grade calls (ADVICE r9: JVM Math.pow and "
+        "DuckDB pow need not agree to the ulp near .5 fixed-point "
+        "boundaries; the repo's other ln-based keys pin exp/ln parity) — "
+        "then fixed-pointed to 1e-6 PER DOMAIN "
         "before the total folds (the DSIR lr_e6 pattern), so Σs^α is an "
         "exact integer sum — order-independent on any partitioning — and "
         "every 6-dp output is one division of exact integers. Scale "
@@ -103,7 +107,8 @@ def q_domain_temperature(spark, sf_dir):
     pw = dom.withColumn(
         "p_e6",
         F.round(
-            F.pow(F.col("s").cast("double"), F.lit(_TEMP_ALPHA)) * 1_000_000,
+            F.exp(F.lit(_TEMP_ALPHA) * F.log(F.col("s").cast("double")))
+            * 1_000_000,
             0,
         ).cast("long"),
     )

@@ -335,7 +335,10 @@ def q_docs_length_drift(spark, sf_dir):
         "'metronomic'; 4·… ⇔ CV ≤ 0.5 'regular'; else 'organic') — the "
         "q_brand_abc_xyz discipline, no float boundary can flip a user. "
         "Σg² rides decimal(38,0) (day-scale gaps are ~1e11 µs; squares "
-        "cross int64 within a handful of gaps). The fixture has no "
+        "cross int64 within a handful of gaps); if a product ever "
+        "exceeds precision 38 the query RAISES (assert_true guard, "
+        "ADVICE r9) instead of silently classifying 'organic' where "
+        "DuckDB would error. The fixture has no "
         "scripted users, so the query PLANTS them deterministically "
         "(negated ids, exact 60 s metronome and 40/80 s alternation — "
         "CV 0 and 1/3 by construction), exercising all three classes "
@@ -383,10 +386,26 @@ def q_events_bot_regularity(spark, sf_dir):
     )
     s1d = F.col("s1").cast(dec)
     spread = F.col("n") * F.col("s2") - s1d * F.col("s1")
+    # ADVICE r9: non-ANSI Spark yields NULL when a decimal(38,0) product
+    # exceeds precision 38 — both WHEN branches would then be false and the
+    # user silently lands in 'organic' while DuckDB (which errors on decimal
+    # overflow) diverges. assert_true makes Spark fail loudly at the same
+    # point DuckDB would: it returns NULL when the operands are in range and
+    # raises otherwise; anchoring it in the first WHEN keeps it unprunable.
+    # s1 is int64 so s1² ≤ 8.6e37 < 1e38 can never overflow; the checked
+    # terms are Σg² (the agg itself) and the ×100/×n products.
+    chk = F.assert_true(
+        (100 * spread).isNotNull(),
+        F.lit(
+            "q_events_bot_regularity: decimal(38,0) overflow in gap "
+            "moments (n·Σg² or 100·spread exceeds precision 38)"
+        ),
+    )
     cls = m.select(
         "user_id",
         "n",
-        F.when(100 * spread <= s1d * F.col("s1"), "metronomic")
+        F.when(chk.isNull() & (100 * spread <= s1d * F.col("s1")),
+               "metronomic")
         .when(4 * spread <= s1d * F.col("s1"), "regular")
         .otherwise("organic")
         .alias("cadence"),

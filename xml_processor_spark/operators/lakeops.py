@@ -513,6 +513,27 @@ def q_compaction_plan(spark, sf_dir):
     )
 
 
+def _compact_out_dir(sf_dir):
+    """Deterministic per-process output path for the compaction rewrite.
+
+    ADVICE r9: a fresh ``mkdtemp`` per invocation leaked a parquet copy of
+    lineitem every verify/bench iteration, and the test rediscovered the
+    output by mtime-sorted globbing of shared ``/tmp`` — racy under
+    parallel pytest workers. One path per (process, sf_dir) is stable for
+    the test to import, is reused (``overwrite`` mode cleans it) across
+    repeated invocations in a session, and cannot collide across
+    concurrent sessions (pid-keyed).
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    return os.path.join(
+        tempfile.gettempdir(), f"xps_compact_{os.getpid()}_{tag}", "compacted"
+    )
+
+
 @register(
     "E-COMPACT-EXEC",
     oracle=f"""
@@ -562,15 +583,12 @@ def q_compaction_plan(spark, sf_dir):
         "plan side is calendar-bounded at any corpus size.",
 )
 def e_compact_exec(spark, sf_dir):
-    import os
-    import tempfile
-
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_quantity",
         F.date_format("l_shipdate", "yyyy-MM").alias("shard"),
     )
     plan = q_compaction_plan(spark, sf_dir).select("shard", "target_file")
-    out = os.path.join(tempfile.mkdtemp(prefix="compact_"), "compacted")
+    out = _compact_out_dir(sf_dir)
     (
         li.join(F.broadcast(plan), "shard")
         .repartition("target_file")

@@ -219,6 +219,7 @@ def e_pysource_stream(spark, sf_dir):
         .start()
     )
     try:
+        got = 0
         deadline = time.time() + 300
         while time.time() < deadline:
             q.processAllAvailable()
@@ -228,6 +229,13 @@ def e_pysource_stream(spark, sf_dir):
             if got >= _STREAM_ROWS:
                 break
             time.sleep(0.5)
+        else:
+            # ADVICE r9: a silent partial drain surfaced later as an opaque
+            # oracle hash mismatch; fail loudly at the point of timeout.
+            raise RuntimeError(
+                f"E-PYSOURCE-STREAM: drain deadline hit with {got}/"
+                f"{_STREAM_ROWS} rows in memory sink {sink!r}"
+            )
     finally:
         q.stop()
     return spark.table(sink)
