@@ -17,6 +17,8 @@ every operator here:
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -927,14 +929,16 @@ def q_events_cusum(spark, sf_dir):
         "sequential (NOT associative — no shuffle-parallel form exists), "
         "so the house discipline applies: the FACT scan collapses "
         "map-side to the calendar-bounded |days| series (~2.4k rows at "
-        "ANY SF), and only that bounded series is folded, as a "
-        "sort_array + aggregate() higher-order fold on ONE row — O(days) "
-        "driver-free work, same class as the KS/CUSUM bounded windows. "
-        "Determinism: inputs are exact integer cents; both engines "
-        "evaluate the textually identical recurrence in the identical "
-        "sequential order (Spark HOF fold / DuckDB recursive CTE), so "
-        "the doubles agree bit-for-bit and 6-dp rounding is decorative. "
-        "Init is declared: l_1 = y_1, b_1 = 0.",
+        "ANY SF), and only that bounded series runs the recurrence — one "
+        "Arrow-batched applyInPandas group doing a strictly O(days) "
+        "sequential pass (VERDICT r9 #4: the previous HOF fold grew its "
+        "trajectory arrays via concat per step — O(days²) memcpy). "
+        "Determinism: inputs are exact integer cents; CPython floats ARE "
+        "IEEE doubles and the recurrence is written in the same "
+        "operation order as DuckDB's recursive CTE, so every step is the "
+        "same sequence of correctly-rounded *, +, - ops → bit-identical "
+        "trajectories; 6-dp rounding stays JVM-side (F.round == DuckDB "
+        "round on these values). Init is declared: l_1 = y_1, b_1 = 0.",
 )
 def q_events_holt(spark, sf_dir):
     ev = table(spark, sf_dir, "events")
@@ -943,57 +947,41 @@ def q_events_holt(spark, sf_dir):
         .groupBy(F.date_trunc("day", F.col("ts")).cast("date").alias("d"))
         .agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("vc"))
     )
-    rows = daily.agg(
-        F.sort_array(F.collect_list(F.struct("d", "vc"))).alias("rows")
+
+    def _holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("d").reset_index(drop=True)
+        n = len(pdf)
+        if n == 0:
+            return pd.DataFrame(
+                {"d": pdf["d"], "level": [], "trend": []}
+            )
+        vc = pdf["vc"].to_numpy(np.int64)
+        lvl = np.empty(n, dtype=np.float64)
+        trd = np.empty(n, dtype=np.float64)
+        # Same op order as the oracle's recursive CTE: each step is the
+        # identical sequence of IEEE-754 ops on exact-cent inputs.
+        l = float(vc[0]) / 100.0
+        b = 0.0
+        lvl[0], trd[0] = l, b
+        for t in range(1, n):
+            y = float(vc[t]) / 100.0
+            nl = 0.5 * y + 0.5 * (l + b)
+            nb = 0.5 * (nl - l) + 0.5 * b
+            l, b = nl, nb
+            lvl[t], trd[t] = l, b
+        return pd.DataFrame({"d": pdf["d"], "level": lvl, "trend": trd})
+
+    raw = (
+        daily.withColumn("_g", F.lit(0))
+        .groupBy("_g")
+        .applyInPandas(_holt, "d date, level double, trend double")
     )
-    # Fold shape (ADVICE r8): the accumulator carries the running (l, b)
-    # as SCALAR struct fields plus two primitive double arrays of the
-    # trajectory. The previous array-of-struct accumulator re-derived
-    # l_t from element_at(acc, -1) four times per step and copied
-    # (date, double, double) structs quadratically; here l_t is plain
-    # scalar arithmetic on acc.l/acc.b (no array probe) and the only
-    # quadratic cost left is the concat memcpy of flat double arrays —
-    # O(days²) bytes ≈ 46 MB at the ~2.4k-day calendar bound, microsecond
-    # territory. Dates never enter the fold: they are zipped back by
-    # position afterwards (sort_array fixed the order).
-    hw = rows.select(
-        "rows",
-        F.expr("""
-            aggregate(
-                slice(rows, 2, greatest(size(rows) - 1, 0)),
-                named_struct(
-                    'l', CAST(rows[0].vc AS DOUBLE) / 100.0,
-                    'b', CAST(0.0 AS DOUBLE),
-                    'ls', array(CAST(rows[0].vc AS DOUBLE) / 100.0),
-                    'bs', array(CAST(0.0 AS DOUBLE))),
-                (acc, x) -> named_struct(
-                    'l', 0.5 * (CAST(x.vc AS DOUBLE) / 100.0)
-                         + 0.5 * (acc.l + acc.b),
-                    'b', 0.5 * ((0.5 * (CAST(x.vc AS DOUBLE) / 100.0)
-                                 + 0.5 * (acc.l + acc.b)) - acc.l)
-                         + 0.5 * acc.b,
-                    'ls', concat(acc.ls, array(
-                        0.5 * (CAST(x.vc AS DOUBLE) / 100.0)
-                        + 0.5 * (acc.l + acc.b))),
-                    'bs', concat(acc.bs, array(
-                        0.5 * ((0.5 * (CAST(x.vc AS DOUBLE) / 100.0)
-                                + 0.5 * (acc.l + acc.b)) - acc.l)
-                        + 0.5 * acc.b)))
-            ) AS hw
-        """),
-    )
-    return (
-        hw.select(
-            F.posexplode(F.expr("transform(rows, r -> r.d)")).alias(
-                "i", "d"
-            ),
-            "hw",
-        )
-        .select(
-            "d",
-            F.round(F.expr("hw.ls[i]"), 6).alias("level"),
-            F.round(F.expr("hw.bs[i]"), 6).alias("trend"),
-        )
+    return raw.select(
+        "d",
+        F.round("level", 6).alias("level"),
+        F.round("trend", 6).alias("trend"),
     )
 
 
