@@ -81,25 +81,36 @@ def test_mm_image_schema_and_determinism(spark, queries):
 
 
 def test_mm_image_thumb_is_average_pool_of_stub(spark, queries):
-    from xml_processor_spark.sources.multimodal import (
-        _avg_pool,
-        _image_decode_stub,
-    )
-
+    """Independent recompute of the pooled stats from first principles —
+    a LOOP-based pool over the stub raster (not the vectorized bincount
+    the engine uses), so an indexing bug in either cannot self-confirm."""
     import hashlib as _hl
+
+    from xml_processor_spark.sources.multimodal import _image_decode_stub
 
     got = queries["E-MM-IMAGE"](spark, SF_SMALL).toPandas()
     docs = _docs_pdf(spark)
     merged = got.merge(docs, on="doc_id").head(10)
     for row in merged.itertuples():
         img = _image_decode_stub(row.text.encode())
-        thumb = np.round(_avg_pool(img, 8, 8), 3)
-        assert row.height == img.shape[0] and row.width == img.shape[1]
-        assert row.thumb_mean == round(float(thumb.mean()), 6)
-        assert row.thumb_min == float(thumb.min())
-        assert row.thumb_max == float(thumb.max())
-        fixed = np.rint(thumb.ravel() * 1000).astype(np.int64)
-        assert row.thumb_digest == _hl.md5(fixed.tobytes()).hexdigest()
+        h, w = img.shape
+        assert row.height == h and row.width == w
+        sums = np.zeros((8, 8), dtype=np.int64)
+        cnts = np.zeros((8, 8), dtype=np.int64)
+        for r in range(h):
+            for c in range(w):
+                sums[(r * 8) // h, (c * 8) // w] += img[r, c]
+                cnts[(r * 8) // h, (c * 8) // w] += 1
+        assert (cnts > 0).all()
+        ratios = sums / cnts
+        assert row.thumb_mean == round(int(img.sum()) / (h * w), 6)
+        assert row.thumb_min == round(float(ratios.min()), 6)
+        assert row.thumb_max == round(float(ratios.max()), 6)
+        parts = ":".join(
+            f"{sums[i, j]}/{cnts[i, j]}"
+            for i in range(8) for j in range(8)
+        )
+        assert row.thumb_digest == _hl.md5(parts.encode()).hexdigest()
 
 
 def test_mm_frames_cardinality_and_signatures(spark, queries):

@@ -55,3 +55,4 @@ def load_all() -> None:
     from xml_processor_spark.sources import file_tracking  # noqa: F401
     from xml_processor_spark.sources import roundtrip  # noqa: F401
     from xml_processor_spark.sources import pysource  # noqa: F401
+    from xml_processor_spark.plans import pipeline  # noqa: F401

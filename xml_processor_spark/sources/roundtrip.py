@@ -239,3 +239,75 @@ def q_src_hive_partitioned(spark, sf_dir):
     # Partition columns come back last and as read-inferred strings;
     # reassert the source column order and lang's string type (it is one).
     return out.select(*_HIVE_COLS)
+
+
+@register(
+    "q_src_xml_encoding",
+    oracle="""
+        SELECT c_custkey AS key, c_name AS name,
+               'Zürich-' || CAST(c_custkey AS VARCHAR) AS city,
+               c_acctbal AS bal
+        FROM customer WHERE c_custkey % 100 = 0
+    """,
+    origin="REF",
+    doc="XMLReader/XMLParser `encoding` knob (VERDICT r9 missing #2: the "
+        "[P] XMLParser config takes an encoding; every other XML path "
+        "here is UTF-8): write customer-derived XML FILES AS RAW "
+        "ISO-8859-1 BYTES — accented city names (Zürich-<key>) exercise "
+        "codepoints whose latin-1 encoding (0xFC) is ILLEGAL UTF-8, so a "
+        "reader that ignored the declared encoding fails loudly rather "
+        "than silently mojibakes (probed: without the XML declaration "
+        "the UTF-8 record reader rejects the file) — then read them "
+        "back with the native XML source's charset option + per-file "
+        "`<?xml encoding=\"ISO-8859-1\"?>` declaration (the layer Hadoop "
+        "text splitting honors), typed LONG/STRING/DOUBLE. The oracle "
+        "recomputes the accented strings in UTF-8 SQL, so a hash match "
+        "proves decode → codepoint mapping → type conversion end to "
+        "end. Fixture generation is a bounded driver-side write "
+        "(|customer|/100 rows, the E-MULTIMODAL pattern); the READ — "
+        "the operator under test — is scan-parallel over 4 bucket "
+        "files, no shuffle. Balances embed as exact-cent strings "
+        "(sign-aware), never float repr.",
+)
+def q_src_xml_encoding(spark, sf_dir):
+    import shutil
+
+    rows = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 100 == 0)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+        )
+        .collect()
+    )
+    path = artifact_dir(sf_dir, "xml-latin1")
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    buckets: dict[int, list] = {}
+    for r in rows:
+        buckets.setdefault(r.c_custkey % 4, []).append(r)
+    for b, rs in buckets.items():
+        recs = []
+        for r in sorted(rs, key=lambda x: x.c_custkey):
+            a = abs(r.cents)
+            bal = ("-" if r.cents < 0 else "") + f"{a // 100}.{a % 100:02d}"
+            recs.append(
+                f"<cust><key>{r.c_custkey}</key><name>{r.c_name}</name>"
+                f"<city>Zürich-{r.c_custkey}</city><bal>{bal}</bal></cust>"
+            )
+        doc = (
+            '<?xml version="1.0" encoding="ISO-8859-1"?>\n<custs>'
+            + "".join(recs)
+            + "</custs>"
+        )
+        with open(os.path.join(path, f"part-{b}.xml"), "wb") as f:
+            f.write(doc.encode("iso-8859-1"))
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "cust")
+        .option("charset", "ISO-8859-1")
+        .schema("key LONG, name STRING, city STRING, bal DOUBLE")
+        .load(path)
+    )
