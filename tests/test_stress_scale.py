@@ -173,6 +173,52 @@ def stress_dir():
     return STRESS_DIR
 
 
+# 16x embeddings corpus (VERDICT r9 #8: raise the ANN/LSH stress multiplier
+# so the recall/candidate-fraction geometry pins stay honest as fixtures
+# grow). Layout keeps the 4x corpus as a PREFIX — ids 0..7799 unique,
+# 7800..7999 the 200 injected cos~0.9998 dups of 0..199, 8000..31999 more
+# uniques — so truth pair ids are unchanged and the τ=0.35 family (whose
+# candidate volume is a documented ~0.53·n²/2 geometry floor, not a scale
+# path) can keep pinning at the 4x slice.
+STRESS16_DIR = "/tmp/xps_stress16x"
+_N_VEC_16X = 32_000
+
+
+@pytest.fixture(scope="module")
+def stress16_dir():
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    dst = os.path.join(STRESS16_DIR, "embeddings.parquet")
+    if not os.path.exists(dst):
+        os.makedirs(STRESS16_DIR, exist_ok=True)
+        rng = np.random.default_rng(7)
+        base = rng.standard_normal((_N_VEC_16X - _N_DUP_VECS, _EMB_DIM))
+        dups = base[:_N_DUP_VECS] + 0.02 * rng.standard_normal(
+            (_N_DUP_VECS, _EMB_DIM)
+        )
+        mat = np.vstack(
+            [base[:_N_UNIQ_VECS], dups, base[_N_UNIQ_VECS:]]
+        ).astype(np.float32)
+        m = len(mat)
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(range(m), type=pa.int64()),
+                    "embedding": pa.array(
+                        [row for row in mat], type=pa.list_(pa.float32())
+                    ),
+                    "label": pa.array(
+                        (np.arange(m) % 4).astype(np.int32),
+                        type=pa.int32(),
+                    ),
+                }
+            ),
+            dst,
+        )
+    return STRESS16_DIR
+
+
 @pytest.mark.slow
 def test_minhash_lsh_bounds_hold_at_10x(spark, queries, stress_dir):
     """Recall >= 0.99 on injected J=0.983 pairs AND candidate fraction
@@ -230,43 +276,43 @@ def test_dedup_spans_exact_at_10x(spark, queries, stress_dir):
 
 
 @pytest.mark.slow
-def test_emb_lsh_hi_bounds_hold_at_4x(spark, queries, stress_dir):
-    """The realistic-τ scale path (VERDICT r6 #3): at the declared
-    operating point (τ=0.9, 16-bit x 32-band) the candidate fraction
+def test_emb_lsh_hi_bounds_hold_at_16x(spark, queries, stress16_dir):
+    """The realistic-τ scale path (VERDICT r6 #3; multiplier 4x → 16x per
+    VERDICT r9 #8): at the declared operating point (τ=0.9, 16-bit x
+    32-band, r10 integer-exact md5 plane family) the candidate fraction
     must be < 0.01 (theory: 32·2^-16 ≈ 5e-4 for random pairs — three
     orders tighter than the τ=0.35 family's 0.53 geometry floor) and
     recall ≥ 0.9 over the known-by-construction truth: the query's own
     planted pairs (cos ≈ 0.978, every 5th vector, negated ids) plus the
-    stress corpus's 200 injected cos~0.9998 dups — both far enough above
-    τ that band-survival probability is ≈ 1. Runs on the 8k-vector 4x
-    corpus → 9.6k rows after planting → 4.6e7 possible pairs."""
+    corpus's 200 injected cos~0.9998 dups — both far enough above τ
+    that band-survival probability is ≈ 1. Runs on the 32k-vector 16x
+    corpus → 38.4k rows after planting → 7.4e8 possible pairs."""
     from xml_processor_spark.functions.llm_dedup import (
         _EMB_HI_BANDS,
         _EMB_HI_BITS,
-        _EMB_SEED,
         _emb_hi_corpus,
-        _sign_lsh_pairs,
+        _int_lsh_pairs,
     )
 
     out = (
-        queries["E-EMB-LSH-HI"](spark, stress_dir)
+        queries["E-EMB-LSH-HI"](spark, stress16_dir)
         .select("id_a", "id_b")
         .toPandas()
     )
     got = set(zip(out["id_a"], out["id_b"]))
-    m = _N_UNIQ_VECS + _N_DUP_VECS
+    m = _N_VEC_16X
     planted = {(-(i + 1), i) for i in range(0, m, 5)}
     injected = {(i, _N_UNIQ_VECS + i) for i in range(_N_DUP_VECS)}
     truth = planted | injected
     recall = len(truth & got) / len(truth)
-    corpus = _emb_hi_corpus(spark, stress_dir)
+    corpus = _emb_hi_corpus(spark, stress16_dir)
     n = m + len(planted)
     frac = (
-        _sign_lsh_pairs(corpus, _EMB_HI_BANDS, _EMB_HI_BITS, _EMB_SEED).count()
+        _int_lsh_pairs(corpus, _EMB_HI_BANDS, _EMB_HI_BITS).count()
         / (n * (n - 1) / 2)
     )
-    assert recall >= 0.9, f"emb-lsh-hi recall {recall:.4f} at 4x corpus"
-    assert frac < 0.01, f"emb-lsh-hi candidate fraction {frac:.2e} at 4x corpus"
+    assert recall >= 0.9, f"emb-lsh-hi recall {recall:.4f} at 16x corpus"
+    assert frac < 0.01, f"emb-lsh-hi candidate fraction {frac:.2e} at 16x"
 
 
 @pytest.mark.slow

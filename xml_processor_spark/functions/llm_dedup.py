@@ -772,13 +772,23 @@ def e_emb_lsh(spark, sf_dir):
 # with p = 32 x 0.5^16 ≈ 4.9e-4 — a ~1000x candidate cut vs the τ=0.35
 # family. The fixture has no pairs above 0.52, so the query PLANTS
 # deterministic near-dups (every 5th vector, coordinate-wise
-# (1 + 0.3·sin(vec_id + i)) scaling → cos ≈ 0.978) with negated ids —
-# ground truth by construction, no quadratic oracle.
+# (1 + 0.3·u) scaling with an integer-mixed u ∈ [-1, 1]) with negated
+# ids — ground truth by construction, no quadratic oracle.
+#
+# r10 (VERDICT r9 #3): the whole path is now INTEGER-EXACT so DuckDB can
+# replay it — the perturbation mixes integers instead of sin(); the
+# hyperplanes are md5-derived integer vectors in [-1000, 1000] (the
+# E-MULTIMODAL hex-char trick) instead of seeded Mersenne-Twister
+# gaussians; embeddings fixed-point to 1e-6 BEFORE projection, so every
+# sign decision is the sign of an exact int64 sum (order-independent —
+# no last-ulp band flips possible in either engine); and the rescore
+# cosine divides exact integer dot/norms (all < 2^53). Hash-checked.
 _EMB_HI_TAU = 0.9
 _EMB_HI_BANDS = 32
 _EMB_HI_BITS = 16
 _EMB_HI_AMP = 0.3
 _EMB_HI_EVERY = 5
+_EMB_HI_MOD = 2001  # integer mix range for the plant factor / planes
 
 
 def _emb_hi_corpus(spark, sf_dir):
@@ -786,46 +796,267 @@ def _emb_hi_corpus(spark, sf_dir):
 
     Clone ids are -(vec_id+1): negation can never collide with a real id
     at any SF (the q_snapshot_diff lesson); +1 keeps vec_id=0 distinct.
-    The perturbation is JVM-side deterministic math — no rand()."""
+    The perturbation factor is 1 + 0.3·(m-1000)/1000 with
+    m = (vec_id·31 + i·17) mod 2001 — pure int64 mixing + one exact
+    division, identical in both engines (sin() was the one oracle
+    blocker, ADVICE/VERDICT r9)."""
     e = widen(table(spark, sf_dir, "embeddings")).select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias(
             "embedding"
         ),
     )
+    half = (_EMB_HI_MOD - 1) // 2
     pert = F.transform(
         "embedding",
         lambda x, i: x
         * (
             F.lit(1.0)
             + F.lit(_EMB_HI_AMP)
-            * F.sin(F.col("vec_id").cast("double") + i.cast("double"))
+            * (
+                ((F.col("vec_id") * 31 + i * 17) % _EMB_HI_MOD - half)
+                .cast("double")
+                / float(half)
+            )
         ),
     )
-    dups = e.filter(F.col("vec_id") % _EMB_HI_EVERY == 0).select(
-        (-(F.col("vec_id") + 1)).alias("vec_id"), pert.alias("embedding")
+    # Two-step select on purpose: PySpark 4 resolves LATERAL column
+    # aliases in DataFrame.select, so putting the negated alias before
+    # `pert` makes the lambda's F.col("vec_id") silently capture the NEW
+    # id (probed; found by the r10 hash gate). Perturb against the source
+    # id first, then negate.
+    dups = (
+        e.filter(F.col("vec_id") % _EMB_HI_EVERY == 0)
+        .select("vec_id", pert.alias("embedding"))
+        .select((-(F.col("vec_id") + 1)).alias("vec_id"), "embedding")
     )
     return e.unionByName(dups)
 
 
+_INT_PLANE_CACHE: dict = {}
+
+
+def _int_planes(dim: int, bands: int, band_bits: int):
+    """md5-derived integer hyperplanes, identical in any engine.
+
+    p[d, k] = (ord(h[0])·4096 + ord(h[1])·256 + ord(h[2])·16 + ord(h[3]))
+    mod 2001 - 1000 with h = md5(f"{d}:{k}") hex chars — the same
+    string/ascii arithmetic DuckDB computes with md5()/ascii()/substring()
+    (the E-MULTIMODAL pattern). Uniform-ish in [-1000, 1000]: a symmetric
+    family is all sign-LSH needs. Cached per (dim, planes) — 32k md5
+    calls once per process, never per batch."""
+    import hashlib
+
+    import numpy as np
+
+    key = (dim, bands * band_bits)
+    got = _INT_PLANE_CACHE.get(key)
+    if got is None:
+        n = bands * band_bits
+        p = np.empty((dim, n), dtype=np.int64)
+        for d in range(dim):
+            for k in range(n):
+                h = hashlib.md5(f"{d}:{k}".encode()).hexdigest()
+                p[d, k] = (
+                    ord(h[0]) * 4096
+                    + ord(h[1]) * 256
+                    + ord(h[2]) * 16
+                    + ord(h[3])
+                ) % _EMB_HI_MOD - (_EMB_HI_MOD - 1) // 2
+        _INT_PLANE_CACHE[key] = got = p
+    return got
+
+
+def _int_band_code_udf(bands: int, band_bits: int):
+    """Integer-exact sign-LSH band codes: embedding -> array<int>.
+
+    Embeddings fixed-point to 1e-6 (floor(x·1e6 + 0.5) — floor of the
+    same double both engines compute, so no rounding-mode hazard), then
+    one int64 matmul against the md5 plane family: every projection is
+    an exact integer, every sign deterministic."""
+
+    @F.pandas_udf("array<int>")
+    def band_codes(batch: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(batch) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.stack([np.asarray(v, dtype="float64") for v in batch])
+        ve6 = np.floor(mat * 1_000_000 + 0.5).astype(np.int64)
+        planes = _int_planes(mat.shape[1], bands, band_bits)
+        bits = (ve6 @ planes) > 0
+        weights = 1 << np.arange(band_bits - 1, -1, -1)
+        codes = bits.reshape(len(mat), bands, band_bits) @ weights
+        return pd.Series([row.astype("int32").tolist() for row in codes])
+
+    return band_codes
+
+
+def _int_lsh_pairs(vecs, bands: int, band_bits: int):
+    """Candidate (id_a, id_b) pairs from the integer-exact band family —
+    same banding algebra as :func:`_sign_lsh_pairs`, deterministic codes."""
+    band_codes = _int_band_code_udf(bands, band_bits)
+    banded = vecs.select(
+        "vec_id", F.posexplode(band_codes("embedding")).alias("band", "code")
+    )
+    a = banded.select(F.col("vec_id").alias("id_a"), "band", "code")
+    b = banded.select(F.col("vec_id").alias("id_b"), "band", "code")
+    return (
+        a.join(b, ["band", "code"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def _cosine_rescore_e6(cand, vecs, tau: float):
+    """Exact rescore over 1e-6 fixed-point vectors: dot and norms² are
+    exact int64 (≤ ~4e13 for unit-ish 64-dim embeddings — far under
+    2^53, so the final doubles are identical in any engine); sim is two
+    correctly-rounded sqrt/divide ops. The emitted value is the cosine
+    of the QUANTIZED vectors — within 1e-5 of the float cosine, and
+    cross-engine hashable where a float-sum cosine would carry a
+    last-ulp summation-order hazard."""
+    fp = lambda c: F.transform(  # noqa: E731
+        c, lambda x: F.floor(x.cast("double") * 1_000_000 + 0.5)
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("ea6"), F.col("eb6"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    norm2 = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    va = vecs.select(
+        F.col("vec_id").alias("id_a"),
+        fp(F.col("embedding")).alias("ea6"),
+    ).select("id_a", "ea6", norm2(F.col("ea6")).alias("n2a"))
+    vb = vecs.select(
+        F.col("vec_id").alias("id_b"),
+        fp(F.col("embedding")).alias("eb6"),
+    ).select("id_b", "eb6", norm2(F.col("eb6")).alias("n2b"))
+    sim = (
+        dot.cast("double")
+        / F.sqrt(F.col("n2a").cast("double"))
+        / F.sqrt(F.col("n2b").cast("double"))
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("sim_raw", sim)
+        .filter(F.col("sim_raw") >= tau)
+        .select("id_a", "id_b", F.round("sim_raw", 6).alias("sim"))
+    )
+
+
+_EMB_HI_PLANES_SQL = f"""
+        planes AS (
+            SELECT d, k, (ascii(substring(h, 1, 1)) * 4096
+                          + ascii(substring(h, 2, 1)) * 256
+                          + ascii(substring(h, 3, 1)) * 16
+                          + ascii(substring(h, 4, 1))) % {_EMB_HI_MOD}
+                         - {(_EMB_HI_MOD - 1) // 2} AS p
+            FROM (
+                SELECT gd.d, gk.k,
+                       md5(CAST(gd.d AS VARCHAR) || ':'
+                           || CAST(gk.k AS VARCHAR)) AS h
+                FROM (SELECT unnest(generate_series(0, 63)) AS d) gd,
+                     (SELECT unnest(generate_series(0,
+                          {_EMB_HI_BANDS * _EMB_HI_BITS - 1})) AS k) gk
+            )
+        )"""
+
+
 @register(
     "E-EMB-LSH-HI",
-    oracle=None,
+    oracle=f"""
+        WITH g64 AS (SELECT unnest(generate_series(0, 63)) AS d),
+        base AS (
+            SELECT vec_id, g64.d,
+                   CAST(embedding[g64.d + 1] AS DOUBLE) AS v
+            FROM embeddings, g64 WHERE g64.d < len(embedding)
+        ),
+        pl AS (
+            -- Two layers on purpose: DuckDB resolves LATERAL column
+            -- aliases, so computing the factor next to the negated
+            -- vec_id alias would silently mix with the NEW id, not the
+            -- source id (bug found by the r10 hash gate itself).
+            SELECT -(vec_id + 1) AS vec_id, d, v * f AS v
+            FROM (
+                SELECT vec_id, d, v,
+                       1 + {_EMB_HI_AMP}
+                         * (((vec_id * 31 + d * 17) % {_EMB_HI_MOD}
+                             - {(_EMB_HI_MOD - 1) // 2})
+                            / {(_EMB_HI_MOD - 1) // 2}.0) AS f
+                FROM base WHERE vec_id % {_EMB_HI_EVERY} = 0
+            )
+        ),
+        corpus AS (
+            SELECT vec_id, d,
+                   CAST(floor(v * 1000000 + 0.5) AS BIGINT) AS ve6
+            FROM (SELECT * FROM base UNION ALL SELECT * FROM pl)
+        ),{_EMB_HI_PLANES_SQL},
+        proj AS (
+            SELECT c.vec_id, p.k, sum(c.ve6 * p.p) AS s
+            FROM corpus c JOIN planes p USING (d)
+            GROUP BY 1, 2
+        ),
+        codes AS (
+            SELECT vec_id, k // {_EMB_HI_BITS} AS band,
+                   CAST(sum(CASE WHEN s > 0 THEN
+                        1 << ({_EMB_HI_BITS - 1} - (k % {_EMB_HI_BITS}))
+                        ELSE 0 END) AS INTEGER) AS code
+            FROM proj GROUP BY 1, 2
+        ),
+        cand AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM codes a JOIN codes b
+                 ON a.band = b.band AND a.code = b.code
+            WHERE a.vec_id < b.vec_id
+            GROUP BY 1, 2
+        ),
+        n2 AS (SELECT vec_id, sum(ve6 * ve6) AS n2 FROM corpus GROUP BY 1),
+        dots AS (
+            SELECT c.id_a, c.id_b, sum(ca.ve6 * cb.ve6) AS dot
+            FROM cand c
+            JOIN corpus ca ON ca.vec_id = c.id_a
+            JOIN corpus cb ON cb.vec_id = c.id_b AND cb.d = ca.d
+            GROUP BY 1, 2
+        )
+        SELECT dt.id_a, dt.id_b,
+               round(CAST(dt.dot AS DOUBLE)
+                     / sqrt(CAST(na.n2 AS DOUBLE))
+                     / sqrt(CAST(nb.n2 AS DOUBLE)), 6) AS sim
+        FROM dots dt
+        JOIN n2 na ON na.vec_id = dt.id_a
+        JOIN n2 nb ON nb.vec_id = dt.id_b
+        WHERE CAST(dt.dot AS DOUBLE)
+              / sqrt(CAST(na.n2 AS DOUBLE))
+              / sqrt(CAST(nb.n2 AS DOUBLE)) >= {_EMB_HI_TAU}
+    """,
     origin="LLM",
     doc="Embedding near-dup at the REALISTIC operating point — the "
         f"100 TB scale path (VERDICT r6 #3): τ={_EMB_HI_TAU} with a "
         f"{_EMB_HI_BITS}-bit x {_EMB_HI_BANDS}-band sign-LSH family "
-        "(equi join on (band, code), no cartesian) + exact "
-        "double-precision rescore. Tight τ is what makes banding work: "
-        "random-pair candidate fraction ≈ 32·2^-16 ≈ 5e-4 (vs 0.53 for "
-        "the τ=0.35 family — sign-LSH cannot band 69.5°), so the rescore "
-        "is ~n·5e-4·n/2 — linear-ish in corpus at realistic dup rates. "
-        "The fixture's max pairwise cos is 0.51, so the query plants "
-        "deterministic near-dups (every 5th vector, coordinate-wise "
-        "(1+0.3·sin(vec_id+i)) scaling, negated ids → cos ≈ 0.978): "
-        "ground truth by construction; recall ≥ 0.9 and candidate "
-        "fraction < 0.01 asserted at 4x stress in "
-        "tests/test_stress_scale.py.",
+        "(equi join on (band, code), no cartesian) + exact rescore. "
+        "Tight τ is what makes banding work: random-pair candidate "
+        "fraction ≈ 32·2^-16 ≈ 5e-4 (vs 0.53 for the τ=0.35 family — "
+        "sign-LSH cannot band 69.5°), so the rescore is ~n·5e-4·n/2 — "
+        "linear-ish in corpus at realistic dup rates. The fixture's max "
+        "pairwise cos is 0.51, so the query plants deterministic "
+        "near-dups (every 5th vector, integer-mixed (1+0.3u) coordinate "
+        "scaling, negated ids → cos ≈ 0.978). ORACLE-CHECKED since r10 "
+        "(VERDICT r9 #3): the planes are md5-derived integers, "
+        "embeddings fixed-point to 1e-6 before projection, so every "
+        "band code is the sign pattern of exact int64 sums and the "
+        "rescore cosine divides exact integers (< 2^53) — DuckDB "
+        "replays plant → planes → codes → banded join → rescore "
+        "bit-for-bit, including WHICH planted pairs the banding "
+        "recalls. Recall ≥ 0.9 and candidate fraction < 0.01 asserted "
+        "at stress scale in tests/test_stress_scale.py.",
 )
 def e_emb_lsh_hi(spark, sf_dir):
     # Eager localCheckpoint (the q_graph_pagerank pattern): the planted
@@ -835,8 +1066,8 @@ def e_emb_lsh_hi(spark, sf_dir):
     # footprint is |corpus| rows — the same data every branch must read
     # anyway.
     corpus = _emb_hi_corpus(spark, sf_dir).localCheckpoint(eager=True)
-    cand = _sign_lsh_pairs(corpus, _EMB_HI_BANDS, _EMB_HI_BITS, _EMB_SEED)
-    return _cosine_rescore(cand, corpus, _EMB_HI_TAU)
+    cand = _int_lsh_pairs(corpus, _EMB_HI_BANDS, _EMB_HI_BITS)
+    return _cosine_rescore_e6(cand, corpus, _EMB_HI_TAU)
 
 
 _CC_MAX_ROUNDS = 20
