@@ -76,10 +76,20 @@ def widen(df: DataFrame) -> DataFrame:
     repartition only when the input is narrower than the cluster — the
     shuffle of the narrow input costs far less than single-threaded parsing.
     """
+    # Memoized per DataFrame object: table() returns one cached DF per
+    # (session, path), and the `.rdd` probe below is NOT free — it forces
+    # physical planning + an RDD handle (~50-100 ms of py4j per call),
+    # which is pure per-query floor when the same table is widened by
+    # every invocation in a verify/bench loop (VERDICT r9 #7).
+    memo = getattr(df, "_xps_widened", None)
+    if memo is not None:
+        return memo
     target = df.sparkSession.sparkContext.defaultParallelism
+    out = df
     if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+        out = df.repartition(target)
+    df._xps_widened = out
+    return out
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
