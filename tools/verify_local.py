@@ -70,6 +70,18 @@ def _diff_sample(a: dict, b: dict, n=3):
 
 def connect_duckdb(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # Bound the oracle engine away from the Spark JVM's share and give it
+    # a spill path: an in-memory DuckDB has NO temp_directory, so a
+    # ground-truth oracle that exceeds the (default 80%-of-RAM) limit
+    # either OOM-raises or — worse — drives the whole process into the
+    # kernel OOM killer, losing the entire sweep (observed at the r10 SF1
+    # sweep: 122/125 GB). With a cap + temp dir the heavy oracles spill
+    # and finish.
+    import os as _os
+
+    _os.makedirs("/tmp/xps_duck_spill", exist_ok=True)
+    con.execute("SET memory_limit='48GB'")
+    con.execute("SET temp_directory='/tmp/xps_duck_spill'")
     for t in TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(path):
@@ -98,19 +110,72 @@ def main() -> int:
         "(tests/test_contract.py::test_localverify_artifact_covers_registry) "
         "green. The summary is recomputed over the merged key set.",
     )
+    ap.add_argument(
+        "--resume",
+        action="store_true",
+        help="with --json: skip keys already recorded in the artifact and "
+        "append the rest (long sweeps at big SFs can be killed by wall "
+        "clocks; combined with the per-key incremental flush this makes "
+        "the sweep restartable with zero lost work).",
+    )
     ap.add_argument("keys", nargs="*")
     args = ap.parse_args()
 
     queries = get_queries()
     oracles = get_oracles()
     keys = args.keys or sorted(queries)
+    prior_results: dict[str, dict] = {}
+    if (args.resume or args.merge) and args.json and os.path.exists(args.json):
+        # BOTH modes must seed the in-memory result set with the artifact
+        # BEFORE the run: the per-key incremental _flush overwrites the
+        # file as it goes, so a merge that only unioned at the END would
+        # first clobber the artifact down to this run's keys (bug caught
+        # r10: a 2-key --merge run destroyed 75 committed SF1 rows).
+        import json
+
+        prior_results = json.load(open(args.json))["keys"]
+        if args.resume:
+            skipped = [k for k in keys if k in prior_results]
+            keys = [k for k in keys if k not in prior_results]
+            print(f"resume: {len(skipped)} keys already recorded, "
+                  f"{len(keys)} to run")
 
     spark = build_session("verify_local")
     con = connect_duckdb(args.sf)
 
     n_pass = n_fail = n_rows_only = 0
     failures = []
-    results: dict[str, dict] = {}
+    results: dict[str, dict] = dict(prior_results)
+
+    def _flush() -> None:
+        """Per-key incremental artifact write: a killed sweep keeps every
+        completed row (the r10 SF1 lesson — 2.5 h of sweep lost to a wall
+        clock because the JSON only wrote at the end)."""
+        if not args.json:
+            return
+        import json
+
+        merged = dict(results)
+        statuses = [r["status"] for r in merged.values()]
+        with open(args.json, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": args.sf,
+                    "comparator": "strict order-insensitive value equality "
+                    "(tools/verify_local.py — stricter than the driver hash)",
+                    "summary": {
+                        "pass": statuses.count("pass"),
+                        "rows_only": statuses.count("rows_only"),
+                        "fail": statuses.count("fail"),
+                        "keys_run": len(merged),
+                        "registry": len(REGISTRY),
+                    },
+                    "keys": {k: merged[k] for k in sorted(merged)},
+                },
+                f,
+                indent=1,
+            )
+
     for key in keys:
         if key not in queries:
             print(f"  ?? {key}: not registered"); continue
@@ -127,6 +192,7 @@ def main() -> int:
                 "status": "fail", "spark_rows": None, "sec": round(time.time() - t0, 2),
                 "err": f"spark: {type(e).__name__}: {e}"[:300],
             }
+            _flush()
             continue
         if key not in oracles:
             n_rows_only += 1
@@ -135,6 +201,7 @@ def main() -> int:
                 "status": "rows_only", "spark_rows": len(s_rows),
                 "sec": round(time.time() - t0, 2), "err": None,
             }
+            _flush()
             continue
         try:
             cur = con.execute(oracles[key])
@@ -148,6 +215,7 @@ def main() -> int:
                 "status": "fail", "spark_rows": len(s_rows), "sec": round(time.time() - t0, 2),
                 "err": f"duckdb: {type(e).__name__}: {e}"[:300],
             }
+            _flush()
             continue
 
         problems = []
@@ -169,6 +237,7 @@ def main() -> int:
                 "status": "fail", "spark_rows": len(s_rows),
                 "sec": round(time.time() - t0, 2), "err": " | ".join(problems)[:300],
             }
+            _flush()
         else:
             n_pass += 1
             print(f"PASS {key}: {len(s_rows)} rows ({time.time()-t0:.1f}s)")
@@ -176,6 +245,7 @@ def main() -> int:
                 "status": "pass", "spark_rows": len(s_rows),
                 "sec": round(time.time() - t0, 2), "err": None,
             }
+            _flush()
 
     print(f"\n== {n_pass} pass, {n_rows_only} rows-only, {n_fail} fail "
           f"(of {len(keys)}; registry={len(REGISTRY)})")
@@ -187,27 +257,11 @@ def main() -> int:
         if args.merge and os.path.exists(args.json):
             prior = json.load(open(args.json))["keys"]
             prior.update(results)
-            results = {k: prior[k] for k in sorted(prior)}
-            statuses = [r["status"] for r in results.values()]
-            n_pass = statuses.count("pass")
-            n_rows_only = statuses.count("rows_only")
-            n_fail = statuses.count("fail")
-        with open(args.json, "w") as f:
-            json.dump(
-                {
-                    "sf_dir": args.sf,
-                    "comparator": "strict order-insensitive value equality "
-                    "(tools/verify_local.py — stricter than the driver hash)",
-                    "summary": {
-                        "pass": n_pass, "rows_only": n_rows_only, "fail": n_fail,
-                        "keys_run": len(results), "registry": len(REGISTRY),
-                    },
-                    "keys": results,
-                },
-                f,
-                indent=1,
-                sort_keys=False,
-            )
+            results.clear()
+            results.update({k: prior[k] for k in sorted(prior)})
+        # Summary is always recomputed over the full recorded key set
+        # (this run + any resumed/merged prior rows) by _flush().
+        _flush()
         print(f"wrote {args.json}")
     spark.stop()
     return 1 if n_fail else 0

@@ -1256,8 +1256,13 @@ def q_orders_chi2(spark, sf_dir):
         )
         SELECT m AS month,
                round(CAST(rev AS DOUBLE) / 100, 2) AS revenue,
-               round(CAST(sum(rev) OVER w AS DOUBLE)
-                     / CAST(count(*) OVER w AS DOUBLE) / 100, 2) AS trend,
+               -- trend cents = half-up integer division (2S+n)//(2n):
+               -- round(S/(100n), 2) computed ENTIRELY in exact integers
+               -- before one final /100 — at SF1 the frame mean landed
+               -- exactly on a 2-dp tie and the engines' float-rounding
+               -- procedures split (r10 SF1 sweep catch).
+               CAST((2 * sum(rev) OVER w + count(*) OVER w)
+                    // (2 * count(*) OVER w) AS DOUBLE) / 100 AS trend,
                round(CAST(rev AS DOUBLE) * CAST(count(*) OVER w AS DOUBLE)
                      / CAST(sum(rev) OVER w AS DOUBLE), 6) AS seasonal_index
         FROM monthly
@@ -1283,12 +1288,21 @@ def q_orders_seasonal(spark, sf_dir):
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev")
     )
     w = Window.partitionBy().orderBy("m").rowsBetween(-6, 5)
-    frame_sum = F.sum("rev").over(w).cast("double")
-    frame_n = F.count(F.lit(1)).over(w).cast("double")
+    frame_sum_l = F.sum("rev").over(w)
+    frame_n_l = F.count(F.lit(1)).over(w)
+    frame_sum = frame_sum_l.cast("double")
+    frame_n = frame_n_l.cast("double")
+    # trend cents via half-up integer division (2S+n) div (2n): the frame
+    # mean can land EXACTLY on a 2-dp tie (S/1200 with 6|S), where
+    # Spark's BigDecimal HALF_UP on the double and DuckDB's scaled
+    # std::round disagree by a cent (caught by the r10 SF1 sweep at 10x
+    # sums). Exact integers to the last division keep both engines on
+    # one value at every SF.
+    trend_cents = (2 * frame_sum_l + frame_n_l) / (2 * frame_n_l)
     return monthly.select(
         F.col("m").alias("month"),
         F.round(F.col("rev").cast("double") / 100, 2).alias("revenue"),
-        F.round(frame_sum / frame_n / 100, 2).alias("trend"),
+        (F.floor(trend_cents).cast("double") / 100).alias("trend"),
         r6(F.col("rev").cast("double") * frame_n / frame_sum).alias(
             "seasonal_index"
         ),
