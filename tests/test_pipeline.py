@@ -60,6 +60,54 @@ def test_validation_error_names_the_stage():
     assert "'parse'" in str(e.value)
 
 
+def test_missing_required_property_is_not_unknown_plugin():
+    """ADVICE r10: a KeyError raised INSIDE a valid plugin's out_schema
+    (XMLParser without 'schema', Projection without 'select') must be
+    diagnosed as a missing property on that stage — not misreported as
+    'unknown plugin', which sends the spec author to the wrong line."""
+    from xml_processor_spark.plans.pipeline import (
+        Pipeline,
+        PipelineValidationError,
+    )
+
+    spec = _etl_spec()
+    del spec["stages"][1]["properties"]["schema"]
+    with pytest.raises(PipelineValidationError) as e:
+        Pipeline(spec)
+    msg = str(e.value)
+    assert "'parse'" in msg and "unknown plugin" not in msg
+    assert "schema" in msg
+
+    spec = _etl_spec()
+    del spec["stages"][2]["properties"]["select"]
+    with pytest.raises(PipelineValidationError) as e:
+        Pipeline(spec)
+    msg = str(e.value)
+    assert "'shape'" in msg and "unknown plugin" not in msg
+
+
+def test_xmlreader_rejects_preamble_with_rowtag_prefix(spark, tmp_path):
+    """ADVICE r10: with rowTag 'order', a file preamble beginning
+    '<orders>' shares the raw prefix but NOT the tag boundary — the
+    keep-filter must use the same '<tag>'/'<tag ' boundary discipline
+    as the split lookahead, so the preamble is never emitted as a
+    bogus record."""
+    from xml_processor_spark.plans.pipeline import _XMLReader
+
+    f = tmp_path / "orders.xml"
+    f.write_text(
+        "<orders><order okey=\"1\"><status>F</status></order>"
+        "<order okey=\"2\"><status>O</status></order></orders>\n"
+    )
+    out = _XMLReader.apply(
+        spark, None, {"path": str(f), "rowTag": "order"}
+    )
+    recs = [r.record for r in out.collect()]
+    assert len(recs) == 2
+    assert all(r.startswith("<order ") for r in recs)
+    assert not any("orders" in r.split(">", 1)[0] for r in recs)
+
+
 def test_transform_cannot_be_source_and_source_cannot_be_mid():
     from xml_processor_spark.plans.pipeline import (
         Pipeline,

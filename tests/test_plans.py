@@ -1378,15 +1378,19 @@ def test_bootstrap_collapses_to_32_groups(spark, queries):
 
 
 def test_holt_folds_bounded_series_no_window(spark, queries):
-    """Holt smoothing: the fact scan collapses map-side to the |days|
-    aggregate; the sequential recurrence is a HOF fold over ONE collected
-    row (Generate explodes the result back) — no per-row window, no join,
-    no Python."""
+    """Holt smoothing: the fact scan collapses map-side (partial+final
+    HashAggregate) to the |days| daily aggregate; the sequential
+    recurrence runs as ONE Arrow FlatMapGroupsInPandas over that bounded
+    single group (|days| rows, not |events|) — strictly linear, no
+    per-row window, no join, no Generate re-explosion, no per-row
+    Python eval."""
     plan = explain(queries["q_events_holt"](spark, SF_MID))
     n = node_counts(plan)
     assert "Join" not in plan
     assert n["Scan"] == 1
-    assert n["Generate"] == 1
+    assert n["FlatMapGroupsInPandas"] == 1
+    assert n["Generate"] == 0
+    assert n["HashAggregate"] == 2  # partial + final: fact pass is map-side combined
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 

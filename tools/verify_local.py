@@ -79,9 +79,22 @@ def connect_duckdb(sf_dir: str) -> duckdb.DuckDBPyConnection:
     # and finish.
     import os as _os
 
-    _os.makedirs("/tmp/xps_duck_spill", exist_ok=True)
-    con.execute("SET memory_limit='48GB'")
-    con.execute("SET temp_directory='/tmp/xps_duck_spill'")
+    # Cap = min(48GB, half of physical RAM): a hardcoded 48GB would RAISE
+    # the limit above DuckDB's default (80% of RAM) on a <60GB host —
+    # increasing the exact OOM-kill risk the cap exists to prevent. The
+    # spill dir is keyed by pid so concurrent sweeps never share (or
+    # clean up under) each other's temp files.
+    try:
+        total_gb = (
+            _os.sysconf("SC_PAGE_SIZE") * _os.sysconf("SC_PHYS_PAGES")
+        ) / (1024 ** 3)
+    except (ValueError, OSError):
+        total_gb = 48.0
+    cap_gb = max(1, int(min(48.0, total_gb * 0.5)))
+    spill = f"/tmp/xps_duck_spill_{_os.getpid()}"
+    _os.makedirs(spill, exist_ok=True)
+    con.execute(f"SET memory_limit='{cap_gb}GB'")
+    con.execute(f"SET temp_directory='{spill}'")
     for t in TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(path):
@@ -135,10 +148,20 @@ def main() -> int:
 
         prior_results = json.load(open(args.json))["keys"]
         if args.resume:
-            skipped = [k for k in keys if k in prior_results]
-            keys = [k for k in keys if k not in prior_results]
-            print(f"resume: {len(skipped)} keys already recorded, "
-                  f"{len(keys)} to run")
+            # Skip ONLY keys recorded as pass/rows_only: a recorded fail
+            # must re-run (the point of resuming is to finish the sweep,
+            # not to freeze failures into the artifact), and any prior
+            # fail that is NOT re-run this invocation still counts toward
+            # the exit code below — a resumed sweep over a partially-
+            # failing artifact can never exit 0 while fails remain.
+            _done = {"pass", "rows_only"}
+            skipped = [
+                k for k in keys
+                if prior_results.get(k, {}).get("status") in _done
+            ]
+            keys = [k for k in keys if k not in skipped]
+            print(f"resume: {len(skipped)} keys already recorded as "
+                  f"pass/rows-only, {len(keys)} to run")
 
     spark = build_session("verify_local")
     con = connect_duckdb(args.sf)
@@ -264,7 +287,13 @@ def main() -> int:
         _flush()
         print(f"wrote {args.json}")
     spark.stop()
-    return 1 if n_fail else 0
+    # Exit code covers the FULL recorded key set (this run plus any
+    # resumed/merged prior rows): a resumed sweep whose artifact still
+    # records failures must not exit 0.
+    n_fail_total = sum(
+        1 for r in results.values() if r.get("status") == "fail"
+    )
+    return 1 if (n_fail or n_fail_total) else 0
 
 
 if __name__ == "__main__":

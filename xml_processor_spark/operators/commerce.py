@@ -1288,24 +1288,29 @@ def q_orders_seasonal(spark, sf_dir):
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev")
     )
     w = Window.partitionBy().orderBy("m").rowsBetween(-6, 5)
-    frame_sum_l = F.sum("rev").over(w)
-    frame_n_l = F.count(F.lit(1)).over(w)
-    frame_sum = frame_sum_l.cast("double")
-    frame_n = frame_n_l.cast("double")
     # trend cents via half-up integer division (2S+n) div (2n): the frame
     # mean can land EXACTLY on a 2-dp tie (S/1200 with 6|S), where
     # Spark's BigDecimal HALF_UP on the double and DuckDB's scaled
     # std::round disagree by a cent (caught by the r10 SF1 sweep at 10x
-    # sums). Exact integers to the last division keep both engines on
-    # one value at every SF.
-    trend_cents = (2 * frame_sum_l + frame_n_l) / (2 * frame_n_l)
-    return monthly.select(
+    # sums). Both operands stay int64 through Spark's `div` operator
+    # (exact integer division, unlike `/` which widens to double and
+    # loses exactness past 2^53 — reachable per 12-month frame at the
+    # 100TB regime), matching DuckDB's BIGINT `//` bit-for-bit.
+    framed = monthly.select(
+        "m", "rev",
+        F.sum("rev").over(w).alias("fsum"),
+        F.count(F.lit(1)).over(w).alias("fn"),
+    )
+    return framed.select(
         F.col("m").alias("month"),
         F.round(F.col("rev").cast("double") / 100, 2).alias("revenue"),
-        (F.floor(trend_cents).cast("double") / 100).alias("trend"),
-        r6(F.col("rev").cast("double") * frame_n / frame_sum).alias(
-            "seasonal_index"
-        ),
+        (
+            F.expr("(2 * fsum + fn) div (2 * fn)").cast("double") / 100
+        ).alias("trend"),
+        r6(
+            F.col("rev").cast("double") * F.col("fn").cast("double")
+            / F.col("fsum").cast("double")
+        ).alias("seasonal_index"),
     )
 
 

@@ -105,11 +105,22 @@ class Pipeline:
     def _validate(self) -> None:
         schema: dict[str, str] | None = None
         for st in self.stages:
+            # Unknown-plugin resolution gets its OWN try so a KeyError
+            # raised inside a valid plugin's out_schema (a missing
+            # required property like XMLParser's 'schema') is never
+            # misreported as "unknown plugin" — wrong-stage diagnoses
+            # cost real debugging time in multi-stage specs.
             try:
-                schema = _PLUGINS[st.plugin].out_schema(schema, st.properties)
+                plugin = _PLUGINS[st.plugin]
             except KeyError:
                 raise PipelineValidationError(
                     f"stage {st.name!r}: unknown plugin {st.plugin!r}"
+                ) from None
+            try:
+                schema = plugin.out_schema(schema, st.properties)
+            except KeyError as e:
+                raise PipelineValidationError(
+                    f"stage {st.name!r}: missing required property {e}"
                 ) from None
             except PipelineValidationError as e:
                 raise PipelineValidationError(
@@ -161,11 +172,18 @@ class _XMLReader:
         )
         # One record per <tag>...</tag> occurrence per line (the fixture
         # writes one document per line; a multi-line XML file would use
-        # wholetext=true — same algebra).
+        # wholetext=true — same algebra). The keep-filter uses the SAME
+        # boundary discipline as the split lookahead (<tag> or <tag␣ —
+        # never the bare '<{tag}%' prefix, which would admit a preamble
+        # like '<orders>' when rowTag is 'order'). Assumption, matching
+        # the Hadoop XmlInputFormat contract: rowTag elements do NOT
+        # nest inside themselves — substring_index cuts at the FIRST
+        # closing tag, so a nested same-name child would truncate the
+        # record.
         rec = F.explode(
             F.expr(
                 f"filter(split(value, '(?=<{tag}[ >])'), "
-                f"x -> x like '<{tag}%')"
+                f"x -> x like '<{tag}>%' OR x like '<{tag} %')"
             )
         ).alias("rec")
         return (

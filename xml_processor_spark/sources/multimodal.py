@@ -86,6 +86,7 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                                               AS BIGINT) AS VARCHAR),
                                     50), 1, 997) AS blob
             FROM orders WHERE o_orderkey % 500 = 0
+            ORDER BY o_orderkey LIMIT 4096
         ), h AS (
             SELECT o_orderkey, blob, sha256(blob) AS sha FROM b
         )
@@ -118,9 +119,13 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def e_multimodal(spark, sf_dir):
     tmp = tempfile.mkdtemp(prefix="multimodal_")
     # Deterministic binary fixtures derived from the orders table. The
-    # driver-side collect is bounded fixture generation (|orders|/500
-    # rows), not a data-plane collect; exact-cents formatting keeps the
-    # unit text reproducible cross-engine (no float repr dependency).
+    # driver-side collect is fixture generation, capped STRUCTURALLY at
+    # 4096 rows (distributed TakeOrdered on the key — O(1) driver memory
+    # at any SF, the E-EMB-PQ sample discipline; |orders|/500 stays well
+    # under the cap at every test SF so results are unchanged there, and
+    # the oracle applies the identical ORDER BY + LIMIT). Exact-cents
+    # formatting keeps the unit text reproducible cross-engine (no float
+    # repr dependency).
     rows = (
         table(spark, sf_dir, "orders")
         .filter(F.col("o_orderkey") % 500 == 0)
@@ -128,6 +133,8 @@ def e_multimodal(spark, sf_dir):
             "o_orderkey",
             F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
         )
+        .orderBy("o_orderkey")
+        .limit(4096)
         .collect()
     )
     for r in rows:

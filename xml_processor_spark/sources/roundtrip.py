@@ -248,6 +248,7 @@ def q_src_hive_partitioned(spark, sf_dir):
                'Zürich-' || CAST(c_custkey AS VARCHAR) AS city,
                c_acctbal AS bal
         FROM customer WHERE c_custkey % 100 = 0
+        ORDER BY c_custkey LIMIT 4096
     """,
     origin="REF",
     doc="XMLReader/XMLParser `encoding` knob (VERDICT r9 missing #2: the "
@@ -272,6 +273,10 @@ def q_src_hive_partitioned(spark, sf_dir):
 def q_src_xml_encoding(spark, sf_dir):
     import shutil
 
+    # Fixture collect capped STRUCTURALLY at 4096 rows (distributed
+    # TakeOrdered — O(1) driver memory at any SF; |customer|/100 stays
+    # under the cap at every test SF, and the oracle applies the same
+    # ORDER BY + LIMIT).
     rows = (
         table(spark, sf_dir, "customer")
         .filter(F.col("c_custkey") % 100 == 0)
@@ -280,6 +285,8 @@ def q_src_xml_encoding(spark, sf_dir):
             "c_name",
             F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
         )
+        .orderBy("c_custkey")
+        .limit(4096)
         .collect()
     )
     path = artifact_dir(sf_dir, "xml-latin1")
