@@ -434,8 +434,14 @@ _NG_NUM, _NG_DEN = 8, 10
 
 # Shared by q_dedup_ngram_jaccard (as its whole oracle) and
 # q_dedup_cluster (as the edge set of its recursive-CTE oracle).
+# MATERIALIZED hints are load-bearing at big SFs: when this block sits
+# inside a WITH RECURSIVE consumer, DuckDB would otherwise INLINE the
+# CTE chain and re-evaluate the O(sum df^2) shingle self-join on every
+# recursion step — at the SF1 fixture that re-evaluation filled a 40 GB
+# spill cap before converging (r10 sweep's one oracle-side failure);
+# materialized, the whole funnel truth completes in ~90 s.
 _NGRAM_PAIRS_SQL = f"""
-        WITH sh AS (
+        WITH sh AS MATERIALIZED (
             SELECT doc_id,
                    unnest(list_distinct(list_transform(
                        generate_series(1, len(string_split(text,' ')) - 2),
@@ -443,9 +449,9 @@ _NGRAM_PAIRS_SQL = f"""
                             string_split(text,' ')[i+1] || ' ' ||
                             string_split(text,' ')[i+2]))) AS s
             FROM documents
-        ), sizes AS (
+        ), sizes AS MATERIALIZED (
             SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
-        ), inter AS (
+        ), inter AS MATERIALIZED (
             SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
             FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
             GROUP BY 1, 2
@@ -577,72 +583,21 @@ def q_dedup_emb_cosine(spark, sf_dir):
 # BroadcastNestedLoopJoin with |vecs| x bands shuffled rows + equi joins.
 _EMB_BANDS = 48
 _EMB_BAND_BITS = 6
-_EMB_SEED = 1234
-
-
-def _band_code_udf(bands: int, band_bits: int, seed: int):
-    """Arrow-batched sign-LSH band codes: embedding -> array<int> of
-    per-band codes. One numpy matmul per batch (interpreted
-    zip_with/aggregate folds per row would be the slow path)."""
-
-    @F.pandas_udf("array<int>")
-    def band_codes(batch: pd.Series) -> pd.Series:
-        import numpy as np
-
-        if len(batch) == 0:
-            return pd.Series([], dtype=object)
-        mat = np.stack([np.asarray(v, dtype="float64") for v in batch])
-        # Deterministic plane family — same on every executor, every run.
-        # Row count follows the incoming dimensionality (seeded draws are
-        # dim-prefix-stable only in shape, but every batch draws the same
-        # (dim, planes) matrix, which is all determinism requires).
-        rng = np.random.RandomState(seed)
-        planes = rng.standard_normal((mat.shape[1], bands * band_bits))
-        bits = (mat @ planes) > 0
-        weights = 1 << np.arange(band_bits - 1, -1, -1)
-        codes = bits.reshape(len(mat), bands, band_bits) @ weights
-        return pd.Series([row.astype("int32").tolist() for row in codes])
-
-    return band_codes
-
-
-def _sign_lsh_pairs(vecs, bands: int, band_bits: int, seed: int):
-    """Candidate (id_a, id_b) pairs colliding in >= 1 sign-LSH band.
-
-    ``vecs`` is a DataFrame of (vec_id, embedding). The hyperplane
-    projections are Arrow-batched numpy (see :func:`_band_code_udf`);
-    banding, the equi join, and dedup stay JVM-side. The band family
-    (bands x band_bits) is the τ knob: per-hyperplane agreement for a
-    pair at angle θ is 1 - θ/π, so tight thresholds (small θ) support
-    many bits per band — which is what crushes the random-pair collision
-    rate (0.5^bits)."""
-    band_codes = _band_code_udf(bands, band_bits, seed)
-    banded = vecs.select(
-        "vec_id", F.posexplode(band_codes("embedding")).alias("band", "code")
-    )
-    a = banded.select(F.col("vec_id").alias("id_a"), "band", "code")
-    b = banded.select(F.col("vec_id").alias("id_b"), "band", "code")
-    return (
-        a.join(b, ["band", "code"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()  # a pair may collide in several bands
-    )
 
 
 def _cosine_rescore(cand, vecs, tau: float):
     """Exact double-precision cosine over candidate pairs, kept if >= tau.
 
-    Precision 1.0 by construction: every emitted pair is exactly scored.
-    JVM higher-order functions (zip_with/aggregate), no Python. This is
-    the SPARSE-candidate rescore: right when the band family prunes hard
-    (E-EMB-LSH-HI's 16-bit codes → ~5e-4 candidate fraction), because per
-    pair it ships both arrays through the vec_id joins. At dense candidate
-    fractions the bucket-matmul path (:func:`_lsh_bucket_cosine`) wins —
-    measured at sf0.1: buckets 13.2s vs pairs 2.0s on the sparse HI
-    family, pairs 3.9s vs buckets 2.0s on the dense τ=0.35 family (the
-    ~76k near-singleton buckets of a 16-bit family pay per-group pandas
-    overhead with no matmul to amortize it)."""
+    Precision 1.0 by construction: every emitted pair is exactly scored
+    with the SAME fold expressions as q_dedup_emb_cosine, so the emitted
+    (pair, sim) rows are literally a subset of that truth table. JVM
+    higher-order functions (zip_with/aggregate), no Python. Per pair it
+    ships both 64-dim arrays through the vec_id joins — at the dense
+    τ=0.35 family (~0.53 candidate fraction) that is ~2x a bucketed
+    numpy-matmul scorer (measured 3.9s vs 2.0s at sf0.1), a cost paid
+    deliberately: the fold's summation order is the one the oracle
+    replays, where a dgemm's pairwise blocking carries a last-ulp
+    round-6 hazard."""
     dot = F.aggregate(
         F.zip_with(
             F.col("ea"), F.col("eb"),
@@ -675,82 +630,107 @@ def _cosine_rescore(cand, vecs, tau: float):
     )
 
 
-def _lsh_bucket_cosine(vecs, bands: int, band_bits: int, seed: int,
-                       tau: float):
-    """Banded LSH candidates + exact in-bucket cosine, kept if >= tau.
-
-    Precision 1.0 by construction: every emitted pair is exactly scored in
-    double precision. Unlike a candidate-pair join that ships BOTH 64-dim
-    arrays once per pair (at the τ=0.35 operating point that is ~1M pair
-    rows ≈ 1 GB of array traffic at sf0.1), this shuffles each embedding
-    exactly ``bands`` times — |vecs|·bands rows — groups by (band, code),
-    and scores each bucket with one BLAS matmul (S = X·Xᵀ / outer(‖x‖)).
-    Per-bucket work is O(m²·dim) where m is the bucket size; bucket load
-    is linear in corpus at fixed code width, and the hot-bucket tail is
-    the measured quantity `q_lsh_bucket_audit` tracks. Cross-band
-    duplicate collisions are collapsed by a (id_a, id_b) max-agg — the
-    per-band scores agree to the last ulp (same K-ordered dgemm), max is
-    belt-and-braces. Summation order differs from the JVM HOF fold only
-    in the last ulp; consumers gate with >= tau far from any fixture
-    pair, so the emitted pair set is unchanged (subset-of-truth asserted
-    in tests/test_llm.py)."""
-    import numpy as np
-
-    band_codes = _band_code_udf(bands, band_bits, seed)
-    banded = vecs.select(
-        "vec_id",
-        "embedding",
-        F.posexplode(band_codes("embedding")).alias("band", "code"),
-    )
-
-    def score(pdf: pd.DataFrame) -> pd.DataFrame:
-        m = len(pdf)
-        if m < 2:
-            return pd.DataFrame({
-                "id_a": pd.Series([], dtype="int64"),
-                "id_b": pd.Series([], dtype="int64"),
-                "sim_raw": pd.Series([], dtype="float64"),
-            })
-        ids = pdf["vec_id"].to_numpy(np.int64)
-        x = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
-        nrm = np.sqrt(np.einsum("ij,ij->i", x, x))
-        s = (x @ x.T) / np.outer(nrm, nrm)
-        iu, ju = np.triu_indices(m, k=1)
-        keep = s[iu, ju] >= tau
-        ia, ib = ids[iu[keep]], ids[ju[keep]]
-        lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
-        return pd.DataFrame(
-            {"id_a": lo, "id_b": hi, "sim_raw": s[iu, ju][keep]}
-        )
-
-    return (
-        banded.groupBy("band", "code")
-        .applyInPandas(score, "id_a long, id_b long, sim_raw double")
-        .groupBy("id_a", "id_b")
-        .agg(F.round(F.max("sim_raw"), 6).alias("sim"))
-    )
-
-
 def _emb_lsh_candidates(spark, sf_dir):
     """The 48x6 (τ=0.35) candidate stream over the fixture embeddings."""
     e = widen(table(spark, sf_dir, "embeddings"))
-    return _sign_lsh_pairs(e, _EMB_BANDS, _EMB_BAND_BITS, _EMB_SEED)
+    return _int_lsh_pairs(e, _EMB_BANDS, _EMB_BAND_BITS)
+
+
+_EMB_HI_MOD = 2001  # integer mix range for the plant factor / planes
+
+
+def _planes_sql(n_planes: int) -> str:
+    """The md5-derived integer hyperplane family as a DuckDB CTE — the
+    SQL replay of :func:`_int_planes` at any plane count (64-dim fixed,
+    like the fixture)."""
+    return f"""
+        planes AS (
+            SELECT d, k, (ascii(substring(h, 1, 1)) * 4096
+                          + ascii(substring(h, 2, 1)) * 256
+                          + ascii(substring(h, 3, 1)) * 16
+                          + ascii(substring(h, 4, 1))) % {_EMB_HI_MOD}
+                         - {(_EMB_HI_MOD - 1) // 2} AS p
+            FROM (
+                SELECT gd.d, gk.k,
+                       md5(CAST(gd.d AS VARCHAR) || ':'
+                           || CAST(gk.k AS VARCHAR)) AS h
+                FROM (SELECT unnest(generate_series(0, 63)) AS d) gd,
+                     (SELECT unnest(generate_series(0,
+                          {n_planes - 1})) AS k) gk
+            )
+        )"""
+
+
+def _emb_lsh_sql(bands: int, bits: int, tau: float) -> str:
+    """DuckDB replay of the integer-exact sign-LSH + float-fold rescore
+    over the raw embeddings table at a given band geometry — the
+    E-EMB-LSH-HI oracle method minus the plant, parameterized so the
+    τ=0.35 and τ=0.9 families share one SQL formulation."""
+    return f"""
+        WITH g64 AS (SELECT unnest(generate_series(0, 63)) AS d),
+        corpus AS MATERIALIZED (
+            SELECT vec_id, g64.d,
+                   CAST(floor(CAST(embedding[g64.d + 1] AS DOUBLE)
+                              * 1000000 + 0.5) AS BIGINT) AS ve6
+            FROM embeddings, g64 WHERE g64.d < len(embedding)
+        ),{_planes_sql(bands * bits)},
+        proj AS (
+            SELECT c.vec_id, p.k, sum(c.ve6 * p.p) AS s
+            FROM corpus c JOIN planes p USING (d)
+            GROUP BY 1, 2
+        ),
+        codes AS (
+            SELECT vec_id, k // {bits} AS band,
+                   CAST(sum(CASE WHEN s > 0 THEN
+                        1 << ({bits - 1} - (k % {bits}))
+                        ELSE 0 END) AS INTEGER) AS code
+            FROM proj GROUP BY 1, 2
+        ),
+        cand AS MATERIALIZED (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM codes a JOIN codes b
+                 ON a.band = b.band AND a.code = b.code
+            WHERE a.vec_id < b.vec_id
+            GROUP BY 1, 2
+        ),
+        norms AS (
+            SELECT vec_id, embedding,
+                   sqrt((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+                         FROM (SELECT unnest(embedding) AS x))) AS nrm
+            FROM embeddings
+        ),
+        scored AS (
+            SELECT c.id_a, c.id_b,
+                   (SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+                    FROM (SELECT unnest(a.embedding) AS x,
+                                 unnest(b.embedding) AS y))
+                   / a.nrm / b.nrm AS sim_raw
+            FROM cand c
+            JOIN norms a ON a.vec_id = c.id_a
+            JOIN norms b ON b.vec_id = c.id_b
+        )
+        SELECT id_a, id_b, round(sim_raw, 6) AS sim
+        FROM scored WHERE sim_raw >= {tau}
+    """
 
 
 @register(
     "E-EMB-LSH",
-    oracle=None,
+    oracle=_emb_lsh_sql(_EMB_BANDS, _EMB_BAND_BITS, _COS_TAU),
     origin="LLM",
     doc="Bucketed embedding near-dup — the scale path for "
-        "q_dedup_emb_cosine: random-hyperplane sign-band candidates "
-        f"({_EMB_BAND_BITS}-bit x {_EMB_BANDS} bands, equi join, no "
-        "cartesian) + exact double-precision cosine rescore at the same "
-        "0.35 threshold. Precision 1.0 by construction (every emitted pair "
-        "is exactly rescored); recall >= 0.9 vs the all-pairs truth "
-        "asserted in tests/test_llm.py. CAVEAT (VERDICT r6): τ=0.35 is "
-        "69.5° — sign-LSH cannot band that tightly (candidate fraction "
-        "0.53 on i.i.d. geometry, measured at 4x stress), and neither can "
-        "IVF coarse partitioning (measured recall 0.29-0.83 at fraction "
+        "q_dedup_emb_cosine: sign-band candidates from the INTEGER-EXACT "
+        f"md5-plane family ({_EMB_BAND_BITS}-bit x {_EMB_BANDS} bands, "
+        "equi join, no cartesian — the E-EMB-LSH-HI machinery at this "
+        "family's own τ=0.35 geometry; oracle-ized r11 with the same "
+        "method) + the IDENTICAL double-precision fold rescore as "
+        "q_dedup_emb_cosine, so the emitted rows are a strict subset of "
+        "that truth table (precision 1.0 by construction; recall >= 0.9 "
+        "asserted in tests/test_llm.py — measured 0.957 at 0.533 "
+        "candidate fraction). CAVEAT (VERDICT r6): τ=0.35 is 69.5° — "
+        "sign-LSH cannot band that tightly (candidate fraction 0.53 on "
+        "i.i.d. geometry, measured at 4x stress), and neither can IVF "
+        "coarse partitioning (measured recall 0.29-0.83 at fraction "
         "0.03-0.46 on this fixture — the τ=0.35 pairs here are "
         "near-random geometry, not cluster structure). This key is the "
         "fixture-bound exact-parity twin of q_dedup_emb_cosine; the "
@@ -758,9 +738,8 @@ def _emb_lsh_candidates(spark, sf_dir):
 )
 def e_emb_lsh(spark, sf_dir):
     e = widen(table(spark, sf_dir, "embeddings"))
-    return _lsh_bucket_cosine(
-        e, _EMB_BANDS, _EMB_BAND_BITS, _EMB_SEED, _COS_TAU
-    )
+    cand = _int_lsh_pairs(e, _EMB_BANDS, _EMB_BAND_BITS)
+    return _cosine_rescore(cand, e, _COS_TAU)
 
 
 # Realistic near-dup operating point: embedding near-dups in production
@@ -788,7 +767,8 @@ _EMB_HI_BANDS = 32
 _EMB_HI_BITS = 16
 _EMB_HI_AMP = 0.3
 _EMB_HI_EVERY = 5
-_EMB_HI_MOD = 2001  # integer mix range for the plant factor / planes
+# (_EMB_HI_MOD, the shared plane/plant integer mix range, is defined next
+# to _planes_sql above — both LSH families draw from the same family.)
 
 
 def _emb_hi_corpus(spark, sf_dir):
@@ -952,22 +932,7 @@ def _cosine_rescore_e6(cand, vecs, tau: float):
     )
 
 
-_EMB_HI_PLANES_SQL = f"""
-        planes AS (
-            SELECT d, k, (ascii(substring(h, 1, 1)) * 4096
-                          + ascii(substring(h, 2, 1)) * 256
-                          + ascii(substring(h, 3, 1)) * 16
-                          + ascii(substring(h, 4, 1))) % {_EMB_HI_MOD}
-                         - {(_EMB_HI_MOD - 1) // 2} AS p
-            FROM (
-                SELECT gd.d, gk.k,
-                       md5(CAST(gd.d AS VARCHAR) || ':'
-                           || CAST(gk.k AS VARCHAR)) AS h
-                FROM (SELECT unnest(generate_series(0, 63)) AS d) gd,
-                     (SELECT unnest(generate_series(0,
-                          {_EMB_HI_BANDS * _EMB_HI_BITS - 1})) AS k) gk
-            )
-        )"""
+_EMB_HI_PLANES_SQL = _planes_sql(_EMB_HI_BANDS * _EMB_HI_BITS)
 
 
 @register(
@@ -1212,8 +1177,8 @@ def _star_contract(spark, pairs, max_rounds=_CC_MAX_ROUNDS):
 @register(
     "q_dedup_cc_star",
     oracle=f"""
-        WITH RECURSIVE pairs AS ({_NGRAM_PAIRS_SQL}),
-        edges AS (
+        WITH RECURSIVE pairs AS MATERIALIZED ({_NGRAM_PAIRS_SQL}),
+        edges AS MATERIALIZED (
             SELECT id_a AS src, id_b AS dst FROM pairs
             UNION ALL
             SELECT id_b, id_a FROM pairs
@@ -1256,8 +1221,8 @@ def q_dedup_cc_star(spark, sf_dir):
 @register(
     "q_dedup_cluster",
     oracle=f"""
-        WITH RECURSIVE pairs AS ({_NGRAM_PAIRS_SQL}),
-        edges AS (
+        WITH RECURSIVE pairs AS MATERIALIZED ({_NGRAM_PAIRS_SQL}),
+        edges AS MATERIALIZED (
             SELECT id_a AS src, id_b AS dst FROM pairs
             UNION ALL
             SELECT id_b, id_a FROM pairs

@@ -330,7 +330,7 @@ _DECON_MOD = 97
 @register(
     "q_decontaminate",
     oracle=f"""
-        WITH sh AS (
+        WITH sh AS MATERIALIZED (
             SELECT doc_id,
                    unnest(list_distinct(list_transform(
                        generate_series(1, len(string_split(text,' ')) - 2),
@@ -592,7 +592,7 @@ def q_split_assign(spark, sf_dir):
 @register(
     "q_decontaminate_frac",
     oracle=f"""
-        WITH sh AS (
+        WITH sh AS MATERIALIZED (
             SELECT doc_id,
                    unnest(list_distinct(list_transform(
                        generate_series(1, len(string_split(text,' ')) - 2),
@@ -1207,7 +1207,7 @@ def q_corpus_budget_fill(spark, sf_dir):
 @register(
     "q_corpus_funnel",
     oracle="""
-        WITH sh AS (
+        WITH sh AS MATERIALIZED (
             SELECT doc_id,
                    unnest(list_distinct(list_transform(
                        generate_series(1, len(string_split(text,' ')) - 2),
@@ -1215,19 +1215,19 @@ def q_corpus_budget_fill(spark, sf_dir):
                             string_split(text,' ')[i+1] || ' ' ||
                             string_split(text,' ')[i+2]))) AS s
             FROM documents
-        ), sizes AS (
+        ), sizes AS MATERIALIZED (
             SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
-        ), inter AS (
+        ), inter AS MATERIALIZED (
             SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
             FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
             GROUP BY 1, 2
-        ), pairs AS (
+        ), pairs AS MATERIALIZED (
             SELECT id_a, id_b
             FROM inter
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE 10 * i >= 8 * (sa.n + sb.n - i)
-        ), edges AS (
+        ), edges AS MATERIALIZED (
             SELECT id_a AS src, id_b AS dst FROM pairs
             UNION ALL
             SELECT id_b, id_a FROM pairs
