@@ -271,15 +271,31 @@ _IVF_COS_SQL = (
 # Shared inverted-list build (centroids -> rounded-cosine assignment ->
 # replicated lists), textually in lockstep between the E-KNN-IVF and
 # q_emb_knn_graph oracles — both keys pin the IDENTICAL index.
+#
+# The assignment cosine runs on list_dot_product over pre-cast DOUBLE
+# lists with the per-vector norm computed ONCE in `vnorm`, not on the
+# correlated-unnest _IVF_COS_SQL form: the |vecs| x |cents| assignment
+# grid is the one pair volume here that scales quadratically-ish with
+# the corpus (centroids grow with it), and DuckDB materializes each
+# correlated unnest as a 64-row expansion PER PAIR — at the SF1 fixture
+# (20k x 2k) that is ~2.5e9 expanded rows and an exhausted spill disk
+# (r11 sweep catch). list_dot_product is the same left-to-right double
+# summation (bit-equality probed on all 400k sf0.1 assignment pairs:
+# max |diff| = 0.0), evaluated inline per row.
 _IVF_LISTS_SQL = f"""
-        cents AS (
-            SELECT vec_id AS cid, embedding AS ce FROM embeddings
+        vnorm AS MATERIALIZED (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed,
+                   sqrt({_NORM2.format(a='embedding')}) AS nrm
+            FROM embeddings
+        ), cents AS (
+            SELECT vec_id AS cid, ed AS ce, nrm AS cnrm FROM vnorm
             WHERE vec_id % {_IVF_CENTROID_MOD} = 0
         ), va AS (
-            SELECT e.vec_id, c.cid,
-                   {_IVF_COS_SQL.format(a='e.embedding', b='c.ce',
-                                        na='e.embedding', nb='c.ce')} AS csim
-            FROM embeddings e, cents c
+            SELECT v.vec_id, c.cid,
+                   round(list_dot_product(v.ed, c.ce)
+                         / v.nrm / c.cnrm, 6) AS csim
+            FROM vnorm v, cents c
         ), lists AS (
             SELECT vec_id, cid FROM (
                 SELECT *, row_number() OVER (PARTITION BY vec_id
