@@ -151,13 +151,36 @@ def q_knn_euclidean(spark, sf_dir):
 
 @register(
     "E-EMB-PIPE",
-    oracle=None,
+    oracle="""
+        WITH n AS (
+            SELECT vec_id, label, embedding,
+                   sqrt((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+                         FROM (SELECT unnest(embedding) AS x))) AS nrm
+            FROM embeddings
+        )
+        SELECT vec_id, label,
+               CASE WHEN nrm > 0 THEN
+                   round(sqrt((SELECT SUM(u * u) FROM (
+                       SELECT unnest(list_transform(embedding,
+                            x -> CAST(x AS DOUBLE) / nrm)) AS u))), 6)
+               ELSE round(nrm, 6) END AS unit_norm,
+               len(embedding) AS dim
+        FROM n
+    """,
     origin="LLM",
     doc="Embedding-pipeline scaffold: L2-normalize vectors with an Arrow "
         "pandas UDF (the batch 'model' hop — deterministic stub standing in "
         "for a real encoder), verify unit norms downstream. The Spark-side "
         "plumbing (array<float> in/out, Arrow batching, partition "
-        "parallelism) is the real deliverable; the model is a stub.",
+        "parallelism) is the real deliverable; the model is a stub. "
+        "Oracle-checked since r11: the oracle independently re-normalizes "
+        "in SQL and recomputes the downstream norm — numpy's unrolled "
+        "partial-sum norm and DuckDB's sequential SUM differ only in the "
+        "last ulp, and the recomputed unit norm is 1 ± a few ulps by "
+        "construction on both engines, so the 6-dp surface (and the "
+        "vec_id/label/dim passthrough the hash actually guards) is "
+        "engine-identical; zero vectors pass through un-normalized with "
+        "unit_norm 0 on both sides.",
 )
 def e_emb_pipe(spark, sf_dir):
     @F.pandas_udf("array<double>")
@@ -1500,24 +1523,30 @@ _KM_A2_SQL = """
                    (SELECT SUM(x * x) FROM (SELECT unnest(xe) AS x)) AS nn
             FROM ev
         ),
+        evd AS MATERIALIZED (
+            -- Pre-cast DOUBLE lists for list_dot_product: every xe
+            -- product is < 2^45 and the 64-term sum < 2^51, so the
+            -- double summation is EXACT and equals the old
+            -- CAST(int-SUM AS DOUBLE) bit-for-bit — without the
+            -- correlated unnest's 64-row-per-pair expansion that
+            -- exhausted the spill disk on the within-cluster pair grid
+            -- at SF1 (the q_dedup_emb_cosine lesson).
+            SELECT vec_id, list_transform(xe, v -> CAST(v AS DOUBLE)) AS xd
+            FROM ev
+        ),
         sims AS (
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.c,
-                   a.d2 AS d2_a, b.d2 AS d2_b,
-                   CAST((SELECT SUM(x * y)
-                         FROM (SELECT unnest(ea.xe) AS x,
-                                      unnest(eb.xe) AS y)) AS DOUBLE)
-                       / sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE))
-                       AS cos
-            FROM a2 a JOIN a2 b ON a.c = b.c AND a.vec_id < b.vec_id
-            JOIN ev ea ON ea.vec_id = a.vec_id
-            JOIN ev eb ON eb.vec_id = b.vec_id
-            JOIN n2 na ON na.vec_id = a.vec_id
-            JOIN n2 nb ON nb.vec_id = b.vec_id
-            WHERE CAST((SELECT SUM(x * y)
-                        FROM (SELECT unnest(ea.xe) AS x,
-                                     unnest(eb.xe) AS y)) AS DOUBLE)
-                  / sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE))
-                  >= {_SEM_TAU}
+            SELECT * FROM (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.c,
+                       a.d2 AS d2_a, b.d2 AS d2_b,
+                       list_dot_product(ea.xd, eb.xd)
+                           / sqrt(CAST(na.nn AS DOUBLE)
+                                  * CAST(nb.nn AS DOUBLE)) AS cos
+                FROM a2 a JOIN a2 b ON a.c = b.c AND a.vec_id < b.vec_id
+                JOIN evd ea ON ea.vec_id = a.vec_id
+                JOIN evd eb ON eb.vec_id = b.vec_id
+                JOIN n2 na ON na.vec_id = a.vec_id
+                JOIN n2 nb ON nb.vec_id = b.vec_id
+            ) WHERE cos >= {_SEM_TAU}
         ),
         verdicts AS (
             SELECT CASE WHEN d2_a > d2_b
