@@ -2009,7 +2009,7 @@ def q_dedup_prefix(spark, sf_dir):
 @register(
     "q_dedup_degree",
     oracle=f"""
-        WITH pairs AS ({_NGRAM_PAIRS_SQL}),
+        WITH pairs AS MATERIALIZED ({_NGRAM_PAIRS_SQL}),
         deg AS (
             SELECT id, CAST(count(*) AS BIGINT) AS degree
             FROM (SELECT id_a AS id FROM pairs
@@ -2077,7 +2077,7 @@ def _ngram_pairs_pinned(spark, sf_dir):
 @register(
     "q_graph_triangles",
     oracle=f"""
-        WITH pairs AS ({_NGRAM_PAIRS_SQL}),
+        WITH pairs AS MATERIALIZED ({_NGRAM_PAIRS_SQL}),
         tri AS (
             SELECT CAST(count(*) AS BIGINT) AS n_triangles
             FROM pairs e1
@@ -2190,7 +2190,7 @@ def _pr_iter_sql(prev: str, out: str) -> str:
 @register(
     "q_graph_pagerank",
     oracle=f"""
-        WITH pairs AS ({_NGRAM_PAIRS_SQL}),
+        WITH pairs AS MATERIALIZED ({_NGRAM_PAIRS_SQL}),
         sym AS (
             SELECT id_a, id_b FROM pairs
             UNION ALL
@@ -2279,7 +2279,7 @@ def q_graph_pagerank(spark, sf_dir):
 @register(
     "q_docs_dup_rate",
     oracle=f"""
-        WITH pairs AS ({_NGRAM_PAIRS_SQL}),
+        WITH pairs AS MATERIALIZED ({_NGRAM_PAIRS_SQL}),
         ids AS (
             SELECT DISTINCT unnest([id_a, id_b]) AS id FROM pairs
         ),
@@ -2323,7 +2323,7 @@ def q_docs_dup_rate(spark, sf_dir):
 @register(
     "q_dedup_crosslang",
     oracle=f"""
-        WITH pairs AS ({_NGRAM_PAIRS_SQL})
+        WITH pairs AS MATERIALIZED ({_NGRAM_PAIRS_SQL})
         SELECT la.lang AS lang_a, lb.lang AS lang_b,
                CAST(count(*) AS BIGINT) AS n_pairs,
                la.lang <> lb.lang AS is_cross_lang
