@@ -42,6 +42,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1"
+TEXT_TRANSFORM = "rotate"
 
 KEYED = {
     # table -> {column: stride_source_table}
@@ -94,6 +95,31 @@ def _rotate_text(text: str, t: int) -> str:
     return f"{out} z{t}"
 
 
+def _decimate_text(text: str, t: int) -> str:
+    """REALISTIC tiling transform (--text-transform decimate): permute
+    each tile's token list by a coprime-stride decimation i -> (i·s + t)
+    mod n. Token MULTISET (and so token/char statistics) is preserved
+    exactly like rotation, but consecutive pairs — hence 3-gram shingle
+    sets — decorrelate across tiles instead of being cyclically
+    preserved, so the corpus's near-dup rate stays the BASE fixture's
+    (one family per planted base dup group) rather than the adversarial
+    every-doc-has-9-twins structure rotation creates. Deterministic,
+    seed-free."""
+    if t == 0:
+        return text
+    import math
+
+    toks = text.split(" ")
+    n = len(toks)
+    if n > 2:
+        s = 2 + ((11 * t) % max(n - 2, 1))
+        while math.gcd(s, n) != 1:
+            s += 1
+        toks = [toks[(i * s + t) % n] for i in range(n)]
+    out = " ".join(toks)
+    return f"{out} z{t}"
+
+
 def _tile(tabs, strides, name: str, t: int) -> pa.Table:
     import numpy as np
     import pyarrow.compute as pc
@@ -114,7 +140,8 @@ def _tile(tabs, strides, name: str, t: int) -> pa.Table:
 
     if name == "documents" and t > 0:
         texts = out["text"].to_pylist()
-        rotated = [_rotate_text(x, t) for x in texts]
+        xform = _decimate_text if TEXT_TRANSFORM == "decimate" else _rotate_text
+        rotated = [xform(x, t) for x in texts]
         out = out.set_column(
             out.schema.get_field_index("text"),
             "text",
@@ -147,7 +174,15 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/xps_sf1")
     ap.add_argument("--tiles", type=int, default=10)
+    ap.add_argument(
+        "--text-transform", choices=("rotate", "decimate"), default="rotate",
+        help="documents text transform per tile: 'rotate' preserves the "
+        "cyclic shingle multiset (adversarially near-dup-heavy corpus); "
+        "'decimate' permutes tokens by a coprime stride (realistic "
+        "near-dup rate — the base fixture's planted families only)")
     args = ap.parse_args()
+    global TEXT_TRANSFORM
+    TEXT_TRANSFORM = args.text_transform
     os.makedirs(args.out, exist_ok=True)
 
     tabs = {
