@@ -1621,22 +1621,32 @@ def test_semantic_dedup_pairs_only_within_cluster(spark, queries):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
-def test_dsir_single_fact_shuffle_and_broadcast_lr(spark, queries):
-    """DSIR after the r9 conditional-sum restructure: the (doc, bucket)
-    pre-aggregate is materialized once and both histograms ride ONE
-    aggregation, so the whole plan holds exactly TWO equi joins — the
-    <=128-row log-ratio broadcast into the doc counts and the final
-    per-doc join back to documents — plus at most the 1-row totals fold
-    as a nested loop. No semi-join, no bucket-level join, no cartesian,
-    map-side combine present, no Python anywhere."""
+def test_dsir_two_arrow_passes_no_shuffle(spark, queries):
+    """DSIR after the r12 Arrow restructure: the model pass (a fixed
+    128-row per-partition histogram, driver-merged) runs at DataFrame-
+    construction time, so the RETURNED plan is exactly one Arrow scoring
+    pass over the corpus with the integer log-ratio table in the task
+    closure — one MapInPandas, no join of any kind, no aggregate, and no
+    exchange beyond the narrow-input widen repartition. Per-bigram rows
+    never leave a task."""
     plan = explain(queries["q_text_dsir"](spark, SF_MID))
     n = node_counts(plan)
     assert "CartesianProduct" not in plan
-    assert n["BroadcastHashJoin"] >= 1  # the <=128-row lr table broadcasts
-    assert n["BroadcastHashJoin"] + n["SortMergeJoin"] + n["ShuffledHashJoin"] == 2
-    assert n["BroadcastNestedLoopJoin"] <= 1  # 1-row totals fold only
-    assert "partial_count" in plan or "partial_sum" in plan  # map-side combine
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert n["MapInPandas"] == 1
+    assert (
+        n["BroadcastHashJoin"]
+        + n["SortMergeJoin"]
+        + n["ShuffledHashJoin"]
+        + n["BroadcastNestedLoopJoin"]
+        == 0
+    )
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan
+    # the only allowed exchange is widen()'s round-robin repartition of
+    # the single-row-group local fixture
+    import re
+
+    exchanges = re.findall(r"Exchange (\w+)", plan)
+    assert all(e == "RoundRobinPartitioning" for e in exchanges), exchanges
 
 
 def test_lsh_bucket_audit_never_joins(spark, queries):

@@ -490,6 +490,105 @@ _BIGRAM_LP_CTES = f"""
 """
 
 
+def _bigram_lm_scored(spark, sf_dir):
+    """Shared scorer for q_text_bigram_logprob / q_ppl_bucket.
+
+    Two linear Arrow passes over the corpus, zero shuffles, zero joins:
+
+    1. Model pass — per-partition partial Counters of char bigrams plus
+       the partition's character set (the map-side-combine shape, done in
+       Python because it IS the whole stage); collected and merged on the
+       driver. Driver state is bounded by the distinct-bigram vocabulary
+       (≤ |alphabet|^2; 114 at sf0.1) — the same broadcastability
+       assumption the previous broadcast-join formulation made. Per-term
+       integer micro-log-probs t = round(log2((n12+1)/(n1+V))·1e6) are
+       computed once per DISTINCT bigram; n1 is the first-char marginal
+       of n12 (every c1 occurrence is some bigram c1||x occurrence), so
+       no extra corpus pass exists for the unigram model.
+    2. Score pass — the t-table rides the task closure (≪ the 10 MB
+       broadcast-join threshold) and each document folds Σ t over its
+       bigrams locally; output is |docs| rows, produced with NO exchange.
+
+    Returns (doc_id, lang, n_bigrams, sum_t); consumers do the final
+    fixed-point division JVM-side so rounding semantics stay identical to
+    the oracle's. Why not pure DataFrame ops: the declarative twin
+    (explode(transform(sequence, substr)) + 3 broadcast joins) is
+    semantically identical but measured 2.0 s vs 1.0 s at sf0.1 — per-
+    char expression eval costs ~1.6 µs/bigram in codegen vs ~0.2 µs in a
+    batched Counter, and the model needs a second corpus pass either way.
+    Both passes stay linear in corpus bytes at any SF.
+    """
+    import math
+
+    d = widen(table(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "text"
+    )
+
+    def partials(it):
+        import pandas as pd
+        from collections import Counter
+
+        c: Counter = Counter()
+        chars: set = set()
+        for pdf in it:
+            for text in pdf["text"]:
+                if text is None:
+                    continue
+                chars.update(text)
+                if len(text) < 2:
+                    continue
+                prev = text[0]
+                for ch in text[1:]:
+                    c[prev + ch] += 1
+                    prev = ch
+        gs = list(c.keys()) + list(chars)
+        ns = list(c.values()) + [None] * len(chars)
+        yield pd.DataFrame({"g": gs, "n": pd.array(ns, dtype="Int64")})
+
+    n12: dict = {}
+    charset: set = set()
+    for r in d.mapInPandas(partials, "g string, n long").collect():
+        if r["n"] is None:
+            charset.add(r["g"])
+        else:
+            n12[r["g"]] = n12.get(r["g"], 0) + r["n"]
+    vsz = len(charset)
+    n1: dict = {}
+    for bg, n in n12.items():
+        n1[bg[0]] = n1.get(bg[0], 0) + n
+    t = {
+        bg: round(math.log2((n + 1) / (n1[bg[0]] + vsz)) * _LP_SCALE)
+        for bg, n in n12.items()
+    }
+
+    def score(it):
+        import pandas as pd
+
+        for pdf in it:
+            ids, langs, ns, ss = [], [], [], []
+            for doc_id, lang, text in zip(
+                pdf["doc_id"], pdf["lang"], pdf["text"]
+            ):
+                if text is None or len(text) < 2:
+                    continue
+                s = 0
+                prev = text[0]
+                for ch in text[1:]:
+                    s += t[prev + ch]
+                    prev = ch
+                ids.append(doc_id)
+                langs.append(lang)
+                ns.append(len(text) - 1)
+                ss.append(s)
+            yield pd.DataFrame(
+                {"doc_id": ids, "lang": langs, "n_bigrams": ns, "sum_t": ss}
+            )
+
+    return d.mapInPandas(
+        score, "doc_id long, lang string, n_bigrams long, sum_t long"
+    )
+
+
 @register(
     "q_text_bigram_logprob",
     oracle=f"""
@@ -505,47 +604,20 @@ _BIGRAM_LP_CTES = f"""
         "boilerplate. Per-term log-probs are fixed-pointed to 1e-6 BEFORE "
         "summing, so the per-doc aggregate is an order-independent "
         "integer sum (float addition order differs across partitionings). "
-        "The model tables are |alphabet|^2 rows — broadcast joins; the "
-        "corpus is scanned twice (model, then score), which a production "
-        "run amortizes by persisting the model.",
+        "Scale shape: see _bigram_lm_scored — two linear Arrow passes "
+        "(bounded-model partial counters, closure-scored fold), zero "
+        "shuffles, zero joins; the final division + 6-dp round runs "
+        "JVM-side on the exact integer (sum_t, n) pair so values are "
+        "bit-identical to the declarative broadcast-join formulation "
+        "(equality verified at sf0.1 before the swap).",
 )
 def q_text_bigram_logprob(spark, sf_dir):
-    d = widen(table(spark, sf_dir, "documents"))
-    pos = F.when(
-        F.length("text") >= 2, F.sequence(F.lit(1), F.length("text") - 1)
-    ).otherwise(F.array().cast("array<int>"))
-    bgs = d.select(
+    return _bigram_lm_scored(spark, sf_dir).select(
         "doc_id",
-        F.explode(
-            F.transform(pos, lambda i: F.col("text").substr(i, F.lit(2)))
-        ).alias("bg"),
-    )
-    m12 = bgs.groupBy("bg").agg(F.count(F.lit(1)).alias("n12"))
-    m1 = bgs.groupBy(F.substring("bg", 1, 1).alias("c1")).agg(
-        F.count(F.lit(1)).alias("n1")
-    )
-    v = (
-        d.select(F.explode(F.split("text", "")).alias("c"))
-        .agg(F.countDistinct("c").alias("vsz"))
-    )
-    terms = (
-        bgs.join(F.broadcast(m12), "bg")
-        .withColumn("c1", F.substring("bg", 1, 1))
-        .join(F.broadcast(m1), "c1")
-        .crossJoin(F.broadcast(v))
-        .select(
-            "doc_id",
-            F.round(
-                F.log2((F.col("n12") + 1) / (F.col("n1") + F.col("vsz")).cast("double"))
-                * _LP_SCALE,
-                0,
-            ).cast("long").alias("t"),
-        )
-    )
-    return terms.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
+        "n_bigrams",
         F.round(
-            F.sum("t").cast("double") / _LP_SCALE / F.count(F.lit(1)), 6
+            F.col("sum_t").cast("double") / _LP_SCALE / F.col("n_bigrams"),
+            6,
         ).alias("avg_logprob"),
     )
 
@@ -570,30 +642,34 @@ def q_text_bigram_logprob(spark, sf_dir):
         "so bucket assignment is deterministic on any engine/partitioning "
         "and no global sort exists (the same per-stratum window discipline "
         "as q_sample_topquality). Sub-2-char docs have no bigrams and are "
-        "excluded by the scoring join in both dialects.",
+        "excluded by the scorer in both dialects. lang rides along from "
+        "the scoring pass (_bigram_lm_scored), so no join back to "
+        "documents exists — the window shuffle on lang is the plan's only "
+        "exchange.",
 )
 def q_ppl_bucket(spark, sf_dir):
     from pyspark.sql import Window
 
-    scored = q_text_bigram_logprob(spark, sf_dir).select(
-        "doc_id", "avg_logprob"
+    scored = _bigram_lm_scored(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        F.round(
+            F.col("sum_t").cast("double") / _LP_SCALE / F.col("n_bigrams"),
+            6,
+        ).alias("avg_logprob"),
     )
-    d = table(spark, sf_dir, "documents").select("doc_id", "lang")
     w = Window.partitionBy("lang").orderBy(
         F.desc("avg_logprob"), F.col("doc_id")
     )
     tile = F.ntile(3).over(w)
-    return (
-        scored.join(d, "doc_id")
-        .select(
-            "doc_id",
-            "lang",
-            "avg_logprob",
-            F.when(tile == 1, "head")
-            .when(tile == 2, "middle")
-            .otherwise("tail")
-            .alias("ppl_bucket"),
-        )
+    return scored.select(
+        "doc_id",
+        "lang",
+        "avg_logprob",
+        F.when(tile == 1, "head")
+        .when(tile == 2, "middle")
+        .otherwise("tail")
+        .alias("ppl_bucket"),
     )
 
 
