@@ -374,58 +374,132 @@ def shingles(text_col):
     ).otherwise(F.array().cast("array<string>"))
 
 
+# Carter-Wegman MinHash family (r12, VERDICT r11 #2): h_i = (a_i·w1 +
+# b_i·w2) mod p over TWO independent 60-bit words of ONE md5 per shingle
+# (hex chars 1-15 and 16-30), p = 2^31-1. Every step is exact int64
+# arithmetic both engines compute identically (products < 2^62 — no
+# overflow even under ANSI), which is what lets the full LSH path replay
+# as a DuckDB oracle. Mixing note (the r5 lesson): the old xxhash64
+# family re-mixed a SHARED 64-bit h1 per function; this family draws on
+# 120 shared bits with per-function independent multipliers — strictly
+# better decorrelated across bands (recall gates in tests/test_llm.py
+# and the 50k-doc stress corpus re-verified on the swap).
+_MH_P = (1 << 31) - 1
+
+
+def _mh_coeffs():
+    import hashlib
+
+    def h15(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    a = [h15(f"mh-a:{i}") % (_MH_P - 1) + 1 for i in range(_N_HASHES)]
+    b = [h15(f"mh-b:{i}") % _MH_P for i in range(_N_HASHES)]
+    return a, b
+
+
+_MH_A, _MH_B = _mh_coeffs()
+_MH_ROWS = _N_HASHES // _N_BANDS
+
+
+def _minhash_lsh_sql() -> str:
+    w1 = "CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT)"
+    w2 = "CAST(concat('0x', substring(md5(s), 16, 15)) AS BIGINT)"
+    mins = ",\n                   ".join(
+        f"min((({_MH_A[i]} * (({w1}) % {_MH_P})) % {_MH_P}"
+        f" + ({_MH_B[i]} * (({w2}) % {_MH_P})) % {_MH_P}) % {_MH_P})"
+        f" AS h{i}"
+        for i in range(_N_HASHES)
+    )
+    bands = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({cat}) AS sig FROM sig".format(
+            b=b,
+            cat=" || ',' || ".join(
+                f"CAST(h{b * _MH_ROWS + r} AS VARCHAR)"
+                for r in range(_MH_ROWS)
+            ),
+        )
+        for b in range(_N_BANDS)
+    )
+    return f"""
+        WITH sh AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       generate_series(1, len(string_split(text,' ')) - 2),
+                       i -> string_split(text,' ')[i] || ' ' ||
+                            string_split(text,' ')[i+1] || ' ' ||
+                            string_split(text,' ')[i+2]))) AS s
+            FROM documents
+        ), sig AS (
+            SELECT doc_id,
+                   {mins}
+            FROM sh
+            GROUP BY doc_id
+        ), bands AS ({bands})
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.sig = b.sig
+             AND a.doc_id < b.doc_id
+    """
+
+
 @register(
     "E-MINHASH-LSH",
-    oracle=None,
+    oracle=_minhash_lsh_sql(),
     origin="LLM",
-    doc="Scalable near-dup candidates: per-doc MinHash signature from a "
-        "seeded xxhash64 family over distinct 3-word shingles, banded into "
-        f"{_N_BANDS} LSH buckets; candidate pairs share >= 1 band. "
-        "Shuffle cost is |docs| x bands, never |docs|^2 — the 100 TB path. "
-        "Recall vs exact shingle-Jaccard asserted in tests/test_llm.py.",
+    doc="Scalable near-dup candidates: per-doc MinHash signature from the "
+        "integer-exact Carter-Wegman md5 family (see _mh_coeffs) over "
+        f"distinct 3-word shingles, banded into {_N_BANDS} LSH buckets; "
+        "candidate pairs share >= 1 band. Shuffle cost is |docs| x bands, "
+        "never |docs|^2 — the 100 TB path. Oracle-ized r12 by the "
+        "E-EMB-LSH playbook: one md5 per shingle yields two independent "
+        "60-bit words, each h_i is an exact (a_i·w1 + b_i·w2) mod 2^31-1 "
+        "with per-function literal coefficients, and band signatures are "
+        "md5 over the comma-joined minima — every step replayable in "
+        "DuckDB, so the full candidate set gets a strict cross-engine "
+        "hash verdict on top of the recall gates in tests/test_llm.py "
+        "and tests/test_stress_scale.py.",
 )
 def e_minhash_lsh(spark, sf_dir):
     d = table(spark, sf_dir, "documents")
-    # widen(): shingling + 2x64-bit hashing + 32 partial mins is CPU-bound,
-    # and the local fixture parquet is a single row group (one scan task);
-    # spreading the scan output first is a measured 3x on local[32]
-    # (fresh-process medians: 6.5s -> 2.0s at sf0.1).
+    # widen(): shingling + md5 + 32 partial mins is CPU-bound, and the
+    # local fixture parquet is a single row group (one scan task);
+    # spreading the scan output first is a measured 3x on local[32].
     dt = widen(d).select("doc_id", F.explode(shingles(F.col("text"))).alias("tok"))
-    # 32 deterministic hash functions: ONE string hash per shingle
-    # (h1 = xxhash64(tok)), then h_i = xxhash64(i, h1) — a JVM long-input
-    # hash per function, so the expensive string hashing happens once and
-    # the 32 derived values are fully re-mixed. NOT a bitwise-mix family
-    # (the r5 implementation used h1 XOR rotate(h2, r_i)): sharing the
-    # same (h1, h2) ranks across all 32 functions leaves the 4 bands
-    # strongly POSITIVELY correlated — per-band match probability is the
-    # ideal J^rows, but one unlucky element wins the min in many
-    # functions at once, so P(any band matches) collapses from
-    # 1-(1-J^8)^4 = 0.9997 to a measured 0.933 at J = 0.983 (caught by
-    # tests/test_stress_scale.py at the 10x corpus; numpy simulation
-    # confirms 0.9995 ideal / 0.933 XOR-rotate / 0.9995 re-mixed).
-    # A 64-bit h1 collision merges two shingles corpus-wide — negligible
-    # for Jaccard even at trillions of distinct shingles.
-    #
-    # Deliberately explode + hash-aggregate rather than computing the
-    # signature with array higher-order functions: exploded-row xxhash64
-    # is whole-stage-codegen'd, while transform/zip_with lambdas are
-    # interpreted per element AND CollapseProject would inline the
-    # shared hash arrays into all 32 signature columns (measured 3-5x
-    # slower). The hash agg does partial (map-side) min, so the shuffle is
-    # |docs| x 32 longs, not |docs x shingles|.
-    hashed = dt.select("doc_id", F.xxhash64("tok").alias("h1"))
+    # ONE md5 per shingle; the 32 functions are multiply-add-mod over the
+    # two 60-bit words — whole-stage-codegen'd integer ops, so the
+    # expensive string hashing happens once. Deliberately explode +
+    # hash-aggregate rather than array higher-order functions: exploded-
+    # row expressions are codegen'd while transform lambdas are
+    # interpreted per element (measured 3-5x slower). The hash agg does
+    # partial (map-side) min, so the shuffle is |docs| x 32 longs, not
+    # |docs x shingles|.
+    md = F.md5("tok")
+    w1 = F.conv(F.substring(md, 1, 15), 16, 10).cast("long") % _MH_P
+    w2 = F.conv(F.substring(md, 16, 15), 16, 10).cast("long") % _MH_P
+    hashed = dt.select("doc_id", w1.alias("w1"), w2.alias("w2"))
 
     mins = hashed.groupBy("doc_id").agg(
         *[
-            F.min(F.xxhash64(F.lit(i), F.col("h1"))).alias(f"h{i}")
+            F.min(
+                (
+                    (F.lit(_MH_A[i]) * F.col("w1")) % _MH_P
+                    + (F.lit(_MH_B[i]) * F.col("w2")) % _MH_P
+                )
+                % _MH_P
+            ).alias(f"h{i}")
             for i in range(_N_HASHES)
         ]
     )
-    rows_per_band = _N_HASHES // _N_BANDS
     band_cols = [
-        F.xxhash64(
-            F.lit(b),
-            *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)],
+        F.md5(
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"h{b * _MH_ROWS + r}").cast("string")
+                    for r in range(_MH_ROWS)
+                ],
+            )
         ).alias(f"band{b}")
         for b in range(_N_BANDS)
     ]
