@@ -261,7 +261,7 @@ def test_pq_codes_stable_compressive_and_searchable(spark, queries):
     import numpy as np
 
     from xml_processor_spark.functions.llm_vectors import (
-        _PQ_M, _pq_train, _PQ_K, _PQ_ITERS, _PQ_SAMPLE,
+        _PQ_M, _pq_quantize, _pq_train, _PQ_K, _PQ_ITERS, _PQ_SAMPLE,
     )
     from xml_processor_spark.io import table
 
@@ -278,13 +278,21 @@ def test_pq_codes_stable_compressive_and_searchable(spark, queries):
         .select("vec_id", "embedding").toPandas()
         .sort_values("vec_id").reset_index(drop=True)
     )
-    vecs = np.vstack(vec_pdf["embedding"].to_numpy()).astype(np.float64)
+    # All fidelity math runs on the engine's exact 1e-3 integer grid —
+    # the grid IS the operator's input space since the r12 oracle-ization
+    # (quantization error is 16x under a 4-bit-code quantizer's floor,
+    # so the MSE/recall properties are unchanged in substance).
+    vecs = _pq_quantize(
+        np.vstack(vec_pdf["embedding"].to_numpy())
+    ).astype(np.float64)
     ids = vec_pdf["vec_id"].to_numpy()
     # Rebuild the codebooks exactly as the operator does (deterministic).
     order = np.argsort(
         [__import__("hashlib").md5(str(i).encode()).hexdigest() for i in ids]
     )[:_PQ_SAMPLE]
-    books = _pq_train(vecs[order], _PQ_M, _PQ_K, _PQ_ITERS)
+    books = _pq_train(
+        vecs[order].astype(np.int64), _PQ_M, _PQ_K, _PQ_ITERS
+    ).astype(np.float64)
     d_sub = vecs.shape[1] // _PQ_M
     codes = (
         a.pivot(index="vec_id", columns="m", values="code")

@@ -677,8 +677,21 @@ _PCA_K = 8  # components kept
         "scalars only (the r3 canonicalizer lesson). Sign convention: "
         "each eigenvector's largest-|coord| entry is made positive, so "
         "the result is deterministic despite eigenvector sign ambiguity. "
-        "tests/test_llm.py asserts orthonormality, variance-capture vs a "
-        "local eigensolve, and stability under repartition.",
+        "WHY rows-only (the VERDICT r11 #3 question, answered negative): "
+        "oracle SQL strings are static — generated at import with no "
+        "data access — and the eigenbasis is a data-dependent runtime "
+        "artifact of LAPACK's iterative eigensolve, so no fixed SQL can "
+        "replay the projection. The E-EMB-PQ conversion (unrolled exact-"
+        "integer Lloyd) does not transfer: Lloyd's steps are argmin + "
+        "rounded mean (closed under the integer grid), while subspace "
+        "iteration needs a NORMALIZATION (QR / vector norm) every step — "
+        "an integer sqrt whose rounding error feeds back into the "
+        "iterate, so grid-exactness cannot be preserved across ~20 "
+        "iterations. The pipeline's verifiable parts ARE verified: the "
+        "mean/Gram inputs are the hash-checked q_emb_gram/q_emb_variance "
+        "paths, and tests/test_llm.py pins the eigenbasis-invariant "
+        "outputs (orthonormality, variance-capture vs a local "
+        "eigensolve, stability under repartition).",
 )
 def e_emb_pca(spark, sf_dir):
     import numpy as np
@@ -758,26 +771,49 @@ _PQ_SAMPLE = 1024  # codebook training sample (driver-side, bounded)
 _PQ_ITERS = 10   # Lloyd iterations
 
 
-def _pq_train(sample, m, k, iters):
-    """Deterministic per-subspace Lloyd k-means on the driver.
+def _pq_half_away(v):
+    """Round half away from zero — DuckDB round(DOUBLE) / Spark F.round
+    semantics (numpy's own round is banker's and would flip grid ties)."""
+    import numpy as np
 
-    `sample` is (n, dim) float64 in content-hash order; init takes the
-    first k DISTINCT rows per subspace (duplicate sub-vectors among the
-    head of the sample would seed duplicate centroids that persist
-    forever — argmin ties go low, empty clusters keep their centroid —
-    silently wasting codebook capacity; ADVICE r5), cycling the distinct
-    rows if fewer than k exist. Ties in assignment break to the lowest
-    centroid index (numpy argmin), and empty clusters keep their previous
-    centroid — every step is deterministic, so the codebook (and
-    therefore every assigned code) is reproducible across runs/executors.
+    return np.sign(v) * np.floor(np.abs(v) + 0.5)
+
+
+def _pq_quantize(mat):
+    """float embeddings → exact 1e-3 integer grid (cast to float64 FIRST —
+    the q_emb_variance float32-arithmetic lesson)."""
+    import numpy as np
+
+    return _pq_half_away(mat.astype(np.float64) * 1000).astype(np.int64)
+
+
+def _pq_train(sample_q, m, k, iters):
+    """Deterministic per-subspace Lloyd k-means on the driver — on the
+    exact 1e-3 INTEGER grid (r12, VERDICT r11 #4), which is what lets the
+    whole training replay as unrolled SQL CTEs in the DuckDB oracle.
+
+    `sample_q` is (n, dim) int64 (quantized, content-hash order); init
+    takes the first k DISTINCT rows per subspace (duplicate sub-vectors
+    among the head of the sample would seed duplicate centroids that
+    persist forever — argmin ties go low, empty clusters keep their
+    centroid — silently wasting codebook capacity; ADVICE r5), cycling
+    the distinct rows if fewer than k exist. Ties in assignment break to
+    the lowest centroid index (numpy argmin), empty clusters keep their
+    previous centroid, and the centroid update is the HALF-AWAY-ROUNDED
+    mean back onto the same integer grid: round(Σq/n) with Σq an exact
+    int64 sum and the division an IEEE double op both engines compute
+    identically (Σq < 2^53). Distances are exact int64 (≤ 4·(2·10^6)²
+    per subspace — far under overflow) — every step is deterministic
+    AND engine-portable, so the codebook and every assigned code
+    hash-match the SQL replay.
     """
     import numpy as np
 
-    n, dim = sample.shape
+    n, dim = sample_q.shape
     d_sub = dim // m
-    books = np.empty((m, k, d_sub))
+    books = np.empty((m, k, d_sub), dtype=np.int64)
     for mi in range(m):
-        x = sample[:, mi * d_sub:(mi + 1) * d_sub]
+        x = sample_q[:, mi * d_sub:(mi + 1) * d_sub]
         # first-k-distinct init, preserving sample order
         _, first_idx = np.unique(x, axis=0, return_index=True)
         distinct = x[np.sort(first_idx)]
@@ -788,14 +824,104 @@ def _pq_train(sample, m, k, iters):
             for ci in range(k):
                 mask = assign == ci
                 if mask.any():
-                    cent[ci] = x[mask].mean(axis=0)
+                    s = x[mask].sum(axis=0).astype(np.float64)
+                    cent[ci] = _pq_half_away(s / mask.sum()).astype(
+                        np.int64
+                    )
         books[mi] = cent
     return books
 
 
+_PQ_DSUB = 4  # fixture dim=64 / _PQ_M (the q_emb_gram dim constraint)
+
+
+def _pq_oracle_sql() -> str:
+    """Full SQL replay of the PQ pipeline (the E-EMB-LSH-HI method,
+    extended to an ITERATIVE trainer): md5-ordered 1024-row sample →
+    first-k-distinct cycled init → 10 unrolled Lloyd iterations on the
+    exact 1e-3 integer grid (arg_min with the tie-folding key d2·K + c ≡
+    lowest-index argmin; empty clusters carry the previous centroid via
+    LEFT JOIN) → final code assignment over all vectors. Every CTE that
+    is referenced more than once is MATERIALIZED — without it DuckDB
+    re-inlines cent{t-1} into both its consumers and the 10-deep chain
+    goes exponential (the q_corpus_funnel lesson)."""
+    ds = _PQ_DSUB
+
+    def qcols(src):
+        return ", ".join(
+            f"CAST(round(CAST({src}[m*{ds} + {d + 1}] AS DOUBLE) * 1000)"
+            f" AS BIGINT) AS q{d}"
+            for d in range(ds)
+        )
+
+    def d2(a, b):
+        return " + ".join(
+            f"({a}.q{d} - {b}.q{d}) * ({a}.q{d} - {b}.q{d})"
+            for d in range(ds)
+        )
+
+    qs = ", ".join(f"q{d}" for d in range(ds))
+    parts = [f"""
+        WITH samp AS MATERIALIZED (
+            SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                      vec_id) - 1 AS rn, embedding
+            FROM (SELECT vec_id, embedding FROM embeddings
+                  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                  LIMIT {_PQ_SAMPLE})
+        ), xs AS MATERIALIZED (
+            SELECT s.rn, g.m, {qcols("s.embedding")}
+            FROM samp s, generate_series(0, {_PQ_M - 1}) g(m)
+        ), firsts AS (
+            SELECT m, {qs}, min(rn) AS frn FROM xs GROUP BY ALL
+        ), ranked AS (
+            SELECT m, {qs},
+                   row_number() OVER (PARTITION BY m ORDER BY frn) - 1 AS di,
+                   count(*) OVER (PARTITION BY m) AS nd
+            FROM firsts
+        ), cent0 AS MATERIALIZED (
+            SELECT r.m, g.c, {", ".join(f"r.q{d}" for d in range(ds))}
+            FROM generate_series(0, {_PQ_K - 1}) g(c)
+            JOIN ranked r ON r.di = g.c % r.nd
+        )"""]
+    for t in range(1, _PQ_ITERS + 1):
+        p = f"cent{t - 1}"
+        parts.append(f""", asg{t} AS MATERIALIZED (
+            SELECT xs.rn, xs.m,
+                   arg_min(cc.c, ({d2("xs", "cc")}) * {_PQ_K} + cc.c) AS c
+            FROM xs JOIN {p} cc ON cc.m = xs.m
+            GROUP BY xs.rn, xs.m
+        ), sums{t} AS MATERIALIZED (
+            SELECT a.m, a.c,
+                   {", ".join(f"sum(xs.q{d}) AS s{d}" for d in range(ds))},
+                   count(*) AS n
+            FROM xs JOIN asg{t} a ON a.rn = xs.rn AND a.m = xs.m
+            GROUP BY a.m, a.c
+        ), cent{t} AS MATERIALIZED (
+            SELECT p.m, p.c,
+                   {", ".join(
+                       f"CASE WHEN s.n IS NULL THEN p.q{d} ELSE "
+                       f"CAST(round(CAST(s.s{d} AS DOUBLE) / s.n) AS BIGINT)"
+                       f" END AS q{d}"
+                       for d in range(ds)
+                   )}
+            FROM {p} p LEFT JOIN sums{t} s ON s.m = p.m AND s.c = p.c
+        )""")
+    parts.append(f""", av AS MATERIALIZED (
+            SELECT e.vec_id, g.m, {qcols("e.embedding")}
+            FROM embeddings e, generate_series(0, {_PQ_M - 1}) g(m)
+        )
+        SELECT av.vec_id, av.m,
+               CAST(arg_min(cc.c, ({d2("av", "cc")}) * {_PQ_K} + cc.c)
+                    AS INTEGER) AS code
+        FROM av JOIN cent{_PQ_ITERS} cc ON cc.m = av.m
+        GROUP BY av.vec_id, av.m
+    """)
+    return "".join(parts)
+
+
 @register(
     "E-EMB-PQ",
-    oracle=None,
+    oracle=_pq_oracle_sql(),
     origin="LLM",
     doc=f"Product quantization (PQ) — the ANN memory-compression scale "
         f"path: {_PQ_M} subspaces x {_PQ_K} centroids = 4-bit codes per "
@@ -805,12 +931,16 @@ def _pq_train(sample, m, k, iters):
         "orders. Codebooks train driver-side with "
         f"deterministic Lloyd k-means on a content-hash-ordered {_PQ_SAMPLE}"
         "-vector sample (bounded driver memory — codebook size is "
-        "M*K*d floats, independent of table rows), broadcast as a closure "
+        "M*K*d ints, independent of table rows), broadcast as a closure "
         "literal, and codes assign via one Arrow-batched numpy argmin pass "
-        "(zero shuffle, scan-parallel). Long-form scalar output "
-        "(vec_id, m, code); tests/test_llm.py asserts repartition "
-        "stability, reconstruction MSE well under signal energy, and "
-        "ADC (asymmetric-distance) top-k recall against exact cosine.",
+        "(zero shuffle, scan-parallel). Oracle-ized r12: training runs on "
+        "the exact 1e-3 integer grid (see _pq_train) so the ENTIRE "
+        "pipeline — sample order, init, 10 Lloyd iterations, assignment — "
+        "replays as unrolled SQL CTEs and the codes hash-match DuckDB. "
+        "Long-form scalar output (vec_id, m, code); tests/test_llm.py "
+        "asserts repartition stability, reconstruction MSE well under "
+        "signal energy, and ADC (asymmetric-distance) top-k recall "
+        "against exact cosine.",
 )
 def e_emb_pq(spark, sf_dir):
     import numpy as np
@@ -824,15 +954,17 @@ def e_emb_pq(spark, sf_dir):
         .limit(_PQ_SAMPLE)
         .collect()
     )
-    sample = np.array([r["embedding"] for r in sample_rows], dtype=np.float64)
-    books = _pq_train(sample, _PQ_M, _PQ_K, _PQ_ITERS)
-    d_sub = sample.shape[1] // _PQ_M
+    sample_q = _pq_quantize(
+        np.array([r["embedding"] for r in sample_rows], dtype=np.float64)
+    )
+    books = _pq_train(sample_q, _PQ_M, _PQ_K, _PQ_ITERS)
+    d_sub = sample_q.shape[1] // _PQ_M
 
     import pandas as pd
 
     def assign(batches):
         for pdf in batches:
-            mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            mat = _pq_quantize(np.vstack(pdf["embedding"].to_numpy()))
             n = len(pdf)
             codes = np.empty((n, _PQ_M), dtype=np.int32)
             for mi in range(_PQ_M):
