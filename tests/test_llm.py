@@ -467,3 +467,55 @@ def test_corpus_funnel_monotone_and_consistent(spark, queries):
     assert vals[1] == len(keepers)
     assert vals[2] == len(roots & keepers)
     assert vals[3] == len(roots & keepers & keep)
+
+
+def test_duckdb_list_dot_product_bit_equals_spark_fold(spark):
+    """ADVICE r11: the E-EMB-LSH / q_dedup_emb_cosine oracles assume
+    DuckDB's list_dot_product is bit-identical to the engine's sequential
+    zip_with/aggregate fold. That held on every probed pair of the
+    current build (max |diff| 0.0), but list_dot_product's summation
+    order is an implementation detail — a DuckDB upgrade that
+    vectorizes/FMAs it could reintroduce last-ulp flakes at the τ
+    threshold / 6-dp round. This probe fails LOUDLY on such an upgrade:
+    it compares the two formulations bit-for-bit on every adjacent
+    embedding pair of the small fixture."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from xml_processor_spark.functions.llm_vectors import _dot
+    from xml_processor_spark.io import table
+
+    e = table(spark, SF_SMALL, "embeddings")
+    a = e.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"))
+    b = e.select((F.col("vec_id") - 1).alias("ia"),
+                 F.col("embedding").alias("eb"))
+    spark_rows = (
+        a.join(b, "ia")
+        .select("ia", _dot(F.col("ea"), F.col("eb")).alias("d"))
+        .collect()
+    )
+    spark_dots = {r["ia"]: r["d"] for r in spark_rows}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{SF_SMALL}/embeddings.parquet')"
+    )
+    duck_rows = con.execute("""
+        SELECT a.vec_id,
+               list_dot_product(
+                   list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                   list_transform(b.embedding, x -> CAST(x AS DOUBLE))) AS d
+        FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+    """).fetchall()
+    assert len(duck_rows) == len(spark_dots) > 0
+    bad = [
+        (vid, d, spark_dots[vid])
+        for vid, d in duck_rows
+        if d != spark_dots[vid]
+    ]
+    assert not bad, (
+        f"duckdb {duckdb.__version__}: list_dot_product no longer "
+        f"bit-equals the sequential fold on {len(bad)} pairs "
+        f"(first: {bad[:3]}) — re-derive the emb oracles' float "
+        "discipline before trusting hash verdicts"
+    )

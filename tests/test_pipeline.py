@@ -108,6 +108,30 @@ def test_xmlreader_rejects_preamble_with_rowtag_prefix(spark, tmp_path):
     assert not any("orders" in r.split(">", 1)[0] for r in recs)
 
 
+def test_xmlreader_accepts_self_closing_rowtag(spark, tmp_path):
+    """ADVICE r11: attribute-only XML rows legitimately serialize as
+    self-closing elements (<order okey="1"/> or bare <order/>), and
+    spark-xml-style readers accept them — the reader must emit them as
+    records (closed at their own '/>'), intermixed with paired-tag rows,
+    without admitting prefix-sharing preambles."""
+    from xml_processor_spark.plans.pipeline import _XMLReader
+
+    f = tmp_path / "orders.xml"
+    f.write_text(
+        '<orders><order okey="1"/><order okey="2">'
+        "<status>O</status></order><order/></orders>\n"
+    )
+    out = _XMLReader.apply(
+        spark, None, {"path": str(f), "rowTag": "order"}
+    )
+    recs = sorted(r.record for r in out.collect())
+    assert recs == [
+        '<order okey="1"/>',
+        '<order okey="2"><status>O</status></order>',
+        "<order/>",
+    ]
+
+
 def test_transform_cannot_be_source_and_source_cannot_be_mid():
     from xml_processor_spark.plans.pipeline import (
         Pipeline,

@@ -93,6 +93,29 @@ def connect_duckdb(sf_dir: str) -> duckdb.DuckDBPyConnection:
     cap_gb = max(1, int(min(48.0, total_gb * 0.5)))
     spill = f"/tmp/xps_duck_spill_{_os.getpid()}"
     _os.makedirs(spill, exist_ok=True)
+    # ADVICE r11: remove the spill dir on interpreter exit (clean or
+    # crashed-past-atexit) so repeated/killed sweeps don't accumulate
+    # stale dirs; also sweep siblings whose owning pid is gone. Only
+    # this process's dir and provably-dead peers are touched — live
+    # concurrent sweeps keep their pid-keyed isolation.
+    import atexit as _atexit
+    import glob as _glob
+    import shutil as _shutil
+
+    _atexit.register(_shutil.rmtree, spill, True)
+    for stale in _glob.glob("/tmp/xps_duck_spill_*"):
+        try:
+            pid = int(stale.rsplit("_", 1)[-1])
+        except ValueError:
+            continue
+        if pid == _os.getpid():
+            continue
+        try:
+            _os.kill(pid, 0)  # raises if no such process
+        except ProcessLookupError:
+            _shutil.rmtree(stale, ignore_errors=True)
+        except PermissionError:
+            pass  # live process owned by someone else — leave it
     con.execute(f"SET memory_limit='{cap_gb}GB'")
     con.execute(f"SET temp_directory='{spill}'")
     for t in TABLES:

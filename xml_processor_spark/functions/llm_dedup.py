@@ -121,6 +121,14 @@ _TAU_NUM, _TAU_DEN = 95, 100
             WHERE {_TAU_DEN} * i >= {_TAU_NUM} * (na + nb - i)
         )
         SELECT * FROM within UNION ALL SELECT * FROM cross_pairs
+        -- Guard anchor (ADVICE r11): the CROSS JOIN inside cand only
+        -- evaluates guard when candpairs is non-empty; this branch forces
+        -- the guard aggregate (and its error()) to run regardless —
+        -- ok = 1 when sizes are in range, so it never emits a row.
+        UNION ALL
+        SELECT CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+               CAST(NULL AS DOUBLE)
+        WHERE (SELECT min(ok) FROM guard) = 0
     """,
     origin="LLM",
     doc="Near-dup pairs: token-set Jaccard >= 0.95, integer-exact "

@@ -170,31 +170,38 @@ class _XMLReader:
         txt = spark.read.text(props["path"]).withColumn(
             "fileName", F.input_file_name()
         )
-        # One record per <tag>...</tag> occurrence per line (the fixture
-        # writes one document per line; a multi-line XML file would use
-        # wholetext=true — same algebra). The keep-filter uses the SAME
-        # boundary discipline as the split lookahead (<tag> or <tag␣ —
-        # never the bare '<{tag}%' prefix, which would admit a preamble
-        # like '<orders>' when rowTag is 'order'). Assumption, matching
-        # the Hadoop XmlInputFormat contract: rowTag elements do NOT
-        # nest inside themselves — substring_index cuts at the FIRST
-        # closing tag, so a nested same-name child would truncate the
-        # record.
+        # One record per <tag>...</tag> or self-closing <tag/> /
+        # <tag ... /> occurrence per line (the fixture writes one document
+        # per line; a multi-line XML file would use wholetext=true — same
+        # algebra). The keep-filter uses the SAME boundary discipline as
+        # the split lookahead (<tag>, <tag␣, or <tag/ — never the bare
+        # '<{tag}%' prefix, which would admit a preamble like '<orders>'
+        # when rowTag is 'order'; ADVICE r11 added the self-closing form,
+        # which attribute-only XML rows legitimately produce and
+        # spark-xml-style readers accept). Assumptions, matching the
+        # Hadoop XmlInputFormat contract: rowTag elements do NOT nest
+        # inside themselves (substring_index cuts at the FIRST closing
+        # tag) and attribute values do not contain a literal '>'.
         rec = F.explode(
             F.expr(
-                f"filter(split(value, '(?=<{tag}[ >])'), "
-                f"x -> x like '<{tag}>%' OR x like '<{tag} %')"
+                f"filter(split(value, '(?=<{tag}[ >/])'), "
+                f"x -> x like '<{tag}>%' OR x like '<{tag} %' "
+                f"OR x like '<{tag}/>%')"
             )
         ).alias("rec")
-        return (
-            txt.select("fileName", rec)
-            .select(
-                "fileName",
-                F.concat(
-                    F.substring_index(F.col("rec"), f"</{tag}>", 1),
-                    F.lit(f"</{tag}>"),
-                ).alias("record"),
+        # Self-closing records end at their first '>' (the head before it
+        # ends with '/'); paired records end at the first closing tag.
+        head = F.substring_index(F.col("rec"), ">", 1)
+        record = F.when(
+            head.endswith("/"), F.concat(head, F.lit(">"))
+        ).otherwise(
+            F.concat(
+                F.substring_index(F.col("rec"), f"</{tag}>", 1),
+                F.lit(f"</{tag}>"),
             )
+        )
+        return txt.select("fileName", rec).select(
+            "fileName", record.alias("record")
         )
 
 
