@@ -708,3 +708,150 @@ def test_knn_graph_finds_planted_neighbors_at_4x(spark, queries, stress_dir):
     )
     recall = hits / _N_DUP_VECS
     assert recall >= 0.9, f"planted-pair rank-1 recall {recall:.2f} at 4x"
+
+
+# 16x streaming replay (VERDICT r11 #7): the E-DEDUP-TTL bounded-state and
+# E-STREAM-JOIN watermark-bound claims held at fixture scale only. This
+# corpus tiles the sf0.01 user<30 events 16x ALONG THE TIME AXIS (each
+# tile shifted past the last by the base span + 1h), so a 32-bucket replay
+# advances the watermark 32 times over a 16x-longer stream — exactly the
+# regime where unbounded state would grow ∝ stream length while
+# watermark-bounded state stays ∝ bucket volume.
+STREAM16_DIR = "/tmp/xps_stream16x"
+_STREAM_TILES = 16
+_STREAM_BUCKETS = 32
+
+
+@pytest.fixture(scope="module")
+def stream16_df(spark):
+    from pyspark.sql import functions as F
+
+    from xml_processor_spark.io import table
+
+    base = (
+        table(spark, "/root/testdata/sf0.01", "events")
+        .filter(F.col("user_id") < 30)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+    b = base.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi"),
+        F.max("event_id").alias("mx"),
+    ).collect()[0]
+    span_sec = int((b.hi - b.lo).total_seconds()) + 3600
+    stride = b.mx + 1
+    tiles = spark.range(_STREAM_TILES).select(F.col("id").alias("t"))
+    return base.crossJoin(tiles).select(
+        (F.col("event_id") + F.col("t") * stride).alias("event_id"),
+        (
+            F.col("ts")
+            + (F.col("t") * span_sec).cast("string").cast("interval second")
+        ).alias("ts"),
+        "user_id", "event_type", "value",
+    )
+
+
+@pytest.mark.slow
+def test_dedup_ttl_state_bounded_at_16x(spark, stream16_df):
+    """dropDuplicatesWithinWatermark over the 16x time-tiled replay: the
+    output must equal batch-distinct despite the inline duplicate channel,
+    and the state store must stay bucket-sized (watermark-bounded) — max
+    per-trigger state rows < 1/8 of the streamed volume, where unbounded
+    streaming dropDuplicates would hold ALL ~33k keys at the tail."""
+    from pyspark.sql import functions as F
+
+    from xml_processor_spark.streaming.replay import (
+        read_replay_stream, run_to_memory, write_replay_files,
+    )
+
+    ev = stream16_df
+    inline_dup = ev.filter(F.col("event_id") % 7 == 0)
+    streamed = ev.unionAll(inline_dup)
+    n_streamed = streamed.count()
+    n_distinct = ev.count()
+    src = write_replay_files(streamed, n_buckets=_STREAM_BUCKETS)
+    out = (
+        read_replay_stream(spark, src)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id")
+    )
+    got = run_to_memory(out, "ttl16_sink", "append")
+    assert got.count() == n_distinct, "TTL dedup output != batch distinct"
+    states = spark._xps_stream_state_rows
+    assert states, "no state metrics captured"
+    peak = max(states)
+    assert peak < n_streamed / 8, (
+        f"dedup state peaked at {peak} of {n_streamed} streamed rows — "
+        "not watermark-bounded"
+    )
+
+
+@pytest.mark.slow
+def test_stream_join_state_bounded_at_16x(spark, stream16_df):
+    """The purchases-views interval join over the 16x replay: output must
+    equal the batch interval join, and BOTH sides' retained state must
+    stay within the watermark horizon — max per-trigger total state rows
+    < 1/4 of the joined input volume, where a join without watermark
+    bounds retains every row seen."""
+    from pyspark.sql import functions as F
+
+    from xml_processor_spark.streaming.replay import (
+        read_replay_stream, run_to_memory, write_replay_files,
+    )
+
+    ev = stream16_df
+    src = write_replay_files(ev, n_buckets=_STREAM_BUCKETS)
+    purchases = (
+        read_replay_stream(spark, src)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    views = (
+        read_replay_stream(spark, src)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "2 hours")
+    )
+    joined = purchases.join(
+        views,
+        F.expr(
+            "p_user = v_user AND v_ts <= p_ts "
+            "AND v_ts >= p_ts - INTERVAL 1 HOUR"
+        ),
+        "inner",
+    ).select("purchase_id", "view_id")
+    got = run_to_memory(joined, "sj16_sink", "append")
+
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"),
+    )
+    batch = p.join(
+        v,
+        F.expr(
+            "p_user = v_user AND v_ts <= p_ts "
+            "AND v_ts >= p_ts - INTERVAL 1 HOUR"
+        ),
+    )
+    n_in = p.count() + v.count()
+    assert got.count() == batch.count(), "stream join != batch interval join"
+    states = spark._xps_stream_state_rows
+    assert states, "no state metrics captured"
+    peak = max(states)
+    assert peak < n_in / 4, (
+        f"join state peaked at {peak} of {n_in} input rows — "
+        "not watermark-bounded"
+    )
