@@ -44,6 +44,9 @@ def main() -> None:
                     help="keys to exclude (e.g. ground-truth-replay oracles "
                     "whose DuckDB side is deliberately brute force and "
                     "runs minutes at SF1 — paired separately)")
+    ap.add_argument("--keys", nargs="*", default=None,
+                    help="explicit key list — overrides the volume-subset "
+                    "selection (r12: per-key watchlist pairing)")
     args = ap.parse_args()
 
     base = {}
@@ -52,7 +55,11 @@ def main() -> None:
         if line.startswith("{"):
             base = json.loads(line)["queries"]
             break
-    volume = sorted(k for k, v in base.items() if v >= VOLUME_CUTOFF)
+    volume = (
+        args.keys
+        if args.keys
+        else sorted(k for k, v in base.items() if v >= VOLUME_CUTOFF)
+    )
 
     queries, oracles = get_queries(), get_oracles()
     spark = build_session("bench_sf1")

@@ -1613,11 +1613,13 @@ _SIG_SHINGLE_CTE = """
     origin="LLM",
     doc="MinHash signature build, oracle-checked: per document the min of "
         f"a seeded md5 family ({_SIG_SEEDS} seeds) over its distinct 3-word "
-        "shingles. The portable (md5) twin of E-MINHASH-LSH's xxhash64 "
-        "signature stage — same shingle set, same min-per-seed shape — so "
-        "the production LSH path's hardest step (signature aggregation "
-        "with map-side partial mins, one shuffle proportional to |docs|) "
-        "gets a strict cross-engine hash verdict, not just a recall test. "
+        "shingles. The seeded-md5 twin of E-MINHASH-LSH's signature stage "
+        "(same shingle set, same min-per-seed shape; since r12 BOTH are "
+        "fully oracle-checked — this key pins the simpler full-rehash "
+        "family, the engine key the Carter-Wegman one), so the production "
+        "LSH path's hardest step (signature aggregation with map-side "
+        "partial mins, one shuffle proportional to |docs|) is "
+        "hash-verified in two independent formulations. "
         "Docs shorter than the shingle width have no signature row in "
         "either engine (empty shingle set), mirroring the LSH behavior.",
 )

@@ -406,14 +406,26 @@ _KNN_GRAPH_K = 3  # neighbors kept per vector
             SELECT DISTINCT a.vec_id AS src_id, b.vec_id AS nbr_id
             FROM lists a JOIN lists b ON a.cid = b.cid
             WHERE a.vec_id <> b.vec_id
+        ),
+        -- Per-VECTOR norms, computed once (r12): the per-pair correlated
+        -- unnest form recomputed both norms for every candidate pair —
+        -- 2/3 of the pair work, redundant by a factor of the list
+        -- occupancy. Same fold, same values; list_dot_product is the
+        -- bit-equality-probed twin of the sequential pair dot (pinned by
+        -- tests/test_llm.py::test_duckdb_list_dot_product_bit_equals_…).
+        pnorms AS MATERIALIZED (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed,
+                   sqrt((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+                         FROM (SELECT unnest(embedding) AS x))) AS nrm
+            FROM embeddings
         ), scored AS (
             SELECT c.src_id, c.nbr_id,
-                   {_IVF_COS_SQL.format(a='ea.embedding', b='eb.embedding',
-                                        na='ea.embedding',
-                                        nb='eb.embedding')} AS sim
+                   round(list_dot_product(ea.ed, eb.ed)
+                         / ea.nrm / eb.nrm, 6) AS sim
             FROM cand c
-            JOIN embeddings ea ON ea.vec_id = c.src_id
-            JOIN embeddings eb ON eb.vec_id = c.nbr_id
+            JOIN pnorms ea ON ea.vec_id = c.src_id
+            JOIN pnorms eb ON eb.vec_id = c.nbr_id
         )
         SELECT src_id, nbr_id, sim, rn AS rank
         FROM (SELECT *, row_number() OVER (PARTITION BY src_id
@@ -451,11 +463,18 @@ def q_emb_knn_graph(spark, sf_dir):
         .select("src_id", "nbr_id")
         .distinct()
     )
+    # Per-VECTOR norms computed once (r12): recomputing both norms per
+    # candidate pair was 2/3 of the scoring work, redundant by a factor
+    # of the list occupancy — same sqrt(fold), identical values.
     ea = widen(table(spark, sf_dir, "embeddings")).select(
-        F.col("vec_id").alias("src_id"), F.col("embedding").alias("ea")
+        F.col("vec_id").alias("src_id"),
+        F.col("embedding").alias("ea"),
+        F.sqrt(_norm2(F.col("embedding"))).alias("na"),
     )
     eb = table(spark, sf_dir, "embeddings").select(
-        F.col("vec_id").alias("nbr_id"), F.col("embedding").alias("eb")
+        F.col("vec_id").alias("nbr_id"),
+        F.col("embedding").alias("eb"),
+        F.sqrt(_norm2(F.col("embedding"))).alias("nb"),
     )
     scored = (
         cand.join(ea, "src_id")
@@ -463,9 +482,7 @@ def q_emb_knn_graph(spark, sf_dir):
         .select(
             "src_id", "nbr_id",
             r6(
-                _dot(F.col("ea"), F.col("eb"))
-                / F.sqrt(_norm2(F.col("ea")))
-                / F.sqrt(_norm2(F.col("eb")))
+                _dot(F.col("ea"), F.col("eb")) / F.col("na") / F.col("nb")
             ).alias("sim"),
         )
     )
