@@ -340,16 +340,20 @@ def test_tpch_q19_disjunction_keeps_hash_join(spark, queries):
     assert "HashJoin" in plan
 
 
-def test_tpch_q21_double_exists_all_hash_joins(spark, queries):
-    """Q21's EXISTS + NOT EXISTS must both decorrelate to semi/anti hash
-    joins on l_orderkey (the inner NOT EXISTS re-joins orders internally
-    precisely so its only outer correlation is an equality) — a per-row
-    subquery or nested loop here would be quadratic in lineitem."""
+def test_tpch_q21_single_lineitem_aggregate(spark, queries):
+    """Q21 after the r12 algebraic rewrite: the EXISTS/NOT-EXISTS pair is
+    folded into ONE per-order distinct-supplier aggregate over the
+    F-status lines, so the plan must hold no semi/anti join and no
+    nested loop — just the fl⋈ostat equi join (plus supplier), with the
+    two count-distincts sharing a single Expand-based aggregate. A
+    regression back to per-row subqueries or a third lineitem scan would
+    triple the dominant shuffle at 100 TB."""
     plan = explain(queries["q_tpch_q21"](spark, SF_MID))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "LeftAnti" in plan
-    assert "LeftSemi" in plan or "ExistenceJoin" in plan
+    assert "LeftAnti" not in plan and "LeftSemi" not in plan
+    assert "Expand" in plan  # the two-distinct aggregate
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
 
 
 def test_tpch_q13_single_custkey_shuffle(spark, queries):

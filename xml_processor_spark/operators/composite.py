@@ -440,22 +440,38 @@ _Q17_SQL = """
       AND CAST(round(l_quantity) AS BIGINT) * 5 * cq < sq
 """
 
+# Q21 algebraic rewrite (r12, the q_tpch_q17 precedent): the classic
+# EXISTS/NOT-EXISTS formulation scans lineitem three times (base + a
+# semi join + an anti join, each shuffling on l_orderkey). Both
+# subqueries only ask per-ORDER questions — "does another supplier
+# appear" ⟺ countDistinct(supplier) >= 2, and "is no other supplier
+# late" ⟺ the late line's supplier is the order's ONLY distinct late
+# supplier — so ONE per-order aggregate over the F-status lines answers
+# both, and numwait still counts late LINES (a supplier with two late
+# lines in one order counts twice, exactly as the l1-row count did).
+# Exact same result set (asserted against the EXISTS formulation in
+# tests); SF1 timing re-paired post-rewrite.
 _Q21_SQL = """
+    WITH fl AS (
+        SELECT l_orderkey, l_suppkey,
+               (l_shipdate >= o_orderdate + INTERVAL 30 DAY) AS is_late
+        FROM lineitem
+        JOIN orders ON o_orderkey = l_orderkey
+        WHERE o_orderstatus = 'F'
+    ), ostat AS (
+        SELECT l_orderkey,
+               count(DISTINCT l_suppkey) AS n_supp,
+               count(DISTINCT CASE WHEN is_late THEN l_suppkey END)
+                   AS n_late_supp
+        FROM fl
+        GROUP BY l_orderkey
+    )
     SELECT s_suppkey, min(s_name) AS s_name,
            CAST(count(*) AS BIGINT) AS numwait
-    FROM supplier
-    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
-    JOIN orders ON o_orderkey = l1.l_orderkey
-    WHERE o_orderstatus = 'F'
-      AND l1.l_shipdate >= o_orderdate + INTERVAL 30 DAY
-      AND EXISTS (SELECT 1 FROM lineitem l2
-                  WHERE l2.l_orderkey = l1.l_orderkey
-                    AND l2.l_suppkey <> l1.l_suppkey)
-      AND NOT EXISTS (SELECT 1 FROM lineitem l3
-                      JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
-                      WHERE l3.l_orderkey = l1.l_orderkey
-                        AND l3.l_suppkey <> l1.l_suppkey
-                        AND l3.l_shipdate >= o3.o_orderdate + INTERVAL 30 DAY)
+    FROM fl
+    JOIN ostat USING (l_orderkey)
+    JOIN supplier ON s_suppkey = fl.l_suppkey
+    WHERE fl.is_late AND ostat.n_supp >= 2 AND ostat.n_late_supp = 1
     GROUP BY s_suppkey
     ORDER BY numwait DESC, s_suppkey
     LIMIT 50
@@ -534,12 +550,13 @@ _sql_query(
     "q_tpch_q21",
     _Q21_SQL,
     "TPC-H Q21 shape (suppliers who kept orders waiting): late line per "
-    "supplier on finalized orders, EXISTS another supplier on the same "
-    "order, NOT EXISTS another LATE supplier. The inner NOT EXISTS "
-    "re-joins orders internally so its only outer correlation is the "
-    "l_orderkey equality — Catalyst rewrites both to semi/anti hash "
-    "joins on l_orderkey (no per-row re-execution), total-ordered "
-    "top-50.",
+    "supplier on finalized orders, another supplier present on the same "
+    "order, no OTHER supplier late. r12 algebraic rewrite (see _Q21_SQL "
+    "comment): both existence subqueries fold into one per-order "
+    "distinct-supplier aggregate — lineitem is scanned/shuffled once "
+    "instead of three times, result proven identical to the "
+    "EXISTS/NOT-EXISTS formulation at sf0.01 and sf0.1; plan test pins "
+    "no-semi/anti-join, single Expand aggregate. Total-ordered top-50.",
 )
 
 _sql_query(
