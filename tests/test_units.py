@@ -120,3 +120,25 @@ def test_table_cache_hangs_off_the_session_object(monkeypatch):
     # the memo dies with the session: it is an attribute, not module state
     assert getattr(s1, "_xps_df_cache", None) is not None
     assert s1._xps_df_cache is not s2._xps_df_cache
+
+
+def test_q21_rewrite_equals_exists_formulation():
+    """q_tpch_q21 is dialect-split (r12): the engine runs the
+    single-aggregate rewrite, the oracle the canonical EXISTS/NOT-EXISTS
+    subquery form. This pins their algebraic equality directly — both
+    formulations, one engine (DuckDB), same result set."""
+    import duckdb
+
+    from xml_processor_spark.operators.composite import (
+        _Q21_ORACLE_SQL, _Q21_SQL,
+    )
+
+    con = duckdb.connect()
+    for t in ("supplier", "lineitem", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('/root/testdata/sf0.01/{t}.parquet')"
+        )
+    a = con.execute(_Q21_SQL).fetchall()
+    b = con.execute(_Q21_ORACLE_SQL).fetchall()
+    assert a == b and len(a) > 0

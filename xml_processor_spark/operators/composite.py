@@ -205,11 +205,16 @@ _LATERAL_SQL = """
 """
 
 
-def _sql_query(name: str, sql: str, doc: str):
+def _sql_query(name: str, sql: str, doc: str, oracle: str | None = None):
     """Register a dialect-shared SQL string: the SAME text runs on Spark
-    (engine under test) and DuckDB (oracle) — dual-dialect by construction."""
+    (engine under test) and DuckDB (oracle) — dual-dialect by construction.
+    Pass ``oracle`` to split dialects: the engine runs ``sql`` while the
+    oracle runs an INDEPENDENT formulation of the same result (a stronger
+    check than replaying identical text — used by q_tpch_q21, whose
+    engine side is algebraically rewritten while the oracle keeps the
+    canonical TPC-H subquery form)."""
 
-    @register(name, oracle=sql, doc=doc)
+    @register(name, oracle=oracle or sql, doc=doc)
     def _run(spark, sf_dir, _sql=sql):
         register_views(spark, sf_dir)
         return spark.sql(_sql)
@@ -449,8 +454,11 @@ _Q17_SQL = """
 # supplier — so ONE per-order aggregate over the F-status lines answers
 # both, and numwait still counts late LINES (a supplier with two late
 # lines in one order counts twice, exactly as the l1-row count did).
-# Exact same result set (asserted against the EXISTS formulation in
-# tests); SF1 timing re-paired post-rewrite.
+# The ORACLE deliberately keeps the canonical subquery formulation
+# (_Q21_ORACLE_SQL below): two independent derivations of the same
+# result agreeing on the hash is a stronger check than one text run
+# twice. Equality of the two formulations is additionally pinned by
+# tests/test_units.py::test_q21_rewrite_equals_exists_formulation.
 _Q21_SQL = """
     WITH fl AS (
         SELECT l_orderkey, l_suppkey,
@@ -472,6 +480,30 @@ _Q21_SQL = """
     JOIN ostat USING (l_orderkey)
     JOIN supplier ON s_suppkey = fl.l_suppkey
     WHERE fl.is_late AND ostat.n_supp >= 2 AND ostat.n_late_supp = 1
+    GROUP BY s_suppkey
+    ORDER BY numwait DESC, s_suppkey
+    LIMIT 50
+"""
+
+# Canonical TPC-H Q21 subquery formulation — the ORACLE side (independent
+# derivation; see the rewrite note above _Q21_SQL).
+_Q21_ORACLE_SQL = """
+    SELECT s_suppkey, min(s_name) AS s_name,
+           CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate >= o_orderdate + INTERVAL 30 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate >= o3.o_orderdate
+                            + INTERVAL 30 DAY)
     GROUP BY s_suppkey
     ORDER BY numwait DESC, s_suppkey
     LIMIT 50
@@ -554,9 +586,12 @@ _sql_query(
     "order, no OTHER supplier late. r12 algebraic rewrite (see _Q21_SQL "
     "comment): both existence subqueries fold into one per-order "
     "distinct-supplier aggregate — lineitem is scanned/shuffled once "
-    "instead of three times, result proven identical to the "
-    "EXISTS/NOT-EXISTS formulation at sf0.01 and sf0.1; plan test pins "
+    "instead of three times (SF1: 3.35 s → 2.23 s). The ORACLE keeps "
+    "the canonical subquery formulation: two independent derivations "
+    "agreeing on the value hash is a stronger check than one text run "
+    "twice (their equality is also pytest-pinned). Plan test pins "
     "no-semi/anti-join, single Expand aggregate. Total-ordered top-50.",
+    oracle=_Q21_ORACLE_SQL,
 )
 
 _sql_query(
