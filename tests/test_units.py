@@ -64,8 +64,12 @@ def test_pq_train_dedupes_duplicate_init_rows():
     codebook capacity forever)."""
     from xml_processor_spark.functions.llm_vectors import _pq_train
 
+    from xml_processor_spark.functions.llm_vectors import _pq_quantize
+
     rng = np.random.default_rng(12)
-    distinct = rng.standard_normal((8, 4))
+    # quantize onto the trainer's exact 1e-3 integer grid (r12 contract:
+    # _pq_train takes pre-quantized int64 input)
+    distinct = _pq_quantize(rng.standard_normal((8, 4)))
     # head: the same row 10 times, then 8 distinct rows
     sample = np.vstack([np.tile(distinct[0], (10, 1)), distinct])
     books = _pq_train(sample, m=1, k=8, iters=0)  # iters=0 → raw init
