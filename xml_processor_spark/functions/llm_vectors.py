@@ -217,40 +217,42 @@ _IVF_ASSIGN = 2  # each vector is replicated into its 2 nearest lists
 # shuffle rounds); nprobe only scales the broadcast probe fan-out.
 
 
-def _ivf_cos(a, b):
-    # 6-dp rounded BEFORE ranking (the q_knn_cosine discipline): list
-    # assignment and probe fan-out order on (csim DESC, cid), and the
-    # 1e-6 grain + unique tie-break makes that order reproducible on
-    # any engine/partitioning — which is what lets E-KNN-IVF and
-    # q_emb_knn_graph carry full DuckDB oracles instead of rows-only
-    # checks (r9).
-    d = _dot(F.col(a), F.col(b))
-    return r6(d / F.sqrt(_norm2(F.col(a))) / F.sqrt(_norm2(F.col(b))))
-
-
 def _ivf_lists(spark, sf_dir):
-    """(vec_id, embedding, cid) inverted lists: each vector replicated
-    into its `_IVF_ASSIGN` nearest coarse lists. Shared by the probe
-    search (E-KNN-IVF) and the kNN-graph build (q_emb_knn_graph)."""
+    """(vec_id, embedding, vn, cid) inverted lists: each vector
+    replicated into its `_IVF_ASSIGN` nearest coarse lists. Shared by
+    the probe search (E-KNN-IVF) and the kNN-graph build
+    (q_emb_knn_graph). r12: per-VECTOR and per-CENTROID norms compute
+    once and ride the rows — the per-pair norm recomputation was 2/3 of
+    the |vecs| x |cents| assignment work (the oracle's vnorm CTE already
+    did this; same sqrt-of-fold, identical values)."""
     # widen(): the per-(vector, centroid) cosine is an interpreted
     # aggregate over 64-dim arrays; spread the one-row-group scan first.
     e = widen(table(spark, sf_dir, "embeddings"))
-    cents = e.filter(F.col("vec_id") % _IVF_CENTROID_MOD == 0).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    ev = e.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(_norm2(F.col("embedding"))).alias("vn"),
+    )
+    cents = ev.filter(F.col("vec_id") % _IVF_CENTROID_MOD == 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        F.col("vn").alias("cn"),
     )
     va = (
-        e.select("vec_id", "embedding")
-        .join(F.broadcast(cents), F.lit(True))
+        ev.join(F.broadcast(cents), F.lit(True))
         .select(
-            "vec_id", "embedding", "cid",
-            _ivf_cos("embedding", "ce").alias("csim"),
+            "vec_id", "embedding", "vn", "cid",
+            r6(
+                _dot(F.col("embedding"), F.col("ce"))
+                / F.col("vn") / F.col("cn")
+            ).alias("csim"),
         )
     )
     w_assign = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), "cid")
     lists = (
         va.withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") <= _IVF_ASSIGN)
-        .select("vec_id", "embedding", "cid")
+        .select("vec_id", "embedding", "vn", "cid")
     )
     return e, cents, lists
 
@@ -262,20 +264,26 @@ def _ivf_candidates(spark, sf_dir):
     count directly (the pruning claim, not just the recall claim).
     """
     e, cents, lists = _ivf_lists(spark, sf_dir)
-    cos = _ivf_cos
-    # Probes pick their nprobe nearest lists.
+    # Probes pick their nprobe nearest lists (probe norm computed once).
     probes = e.filter(F.col("vec_id") < _N_PROBES).select(
-        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("pe"),
+        F.sqrt(_norm2(F.col("embedding"))).alias("pn"),
     )
     pa = (
         probes.join(F.broadcast(cents), F.lit(True))
-        .select("probe_id", "pe", "cid", cos("pe", "ce").alias("csim"))
+        .select(
+            "probe_id", "pe", "pn", "cid",
+            r6(
+                _dot(F.col("pe"), F.col("ce")) / F.col("pn") / F.col("cn")
+            ).alias("csim"),
+        )
     )
     w_probe = Window.partitionBy("probe_id").orderBy(F.col("csim").desc(), "cid")
     probe_lists = (
         pa.withColumn("rn", F.row_number().over(w_probe))
         .filter(F.col("rn") <= _IVF_NPROBE)
-        .select("probe_id", "pe", "cid")
+        .select("probe_id", "pe", "pn", "cid")
     )
     # A vector replicated into two probed lists must score once, not twice
     # (duplicate rows would double-count in the top-k window).
@@ -380,12 +388,13 @@ _IVF_LISTS_SQL = f"""
         "touches nprobe partitions only.",
 )
 def e_knn_ivf(spark, sf_dir):
+    # pn/vn ride the candidate rows from _ivf_candidates/_ivf_lists —
+    # norms compute once per probe/vector, never per candidate pair.
     scored = _ivf_candidates(spark, sf_dir).select(
         "probe_id", "vec_id",
         r6(
             _dot(F.col("pe"), F.col("embedding"))
-            / F.sqrt(_norm2(F.col("pe")))
-            / F.sqrt(_norm2(F.col("embedding")))
+            / F.col("pn") / F.col("vn")
         ).alias("sim"),
     )
     w_top = Window.partitionBy("probe_id").orderBy(F.col("sim").desc(), "vec_id")
