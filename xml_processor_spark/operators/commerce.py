@@ -1938,19 +1938,36 @@ def q_part_price_elasticity(spark, sf_dir):
     pc = cents("l_extendedprice")
     t = li.join(pt, li["l_partkey"] == pt["p_partkey"]).select(
         "p_brand",
+        "l_partkey",
         F.round(
             F.log(pc.cast("double") / (100 * q).cast("double")) * _ELA_E6, 0
         ).cast("long").alias("x"),
         F.round(F.log(q.cast("double")) * _ELA_E6, 0).cast("long").alias("y"),
     )
-    dec = "decimal(38,0)"
-    m = t.groupBy("p_brand").agg(
+    # Two-level moment rollup (r12): decimal(38,0) accumulation is
+    # BigDecimal-per-row (no codegen) and was 2/3 of the SF1 runtime.
+    # Level 1 sums in exact int64 per (brand, partkey) — rows per part
+    # are SF-invariant (~30 in the TPC-H shape; x² ≤ 1.5e14 keeps int64
+    # exact below ~60k rows/part) — level 2 folds the |parts|-row
+    # partials in decimal. Integer addition is associative, so the
+    # decimal totals are bit-identical to the single-level formulation
+    # (the oracle keeps that form — independent derivation).
+    p1 = t.groupBy("p_brand", "l_partkey").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("x").cast(dec)).alias("sx"),
-        F.sum(F.col("y").cast(dec)).alias("sy"),
-        F.sum((F.col("x").cast(dec) * F.col("x"))).cast(dec).alias("sxx"),
-        F.sum((F.col("x").cast(dec) * F.col("y"))).cast(dec).alias("sxy"),
-        F.sum((F.col("y").cast(dec) * F.col("y"))).cast(dec).alias("syy"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    dec = "decimal(38,0)"
+    m = p1.groupBy("p_brand").agg(
+        F.sum("n").alias("n"),
+        F.sum(F.col("sx").cast(dec)).alias("sx"),
+        F.sum(F.col("sy").cast(dec)).alias("sy"),
+        F.sum(F.col("sxx").cast(dec)).alias("sxx"),
+        F.sum(F.col("sxy").cast(dec)).alias("sxy"),
+        F.sum(F.col("syy").cast(dec)).alias("syy"),
     )
     num = (
         F.col("n") * F.col("sxy").cast("double")
