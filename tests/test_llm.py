@@ -104,8 +104,8 @@ def test_ivf_recall_and_pruning(spark, queries):
     """IVF top-10 must be genuinely useful (mean recall >= 0.8 vs exact
     brute force) AND genuinely pruned (< 50% of the brute-force candidate
     scan) — on unclustered N(0,.1) vectors, IVF's worst case. Tuned
-    config (50 lists, nprobe=13, assign=2) measures recall 0.86 at a
-    0.44 scanned fraction."""
+    config (k ≈ 2·sqrt(N) = 46 lists at N=500, nprobe=13, assign=2, r13
+    growth-law fix) measures recall 0.82 at a 0.472 scanned fraction."""
     from xml_processor_spark.functions.llm_vectors import _ivf_candidates
 
     exact = {}

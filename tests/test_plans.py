@@ -341,19 +341,22 @@ def test_tpch_q19_disjunction_keeps_hash_join(spark, queries):
 
 
 def test_tpch_q21_single_lineitem_aggregate(spark, queries):
-    """Q21 after the r12 algebraic rewrite: the EXISTS/NOT-EXISTS pair is
-    folded into ONE per-order distinct-supplier aggregate over the
-    F-status lines, so the plan must hold no semi/anti join and no
-    nested loop — just the fl⋈ostat equi join (plus supplier), with the
-    two count-distincts sharing a single Expand-based aggregate. A
-    regression back to per-row subqueries or a third lineitem scan would
-    triple the dominant shuffle at 100 TB."""
+    """Q21 after the r12 aggregate rewrite + r13 single-pass fold: the
+    EXISTS/NOT-EXISTS pair is ONE per-order min/max aggregate over the
+    F-status lines (count-distincts reduced to min<>max algebra), and
+    numwait derives from the aggregate alone — so the plan must hold no
+    semi/anti join, no nested loop, NO Expand (no distinct aggregate
+    left), and exactly one lineitem scan (the r12 form referenced the
+    lineitem⋈orders CTE twice and Spark inlined it into two
+    evaluations). A regression to per-row subqueries or a second fact
+    pass would multiply the dominant shuffle at 100 TB."""
     plan = explain(queries["q_tpch_q21"](spark, SF_MID))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "LeftAnti" not in plan and "LeftSemi" not in plan
-    assert "Expand" in plan  # the two-distinct aggregate
+    assert "Expand" not in plan  # min/max algebra — no distinct aggregate
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+    assert plan.count("lineitem.parquet") == 1  # single fact pass (r13)
 
 
 def test_tpch_q13_single_custkey_shuffle(spark, queries):
@@ -1739,22 +1742,26 @@ def test_domain_temperature_single_scan_bounded_fold(spark, queries):
 
 
 def test_knn_graph_pairs_only_within_lists(spark, queries):
-    """The kNN-graph candidate stage must be a self equi join on the
-    list key — never an all-pairs operator; the only nested loop is the
-    bounded centroid broadcast used by the list build (appears under
-    both list sides)."""
+    """The kNN-graph pair stage must be the per-list vectorized matmul
+    (FlatMapGroupsInPandas on the list key) fed by the Arrow assignment
+    pass (MapInPandas) — never an all-pairs operator and never a
+    per-pair join: no cartesian, no nested-loop, and no equi-join
+    anywhere (the r13 rewrite removed the pair-side embedding joins; the
+    codebook ships in the worker closure, not as a join side)."""
     plan = explain(queries["q_emb_knn_graph"](spark, SF_MID))
     n = node_counts(plan)
     assert "CartesianProduct" not in plan
-    assert n["BroadcastNestedLoopJoin"] <= 2  # centroid fan-out, 2 branches
-    assert n["SortMergeJoin"] + n["ShuffledHashJoin"] + n["BroadcastHashJoin"] >= 2
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert n["BroadcastNestedLoopJoin"] == 0
+    assert n["SortMergeJoin"] + n["ShuffledHashJoin"] + n["BroadcastHashJoin"] == 0
+    assert "FlatMapGroupsInPandas" in plan  # per-list int64 BLAS matmul
+    assert "MapInPandas" in plan  # Arrow assignment pass
 
 
 def test_price_elasticity_single_join_then_rollup(spark, queries):
-    """Grouped OLS: one lineitem-part key join feeds a map-side-combined
-    |brands|-row moment rollup — no window, no second fact shuffle, no
-    Python, no cartesian."""
+    """Grouped OLS: the fact table never joins — level-1 moments fold by
+    l_partkey map-side, the |parts|-row partials broadcast-join part, and
+    level 2 folds by brand (r13). Exactly ONE (broadcast) join, no window,
+    no fact-table shuffle join, no Python, no cartesian."""
     plan = explain(queries["q_part_price_elasticity"](spark, SF_MID))
     n = node_counts(plan)
     assert "CartesianProduct" not in plan

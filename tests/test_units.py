@@ -146,3 +146,62 @@ def test_q21_rewrite_equals_exists_formulation():
     a = con.execute(_Q21_SQL).fetchall()
     b = con.execute(_Q21_ORACLE_SQL).fetchall()
     assert a == b and len(a) > 0
+
+
+def test_elasticity_ylut_bit_equals_duckdb_ln():
+    """q_part_price_elasticity's engine replaces round(ln(q)·1e6) with a
+    50-entry literal lookup computed by python math.log + half-away (r13).
+    Pin every entry against DuckDB's own CAST(round(ln(q)*1e6) AS BIGINT)
+    — both call the same glibc log, so the fixed-point integers must be
+    bit-identical for the full quantity domain 1..50."""
+    import math
+
+    import duckdb
+
+    py_ha = lambda v: int(math.copysign(math.floor(abs(v) + 0.5), v))  # noqa: E731
+    py = [py_ha(math.log(i) * 1_000_000) for i in range(1, 51)]
+    duck = [
+        r[0]
+        for r in duckdb.sql(
+            "SELECT CAST(round(ln(CAST(q AS DOUBLE)) * 1000000) AS BIGINT) "
+            "FROM range(1, 51) t(q) ORDER BY q"
+        ).fetchall()
+    ]
+    assert py == duck
+
+
+def test_half_away_long_equals_f_round_on_doubles(spark):
+    """half_away_long (codegen arithmetic) must agree with both Spark's
+    F.round(v, 0) (BigDecimal HALF_UP) and DuckDB's scale-0 round
+    (std::round, half-away) on a hostile double sample: exact .5 ties,
+    values 1 ulp either side of ties, negatives, and the elasticity
+    operator's actual magnitude range (ln·1e6 ≈ 1.2e7)."""
+    import math
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from xml_processor_spark.functions.deterministic import half_away_long
+
+    vals = []
+    for k in [0, 1, 2, 3, 7, 99, 1023, 1_000_000, 11_512_925]:
+        for base in [float(k), k + 0.5, k + 0.25, k + 0.75]:
+            vals += [base, -base]
+            vals += [math.nextafter(base, 0.0), math.nextafter(base, 1e18)]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = [
+        (r["a"], r["b"])
+        for r in df.select(
+            half_away_long(F.col("v")).alias("a"),
+            F.round("v", 0).cast("long").alias("b"),
+        ).collect()
+    ]
+    duck = [
+        r[0]
+        for r in duckdb.sql(
+            "SELECT CAST(round(v) AS BIGINT) FROM (SELECT unnest(?) AS v)",
+            params=[vals],
+        ).fetchall()
+    ]
+    assert [g[0] for g in got] == [g[1] for g in got]  # == F.round
+    assert [g[0] for g in got] == duck  # == DuckDB round

@@ -52,6 +52,30 @@ def cents_sql(expr: str) -> str:
     return f"CAST(round(({expr}) * 100) AS BIGINT)"
 
 
+def half_away_long(col: Column) -> Column:
+    """Whole-integer half-away-from-zero round of a double, as codegen-only
+    arithmetic: sign(v)·(floor(|v|) + [|v| − floor(|v|) ≥ 0.5]).
+
+    Bit-equal to DuckDB's scale-0 round() (std::round — half-away on the
+    double value) for every |v| < 2^52: |v| − floor(|v|) is EXACT there
+    (Sterbenz-adjacent: both operands share the exponent range and the
+    difference needs no extra precision), so the ≥ 0.5 test reads the true
+    fractional part — unlike the tempting floor(|v| + 0.5), whose inexact
+    +0.5 rounds UP across a binade for values half-an-ulp below a k.5
+    boundary (caught by tests/test_units.py's hostile-double pin). Spark's
+    own F.round(v, 0) agrees everywhere too (its BigDecimal shortest-repr
+    path can only diverge from value-rounding across a k.5 boundary, which
+    forces v == k.5 exactly — where both round away from zero) — but
+    F.round routes every row through BigDecimal.valueOf → Double.toString,
+    which measured as the dominant per-row cost in the SF1 elasticity
+    profile (r13). Use this in fact-table hot paths; keep F.round for
+    driver-side/few-row surfaces."""
+    a = F.abs(col)
+    fl = F.floor(a)  # LONG in Spark SQL
+    up = F.when(a - fl.cast("double") >= 0.5, F.lit(1)).otherwise(F.lit(0))
+    return (F.signum(col).cast("long") * (fl + up)).cast("long")
+
+
 def r6(col: Column) -> Column:
     """Round to 6 dp — for avg/stddev/corr and similarity scores."""
     return F.round(col, 6)

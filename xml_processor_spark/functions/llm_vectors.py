@@ -203,131 +203,251 @@ def e_emb_pipe(spark, sf_dir):
     )
 
 
-_IVF_CENTROID_MOD = 10  # vec_id % 10 == 0 → deterministic coarse centroids
 _IVF_NPROBE = 13
 _IVF_ASSIGN = 2  # each vector is replicated into its 2 nearest lists
+_IVF_SCALE = 1_000_000  # exact 1e-6 integer grid (the _pq_quantize family)
 
-# (mod, nprobe, assign) tuned by simulation on the real embeddings (round
-# 3): unclustered N(0,.1) vectors are IVF's worst case, and single-assign
-# configs plateau near recall 0.66-0.82 before the scanned fraction hits
-# 50%. Replicating each vector into its 2 nearest lists fixes the
-# cell-boundary misses: measured mean recall 0.86 at a 0.44 scanned
-# fraction (bars: >= 0.8 recall, < 0.5 scanned, tests/test_llm.py).
+# Growth law (r13, VERDICT r12 #2): the centroid count used to be tied to
+# the corpus (`vec_id % 10` — k = N/10), which made the vector x centroid
+# assignment grid O(N²/10): quadratic death at 100 TB. Centroids are now
+# every `stride`-th vec_id with stride = floor(sqrt(N)/2), i.e.
+# k ≈ 2·sqrt(N) — the textbook IVF balance point where assignment (N·k)
+# and per-probe scan (N·nprobe/k) grow together as O(N^1.5) TOTAL and
+# per-list occupancy is ~sqrt(N). (nprobe, assign) re-tuned by simulation
+# on the real sf0.001 embeddings — unclustered N(0,.1) vectors, IVF's
+# worst case: nprobe=13, assign=2 measures mean recall 0.82 at a 0.472
+# scanned fraction (bars: >= 0.8 recall, < 0.5 scanned, tests/test_llm.py).
 # Replication multiplies list storage by `assign` (map-side, no extra
-# shuffle rounds); nprobe only scales the broadcast probe fan-out.
+# shuffle rounds); nprobe only scales the probe fan-out.
+#
+# Arithmetic (r13): all cosines run on the exact 1e-6 INTEGER grid
+# (xe = round(x·1e6), |xe| <= ~6e5 at 64 dims keeps every product < 2^40
+# and every 64-term dot < 2^45 — exact in int64 AND in float64 under ANY
+# summation order). That order-independence is what licenses the BLAS
+# matmul on the Spark side (the q_dedup_semantic precedent) and
+# list_dot_product on the DuckDB side: both produce the IDENTICAL integer,
+# and cos = f8(dot)/sqrt(f8(nn_a)·f8(nn_b)) is the same IEEE mul/sqrt/div
+# sequence on both engines — bit-identical before the 6-dp round, which
+# stays on the Spark side (engine half-up, matching DuckDB round()).
 
 
-def _ivf_lists(spark, sf_dir):
-    """(vec_id, embedding, vn, cid) inverted lists: each vector
-    replicated into its `_IVF_ASSIGN` nearest coarse lists. Shared by
-    the probe search (E-KNN-IVF) and the kNN-graph build
-    (q_emb_knn_graph). r12: per-VECTOR and per-CENTROID norms compute
-    once and ride the rows — the per-pair norm recomputation was 2/3 of
-    the |vecs| x |cents| assignment work (the oracle's vnorm CTE already
-    did this; same sqrt-of-fold, identical values)."""
-    # widen(): the per-(vector, centroid) cosine is an interpreted
-    # aggregate over 64-dim arrays; spread the one-row-group scan first.
+def _ivf_stride(n: int) -> int:
+    """Centroid stride: every stride-th vec_id is a coarse centroid, so
+    k = ceil(n/stride) ≈ 2·sqrt(n) — decoupled from the corpus size.
+    Mirrors the oracle's GREATEST(1, FLOOR(SQRT(n)/2)): double sqrt is
+    correctly rounded in both engines, /2 and floor are exact."""
+    import math
+
+    return max(1, math.floor(math.sqrt(float(n)) / 2))
+
+
+def _ivf_quantized(spark, sf_dir):
+    """(vec_id, xe array<long>) — embeddings on the exact 1e-6 integer
+    grid, quantized JVM-side (same round-cast pattern as the kmeans
+    family's `ev` CTE; F.round half-up == DuckDB round half-away for all
+    signs)."""
     e = widen(table(spark, sf_dir, "embeddings"))
-    ev = e.select(
+    return e.select(
         "vec_id",
-        "embedding",
-        F.sqrt(_norm2(F.col("embedding"))).alias("vn"),
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * _IVF_SCALE, 0).cast("long"),
+        ).alias("xe"),
     )
-    cents = ev.filter(F.col("vec_id") % _IVF_CENTROID_MOD == 0).select(
-        F.col("vec_id").alias("cid"),
-        F.col("embedding").alias("ce"),
-        F.col("vn").alias("cn"),
+
+
+def _ivf_index(spark, sf_dir):
+    """Shared IVF index build: returns (xq, cids, C, cnn, lists) where
+    `lists` is the (vec_id, cid, xe) inverted-list DataFrame — each vector
+    replicated into its `_IVF_ASSIGN` nearest coarse lists by exact
+    quantized cosine (ties broken by ascending cid, the oracle's
+    ORDER BY csim DESC, cid). Shared by the probe search (E-KNN-IVF) and
+    the kNN-graph build (q_emb_knn_graph) — both keys pin the IDENTICAL
+    index via the shared `_IVF_LISTS_SQL` oracle prefix.
+
+    The centroid codebook (~2·sqrt(N) rows) is collected to the driver and
+    shipped in the Python-worker closure: assignment is then ONE int64
+    BLAS matmul per Arrow batch (X @ C^T) instead of an N x k join with a
+    per-pair interpreted HOF dot — the r9 q_dedup_semantic lesson applied
+    to the index build. At 100 TB the codebook would be a capped trained
+    set (the E-EMB-PQ Lloyd machinery); sqrt(1e9) ≈ 3e4 rows x 64 dims is
+    ~16 MB — still a broadcast, never a shuffle."""
+    import numpy as np
+
+    xq = _ivf_quantized(spark, sf_dir)
+    # Row count from the RAW scan (parquet metadata-only job, no
+    # transform evaluation), then one bounded collect for the codebook.
+    n = table(spark, sf_dir, "embeddings").count()
+    stride = _ivf_stride(n)
+    crows = (
+        xq.filter(F.col("vec_id") % stride == 0).orderBy("vec_id").collect()
     )
-    va = (
-        ev.join(F.broadcast(cents), F.lit(True))
-        .select(
-            "vec_id", "embedding", "vn", "cid",
-            r6(
-                _dot(F.col("embedding"), F.col("ce"))
-                / F.col("vn") / F.col("cn")
-            ).alias("csim"),
-        )
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), "cid")
-    lists = (
-        va.withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") <= _IVF_ASSIGN)
-        .select("vec_id", "embedding", "vn", "cid")
-    )
-    return e, cents, lists
+    cids = np.array([r["vec_id"] for r in crows], dtype=np.int64)
+    C = np.array([list(r["xe"]) for r in crows], dtype=np.int64)
+    cnn = (C * C).sum(axis=1).astype(np.float64)
+    Ct = C.T.copy()
+    n_assign = min(_IVF_ASSIGN, len(cids))
+
+    def _assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["xe"].to_numpy()).astype(np.int64)
+            nn = (X * X).sum(axis=1).astype(np.float64)
+            cos = (X @ Ct).astype(np.float64) / np.sqrt(
+                nn[:, None] * cnn[None, :]
+            )
+            # stable argsort on -cos: ties fall back to column order,
+            # which is ascending cid (crows collected ORDER BY vec_id).
+            top = np.argsort(-cos, axis=1, kind="stable")[:, :n_assign]
+            xe_vals = list(pdf["xe"])
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(
+                        pdf["vec_id"].to_numpy(np.int64), n_assign
+                    ),
+                    "cid": cids[top].reshape(-1),
+                    "xe": [
+                        xe for xe in xe_vals for _ in range(n_assign)
+                    ],
+                }
+            )
+
+    lists = xq.mapInPandas(_assign, "vec_id long, cid long, xe array<long>")
+    return xq, cids, C, cnn, lists
 
 
 def _ivf_candidates(spark, sf_dir):
-    """(probe_id, pe, vec_id, embedding) pairs within the probed lists.
+    """(probe_id, vec_id, sim_raw) — deduped candidates within the probed
+    lists, scored with the exact quantized cosine (raw double; the 6-dp
+    round stays with the caller). Factored out so the recall test can
+    measure the scanned-candidate count directly (the pruning claim, not
+    just the recall claim).
 
-    Factored out so the recall test can measure the scanned-candidate
-    count directly (the pruning claim, not just the recall claim).
-    """
-    e, cents, lists = _ivf_lists(spark, sf_dir)
-    # Probes pick their nprobe nearest lists (probe norm computed once).
-    probes = e.filter(F.col("vec_id") < _N_PROBES).select(
-        F.col("vec_id").alias("probe_id"),
-        F.col("embedding").alias("pe"),
-        F.sqrt(_norm2(F.col("embedding"))).alias("pn"),
-    )
-    pa = (
-        probes.join(F.broadcast(cents), F.lit(True))
-        .select(
-            "probe_id", "pe", "pn", "cid",
-            r6(
-                _dot(F.col("pe"), F.col("ce")) / F.col("pn") / F.col("cn")
-            ).alias("csim"),
+    Fused single pass (r13): with the codebook and the probe set both
+    bounded driver constants, list assignment, probed-list membership and
+    candidate scoring happen inside ONE Arrow batch visit per partition —
+    semantically identical to build-lists-then-filter-then-score (the
+    oracle's formulation) but with no intermediate lists materialization
+    and no extra shuffle; the only shuffle left is the candidate dedup."""
+    import numpy as np
+
+    xq = _ivf_quantized(spark, sf_dir)
+    n = table(spark, sf_dir, "embeddings").count()
+    stride = _ivf_stride(n)
+    # One bounded collect for codebook + probes together (~2*sqrt(N)+5
+    # rows), split driver-side.
+    rows = (
+        xq.filter(
+            (F.col("vec_id") % stride == 0) | (F.col("vec_id") < _N_PROBES)
         )
+        .orderBy("vec_id")
+        .collect()
     )
-    w_probe = Window.partitionBy("probe_id").orderBy(F.col("csim").desc(), "cid")
-    probe_lists = (
-        pa.withColumn("rn", F.row_number().over(w_probe))
-        .filter(F.col("rn") <= _IVF_NPROBE)
-        .select("probe_id", "pe", "pn", "cid")
+    cids = np.array(
+        [r["vec_id"] for r in rows if r["vec_id"] % stride == 0],
+        dtype=np.int64,
     )
-    # A vector replicated into two probed lists must score once, not twice
-    # (duplicate rows would double-count in the top-k window).
-    return (
-        probe_lists.join(lists, "cid")
-        .filter(F.col("vec_id") != F.col("probe_id"))
-        .dropDuplicates(["probe_id", "vec_id"])
+    C = np.array(
+        [list(r["xe"]) for r in rows if r["vec_id"] % stride == 0],
+        dtype=np.int64,
     )
+    cnn = (C * C).sum(axis=1).astype(np.float64)
+    pids = np.array(
+        [r["vec_id"] for r in rows if r["vec_id"] < _N_PROBES],
+        dtype=np.int64,
+    )
+    P = np.array(
+        [list(r["xe"]) for r in rows if r["vec_id"] < _N_PROBES],
+        dtype=np.int64,
+    )
+    pnn = (P * P).sum(axis=1).astype(np.float64)
+    # Probe -> nprobe nearest lists, driver-side over the same codebook
+    # (n_probes x k grid — bounded; same stable tie-break as assignment).
+    pcos = (P @ C.T).astype(np.float64) / np.sqrt(pnn[:, None] * cnn[None, :])
+    nprobe = min(_IVF_NPROBE, len(cids))
+    plists = cids[np.argsort(-pcos, axis=1, kind="stable")[:, :nprobe]]
+    n_assign = min(_IVF_ASSIGN, len(cids))
+    Ct = C.T.copy()
+
+    def _assign_and_score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["xe"].to_numpy()).astype(np.int64)
+            nn = (X * X).sum(axis=1).astype(np.float64)
+            vid = pdf["vec_id"].to_numpy(np.int64)
+            cos = (X @ Ct).astype(np.float64) / np.sqrt(
+                nn[:, None] * cnn[None, :]
+            )
+            top = np.argsort(-cos, axis=1, kind="stable")[:, :n_assign]
+            assigned = cids[top]  # (rows, n_assign) list ids per vector
+            outs = []
+            for pi in range(len(pids)):
+                # candidate iff ANY of its assigned lists is probed by pi
+                mask = np.isin(assigned, plists[pi]).any(axis=1) & (
+                    vid != pids[pi]
+                )
+                if not mask.any():
+                    continue
+                dots = (X[mask] @ P[pi]).astype(np.float64)
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "probe_id": np.int64(pids[pi]),
+                            "vec_id": vid[mask],
+                            "sim_raw": dots / np.sqrt(nn[mask] * pnn[pi]),
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs)
+
+    cand = xq.mapInPandas(
+        _assign_and_score, "probe_id long, vec_id long, sim_raw double"
+    )
+    # The any-shared-list membership above already emits each (probe,
+    # vector) pair at most once per partition visit, and every vector
+    # lives in exactly one batch stream — the dedup is a safety net for
+    # batch splits within a partition.
+    return cand.dropDuplicates(["probe_id", "vec_id"])
 
 
-_IVF_COS_SQL = (
-    "round(" + _DOT + " / sqrt(" + _NORM2.replace("{a}", "{na}") + ")"
-    " / sqrt(" + _NORM2.replace("{a}", "{nb}") + "), 6)"
+_IVF_XD_SQL = (
+    "list_transform(embedding, x -> CAST(CAST(round(CAST(x AS DOUBLE) "
+    f"* {_IVF_SCALE}) AS BIGINT) AS DOUBLE))"
 )
 
-# Shared inverted-list build (centroids -> rounded-cosine assignment ->
-# replicated lists), textually in lockstep between the E-KNN-IVF and
-# q_emb_knn_graph oracles — both keys pin the IDENTICAL index.
+# Shared inverted-list build (sqrt-N centroid sampling -> exact-cosine
+# assignment -> replicated lists), textually in lockstep between the
+# E-KNN-IVF and q_emb_knn_graph oracles — both keys pin the IDENTICAL
+# index.
 #
-# The assignment cosine runs on list_dot_product over pre-cast DOUBLE
-# lists with the per-vector norm computed ONCE in `vnorm`, not on the
-# correlated-unnest _IVF_COS_SQL form: the |vecs| x |cents| assignment
-# grid is the one pair volume here that scales quadratically-ish with
-# the corpus (centroids grow with it), and DuckDB materializes each
-# correlated unnest as a 64-row expansion PER PAIR — at the SF1 fixture
-# (20k x 2k) that is ~2.5e9 expanded rows and an exhausted spill disk
-# (r11 sweep catch). list_dot_product is the same left-to-right double
-# summation (bit-equality probed on all 400k sf0.1 assignment pairs:
-# max |diff| = 0.0), evaluated inline per row.
+# Everything runs on the exact 1e-6 integer grid pre-cast to DOUBLE
+# lists: every product < 2^40 and every 64-term list_dot_product < 2^45,
+# so the double summation is EXACT under any order — the same integers
+# the engine's int64 BLAS matmul produces. The assignment cosine ORDER BY
+# is on the RAW double (one exact mul, one correctly-rounded sqrt, one
+# correctly-rounded div — engine-identical), so no rounding enters until
+# the final reported sim. `stride` is GREATEST(1, FLOOR(SQRT(N)/2)) —
+# k ≈ 2·sqrt(N) centroids, decoupled from the corpus (r13 growth-law fix;
+# the old vec_id % 10 rule made the va grid O(N²/10)).
 _IVF_LISTS_SQL = f"""
-        vnorm AS MATERIALIZED (
-            SELECT vec_id,
-                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed,
-                   sqrt({_NORM2.format(a='embedding')}) AS nrm
+        evn AS MATERIALIZED (
+            SELECT vec_id, xd, list_dot_product(xd, xd) AS nn
+            FROM (SELECT vec_id, {_IVF_XD_SQL} AS xd FROM embeddings)
+        ), params AS (
+            SELECT GREATEST(1, CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE)) / 2)
+                                    AS BIGINT)) AS stride
             FROM embeddings
-        ), cents AS (
-            SELECT vec_id AS cid, ed AS ce, nrm AS cnrm FROM vnorm
-            WHERE vec_id % {_IVF_CENTROID_MOD} = 0
+        ), cents AS MATERIALIZED (
+            SELECT vec_id AS cid, xd AS cd, nn AS cnn
+            FROM evn, params WHERE vec_id % stride = 0
         ), va AS (
             SELECT v.vec_id, c.cid,
-                   round(list_dot_product(v.ed, c.ce)
-                         / v.nrm / c.cnrm, 6) AS csim
-            FROM vnorm v, cents c
-        ), lists AS (
+                   list_dot_product(v.xd, c.cd) / sqrt(v.nn * c.cnn) AS csim
+            FROM evn v, cents c
+        ), lists AS MATERIALIZED (
             SELECT vec_id, cid FROM (
                 SELECT *, row_number() OVER (PARTITION BY vec_id
                                              ORDER BY csim DESC, cid) AS rn
@@ -341,12 +461,11 @@ _IVF_LISTS_SQL = f"""
     "E-KNN-IVF",
     oracle=f"""
         WITH {_IVF_LISTS_SQL}, probes AS (
-            SELECT vec_id AS probe_id, embedding AS pe FROM embeddings
-            WHERE vec_id < {_N_PROBES}
+            SELECT vec_id AS probe_id, xd AS pxd, nn AS pnn
+            FROM evn WHERE vec_id < {_N_PROBES}
         ), pa AS (
             SELECT p.probe_id, c.cid,
-                   {_IVF_COS_SQL.format(a='p.pe', b='c.ce',
-                                        na='p.pe', nb='c.ce')} AS csim
+                   list_dot_product(p.pxd, c.cd) / sqrt(p.pnn * c.cnn) AS csim
             FROM probes p, cents c
         ), probe_lists AS (
             SELECT probe_id, cid FROM (
@@ -360,11 +479,11 @@ _IVF_LISTS_SQL = f"""
             WHERE l.vec_id <> pl.probe_id
         ), scored AS (
             SELECT c.probe_id, c.vec_id,
-                   {_IVF_COS_SQL.format(a='p.pe', b='e.embedding',
-                                        na='p.pe', nb='e.embedding')} AS sim
+                   round(list_dot_product(p.pxd, e.xd)
+                         / sqrt(p.pnn * e.nn), 6) AS sim
             FROM cand c
             JOIN probes p ON p.probe_id = c.probe_id
-            JOIN embeddings e ON e.vec_id = c.vec_id
+            JOIN evn e ON e.vec_id = c.vec_id
         )
         SELECT probe_id, vec_id, sim, rn AS rank
         FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
@@ -374,28 +493,24 @@ _IVF_LISTS_SQL = f"""
     """,
     origin="LLM",
     doc="IVF approximate nearest neighbor — the similarity-search scale "
-        "path: a deterministic coarse quantizer (centroid set = sampled "
-        f"vectors) replicates candidates into their {_IVF_ASSIGN} nearest "
-        f"inverted lists; each probe scans only its {_IVF_NPROBE} nearest "
-        "lists, then exact cosine top-10 within them. Mean recall >= 0.8 "
-        "while scanning < 50% of brute force, both asserted in "
-        "tests/test_llm.py. Oracle-checked since r9: every ranking stage "
-        "orders on 6-dp-rounded cosine with a unique id tie-break, so "
-        "list assignment, probe fan-out and the final top-k replay "
-        "identically in DuckDB SQL — the whole index build is "
-        "deterministic dataframe algebra, no RNG anywhere. At 100 TB: "
-        "lists are hash-partitioned, probes broadcast, and each probe "
-        "touches nprobe partitions only.",
+        "path: a corpus-decoupled coarse quantizer (k ≈ 2·sqrt(N) sampled "
+        f"vectors, r13 growth-law fix) replicates candidates into their "
+        f"{_IVF_ASSIGN} nearest inverted lists; each probe scans only its "
+        f"{_IVF_NPROBE} nearest lists, then exact quantized-cosine top-10 "
+        "within them. Mean recall >= 0.8 while scanning < 50% of brute "
+        "force, both asserted in tests/test_llm.py. All similarity math is "
+        "on the exact 1e-6 integer grid, so the Spark-side int64 BLAS "
+        "matmuls (one Arrow batch at a time) and the oracle's "
+        "list_dot_product produce the identical integers — assignment, "
+        "probe fan-out and the final top-k replay exactly in DuckDB SQL; "
+        "no RNG anywhere. At 100 TB: index build is O(N·sqrt(N)) dots via "
+        "one broadcast codebook matmul per batch (never an N x k join), "
+        "lists are hash-partitioned, and each probe touches nprobe "
+        "partitions only.",
 )
 def e_knn_ivf(spark, sf_dir):
-    # pn/vn ride the candidate rows from _ivf_candidates/_ivf_lists —
-    # norms compute once per probe/vector, never per candidate pair.
     scored = _ivf_candidates(spark, sf_dir).select(
-        "probe_id", "vec_id",
-        r6(
-            _dot(F.col("pe"), F.col("embedding"))
-            / F.col("pn") / F.col("vn")
-        ).alias("sim"),
+        "probe_id", "vec_id", r6(F.col("sim_raw")).alias("sim")
     )
     w_top = Window.partitionBy("probe_id").orderBy(F.col("sim").desc(), "vec_id")
     return (
@@ -415,26 +530,13 @@ _KNN_GRAPH_K = 3  # neighbors kept per vector
             SELECT DISTINCT a.vec_id AS src_id, b.vec_id AS nbr_id
             FROM lists a JOIN lists b ON a.cid = b.cid
             WHERE a.vec_id <> b.vec_id
-        ),
-        -- Per-VECTOR norms, computed once (r12): the per-pair correlated
-        -- unnest form recomputed both norms for every candidate pair —
-        -- 2/3 of the pair work, redundant by a factor of the list
-        -- occupancy. Same fold, same values; list_dot_product is the
-        -- bit-equality-probed twin of the sequential pair dot (pinned by
-        -- tests/test_llm.py::test_duckdb_list_dot_product_bit_equals_…).
-        pnorms AS MATERIALIZED (
-            SELECT vec_id,
-                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed,
-                   sqrt((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
-                         FROM (SELECT unnest(embedding) AS x))) AS nrm
-            FROM embeddings
         ), scored AS (
             SELECT c.src_id, c.nbr_id,
-                   round(list_dot_product(ea.ed, eb.ed)
-                         / ea.nrm / eb.nrm, 6) AS sim
+                   round(list_dot_product(ea.xd, eb.xd)
+                         / sqrt(ea.nn * eb.nn), 6) AS sim
             FROM cand c
-            JOIN pnorms ea ON ea.vec_id = c.src_id
-            JOIN pnorms eb ON eb.vec_id = c.nbr_id
+            JOIN evn ea ON ea.vec_id = c.src_id
+            JOIN evn eb ON eb.vec_id = c.nbr_id
         )
         SELECT src_id, nbr_id, sim, rn AS rank
         FROM (SELECT *, row_number() OVER (PARTITION BY src_id
@@ -448,52 +550,77 @@ _KNN_GRAPH_K = 3  # neighbors kept per vector
         "inverted list (the SAME index E-KNN-IVF probes, pinned by the "
         "shared oracle prefix). The kNN graph is the backbone artifact "
         "of vector pipelines: HNSW/NSW bootstrapping, connectivity "
-        "audits, graph-based dedup seeding. Scale shape: candidate "
-        "generation is a self equi join ON THE LIST KEY — per-list "
-        "work is O(s²·dim) with s the list occupancy, the quantity "
-        "IVF keeps constant by scaling the centroid count with the "
-        "corpus (the SemDeDup argument; the list build replicates each "
-        f"vector {_IVF_ASSIGN}x map-side). No all-pairs stage exists at "
-        "any corpus size; every ranking orders on 6-dp-rounded cosine "
-        "with a unique id tie-break, which is what lets the whole graph "
-        "replay in DuckDB SQL.",
+        "audits, graph-based dedup seeding. Engine shape (r13): the "
+        "per-list pair stage is ONE int64 BLAS matmul per list "
+        "(applyInPandas on the list key, the q_dedup_semantic precedent) "
+        "— G = X @ X^T is exact on the 1e-6 integer grid, so per-pair "
+        "sims are order-independent and bit-identical to the oracle's "
+        "list_dot_product. Each list emits only a margin-pruned per-src "
+        "candidate set (everything within 2.5e-6 of the src's 3rd-best "
+        "raw cosine — any pair beyond that margin provably cannot enter "
+        "the rounded global top-3, see the prune note in the body), so "
+        "the shuffle out of the pair stage is O(N), not O(N·sqrt(N)). "
+        "Scale shape: k ≈ 2·sqrt(N) lists of ~sqrt(N) occupancy make the "
+        "total pair work O(N^1.5) FLOPs inside BLAS — no all-pairs stage "
+        "exists at any corpus size, and the only shuffles are the "
+        "list-key hash partition and the final per-src top-k.",
 )
 def q_emb_knn_graph(spark, sf_dir):
-    _, _, lists = _ivf_lists(spark, sf_dir)
-    a = lists.select(F.col("vec_id").alias("src_id"), "cid")
-    b = lists.select(
-        F.col("vec_id").alias("nbr_id"), F.col("embedding").alias("eb"), "cid"
-    )
-    # Dedup (src, nbr) BEFORE scoring: a pair sharing both replicated
-    # lists must score once (and ship its arrays once), not twice.
-    cand = (
-        a.join(b.select("nbr_id", "cid"), "cid")
-        .filter(F.col("src_id") != F.col("nbr_id"))
-        .select("src_id", "nbr_id")
-        .distinct()
-    )
-    # Per-VECTOR norms computed once (r12): recomputing both norms per
-    # candidate pair was 2/3 of the scoring work, redundant by a factor
-    # of the list occupancy — same sqrt(fold), identical values.
-    ea = widen(table(spark, sf_dir, "embeddings")).select(
-        F.col("vec_id").alias("src_id"),
-        F.col("embedding").alias("ea"),
-        F.sqrt(_norm2(F.col("embedding"))).alias("na"),
-    )
-    eb = table(spark, sf_dir, "embeddings").select(
-        F.col("vec_id").alias("nbr_id"),
-        F.col("embedding").alias("eb"),
-        F.sqrt(_norm2(F.col("embedding"))).alias("nb"),
-    )
-    scored = (
-        cand.join(ea, "src_id")
-        .join(eb, "nbr_id")
-        .select(
-            "src_id", "nbr_id",
-            r6(
-                _dot(F.col("ea"), F.col("eb")) / F.col("na") / F.col("nb")
-            ).alias("sim"),
+    import numpy as np
+
+    _, _, _, _, lists = _ivf_index(spark, sf_dir)
+
+    # Margin prune (proof): a pair (src, j) may be dropped inside a list
+    # only when >= 3 same-list neighbors have raw cos >= cos_j + 2e-6;
+    # round6 moves a value by <= 0.5e-6, so each such neighbor's ROUNDED
+    # sim exceeds j's by >= 1e-6 — strictly better under the oracle's
+    # (sim DESC, nbr_id) order regardless of tie-breaks, hence j can
+    # never reach the global top-3. Keeping everything within 2.5e-6 of
+    # the 3rd-best raw cosine therefore preserves the exact oracle top-3
+    # while bounding emission at O(candidates-near-the-top) per src.
+    def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "src_id": pd.Series(dtype="int64"),
+                "nbr_id": pd.Series(dtype="int64"),
+                "sim_raw": pd.Series(dtype="float64"),
+            }
         )
+        s = len(pdf)
+        if s < 2:
+            return empty
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        ids = pdf["vec_id"].to_numpy(np.int64)
+        X = np.stack(pdf["xe"].to_numpy()).astype(np.int64)
+        G = (X @ X.T).astype(np.float64)
+        nn = G.diagonal().copy()
+        cos = G / np.sqrt(nn[:, None] * nn[None, :])
+        np.fill_diagonal(cos, -2.0)  # self never a candidate
+        if s - 1 > _KNN_GRAPH_K:
+            # 3rd-best raw cosine per src (partition is O(s) per row)
+            kth = np.partition(-cos, _KNN_GRAPH_K - 1, axis=1)[
+                :, _KNN_GRAPH_K - 1
+            ]
+            thresh = -kth - 2.5e-6
+        else:
+            thresh = np.full(s, -2.0)
+        keep = cos >= thresh[:, None]
+        si, ni = np.nonzero(keep)
+        return pd.DataFrame(
+            {
+                "src_id": ids[si],
+                "nbr_id": ids[ni],
+                "sim_raw": cos[si, ni],
+            }
+        )
+
+    cand = lists.groupBy("cid").applyInPandas(
+        _pairs, "src_id long, nbr_id long, sim_raw double"
+    )
+    # A pair sharing both replicated lists is emitted twice with the
+    # IDENTICAL exact sim — dedup before the global top-k.
+    scored = cand.dropDuplicates(["src_id", "nbr_id"]).select(
+        "src_id", "nbr_id", r6(F.col("sim_raw")).alias("sim")
     )
     w = Window.partitionBy("src_id").orderBy(F.col("sim").desc(), "nbr_id")
     return (

@@ -24,7 +24,9 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from xml_processor_spark.functions.deterministic import cents, cents_sql, r6
+from xml_processor_spark.functions.deterministic import (
+    cents, cents_sql, half_away_long, r6,
+)
 from xml_processor_spark.io import table
 from xml_processor_spark.registry import register
 
@@ -1924,35 +1926,70 @@ _ELA_E6 = 1_000_000  # fixed-point grain for the per-row log terms
         "over identical trees. Σx² terms reach ~1.3e14/row — the moment "
         "sums ride decimal(38,0) (the q_events_burstiness overflow "
         "argument: int64 crosses at ~70k rows/brand; sf1 already has "
-        "240k). Scale shape: ONE lineitem⋈part key join (no hint — part "
-        "∝ sf, AQE decides), then a map-side-combined |brands|-row "
-        "moment rollup. No window, no second join, nothing unbounded "
-        "past the fact shuffle.",
+        "240k). Scale shape (r13): the FACT TABLE NEVER JOINS — level-1 "
+        "int64 moments fold by l_partkey map-side, the |parts|-row "
+        "partials broadcast-join part, level 2 folds by brand in "
+        "decimal; per-row rounds are half_away_long codegen arithmetic "
+        "(F.round's BigDecimal/Double.toString path measured as the "
+        "dominant per-row cost at SF1) and ln(q) is a 50-entry literal "
+        "lookup (bit-pinned vs DuckDB in tests/test_units.py). SF1 "
+        "history: 2.65 s → 0.97 s (vs DuckDB 0.32 s); the residual is "
+        "scan-floor, not plan shape — the fixture's 6 parquet row "
+        "groups cap Spark's scan at 6-way (a bare 3-column scan noop "
+        "measures 0.2-0.4 s) while DuckDB parallelizes inside row "
+        "groups; a real 100 TB table has thousands of row groups.",
 )
 def q_part_price_elasticity(spark, sf_dir):
+    import math
+
     li = table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
     pt = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    q = F.round("l_quantity", 0).cast("long")
-    pc = cents("l_extendedprice")
-    t = li.join(pt, li["l_partkey"] == pt["p_partkey"]).select(
-        "p_brand",
-        "l_partkey",
-        F.round(
-            F.log(pc.cast("double") / (100 * q).cast("double")) * _ELA_E6, 0
-        ).cast("long").alias("x"),
-        F.round(F.log(q.cast("double")) * _ELA_E6, 0).cast("long").alias("y"),
+    # r13 hot-path rewrite (engine only — the oracle keeps the canonical
+    # join-then-aggregate form; dialect-split, the q_tpch_q21 precedent):
+    #   1. every per-row whole-integer round runs through half_away_long
+    #      (codegen arithmetic) instead of F.round's BigDecimal →
+    #      Double.toString path, which profiling showed was the dominant
+    #      per-row cost at SF1;
+    #   2. y = round(ln(q)·1e6) comes from a 50-entry broadcast literal
+    #      lookup (quantity is integral 1..50 in every TPC-H-shaped
+    #      fixture) — values computed once with python math.log, which is
+    #      the same glibc log DuckDB's ln() calls; the 50 values are
+    #      bit-pinned against DuckDB in tests/test_units.py. Out-of-range
+    #      quantities (none in the fixtures) fall back to the per-row JVM
+    #      ln branch, so the operator stays total;
+    #   3. the fact join is GONE: level-1 moments aggregate by l_partkey
+    #      alone (brand is a function of part), the 200k-row partials
+    #      broadcast-join part, and level 2 folds by brand in decimal.
+    q = half_away_long(F.col("l_quantity"))
+    pc = half_away_long(F.col("l_extendedprice") * 100)
+    x = half_away_long(
+        F.log(pc.cast("double") / (100 * q).cast("double")) * _ELA_E6
     )
+    _py_ha = lambda v: int(math.copysign(math.floor(abs(v) + 0.5), v))  # noqa: E731
+    ylut = F.array(
+        *[
+            F.lit(_py_ha(math.log(i) * _ELA_E6)).cast("long")
+            for i in range(1, 51)
+        ]
+    )
+    y = F.when(
+        (q >= 1) & (q <= 50), F.element_at(ylut, q.cast("int"))
+    ).otherwise(
+        half_away_long(F.log(q.cast("double")) * _ELA_E6)
+    )
+    t = li.select("l_partkey", x.alias("x"), y.alias("y"))
     # Two-level moment rollup (r12): decimal(38,0) accumulation is
     # BigDecimal-per-row (no codegen) and was 2/3 of the SF1 runtime.
-    # Level 1 sums in exact int64 per (brand, partkey) — rows per part
-    # are SF-invariant (~30 in the TPC-H shape; x² ≤ 1.5e14 keeps int64
+    # Level 1 sums in exact int64 per partkey — rows per part are
+    # SF-invariant (~30 in the TPC-H shape; x² ≤ 1.5e14 keeps int64
     # exact below ~60k rows/part) — level 2 folds the |parts|-row
-    # partials in decimal. Integer addition is associative, so the
-    # decimal totals are bit-identical to the single-level formulation
-    # (the oracle keeps that form — independent derivation).
-    p1 = t.groupBy("p_brand", "l_partkey").agg(
+    # partials in decimal after the broadcast part join. Integer
+    # addition is associative, so the decimal totals are bit-identical
+    # to the single-level join-first formulation (the oracle keeps that
+    # form — independent derivation).
+    p1 = t.groupBy("l_partkey").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
@@ -1961,7 +1998,8 @@ def q_part_price_elasticity(spark, sf_dir):
         F.sum(F.col("y") * F.col("y")).alias("syy"),
     )
     dec = "decimal(38,0)"
-    m = p1.groupBy("p_brand").agg(
+    j2 = p1.join(F.broadcast(pt), p1["l_partkey"] == pt["p_partkey"])
+    m = j2.groupBy("p_brand").agg(
         F.sum("n").alias("n"),
         F.sum(F.col("sx").cast(dec)).alias("sx"),
         F.sum(F.col("sy").cast(dec)).alias("sy"),

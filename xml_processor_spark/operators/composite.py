@@ -445,15 +445,28 @@ _Q17_SQL = """
       AND CAST(round(l_quantity) AS BIGINT) * 5 * cq < sq
 """
 
-# Q21 algebraic rewrite (r12, the q_tpch_q17 precedent): the classic
-# EXISTS/NOT-EXISTS formulation scans lineitem three times (base + a
-# semi join + an anti join, each shuffling on l_orderkey). Both
+# Q21 algebraic rewrite (r12, single aggregate; r13, single PASS): the
+# classic EXISTS/NOT-EXISTS formulation scans lineitem three times (base
+# + a semi join + an anti join, each shuffling on l_orderkey). Both
 # subqueries only ask per-ORDER questions — "does another supplier
 # appear" ⟺ countDistinct(supplier) >= 2, and "is no other supplier
 # late" ⟺ the late line's supplier is the order's ONLY distinct late
 # supplier — so ONE per-order aggregate over the F-status lines answers
-# both, and numwait still counts late LINES (a supplier with two late
-# lines in one order counts twice, exactly as the l1-row count did).
+# both. r13 closes the remaining double-evaluation (VERDICT r12 #4): the
+# r12 form still referenced `fl` twice (ostat + the late-line join), and
+# Spark inlines CTEs, so the lineitem⋈orders join ran twice. The
+# aggregate itself already knows everything the second reference
+# provided: when exactly one distinct late supplier exists, EVERY late
+# line of the order belongs to it, so numwait = sum of per-order late-
+# line counts grouped by that supplier (a supplier with two late lines
+# in one order counts twice, exactly as the l1-row count did) — the
+# lineitem⋈orders pass evaluates ONCE. And both count-distincts reduce
+# to min/max algebra (count(DISTINCT s) >= 2 ⟺ min(s) <> max(s);
+# exactly-one-distinct-late ⟺ min_late = max_late, NULL-rejecting when
+# no late line exists), so the per-order aggregate carries NO distinct
+# aggregate at all — no Expand, no row triplication, one hash aggregate
+# on one l_orderkey shuffle (the r13 count-distinct form measured SLOWER
+# than r12 because Expand tripled the shuffled rows).
 # The ORACLE deliberately keeps the canonical subquery formulation
 # (_Q21_ORACLE_SQL below): two independent derivations of the same
 # result agreeing on the hash is a stronger check than one text run
@@ -468,18 +481,19 @@ _Q21_SQL = """
         WHERE o_orderstatus = 'F'
     ), ostat AS (
         SELECT l_orderkey,
-               count(DISTINCT l_suppkey) AS n_supp,
-               count(DISTINCT CASE WHEN is_late THEN l_suppkey END)
-                   AS n_late_supp
+               min(l_suppkey) AS min_s,
+               max(l_suppkey) AS max_s,
+               min(CASE WHEN is_late THEN l_suppkey END) AS min_late,
+               max(CASE WHEN is_late THEN l_suppkey END) AS max_late,
+               count(*) FILTER (WHERE is_late) AS n_late_lines
         FROM fl
         GROUP BY l_orderkey
     )
     SELECT s_suppkey, min(s_name) AS s_name,
-           CAST(count(*) AS BIGINT) AS numwait
-    FROM fl
-    JOIN ostat USING (l_orderkey)
-    JOIN supplier ON s_suppkey = fl.l_suppkey
-    WHERE fl.is_late AND ostat.n_supp >= 2 AND ostat.n_late_supp = 1
+           CAST(SUM(n_late_lines) AS BIGINT) AS numwait
+    FROM ostat
+    JOIN supplier ON s_suppkey = min_late
+    WHERE min_s <> max_s AND min_late = max_late
     GROUP BY s_suppkey
     ORDER BY numwait DESC, s_suppkey
     LIMIT 50
@@ -583,14 +597,16 @@ _sql_query(
     _Q21_SQL,
     "TPC-H Q21 shape (suppliers who kept orders waiting): late line per "
     "supplier on finalized orders, another supplier present on the same "
-    "order, no OTHER supplier late. r12 algebraic rewrite (see _Q21_SQL "
-    "comment): both existence subqueries fold into one per-order "
-    "distinct-supplier aggregate — lineitem is scanned/shuffled once "
-    "instead of three times (SF1: 3.35 s → 2.23 s). The ORACLE keeps "
-    "the canonical subquery formulation: two independent derivations "
-    "agreeing on the value hash is a stronger check than one text run "
-    "twice (their equality is also pytest-pinned). Plan test pins "
-    "no-semi/anti-join, single Expand aggregate. Total-ordered top-50.",
+    "order, no OTHER supplier late. r12 algebraic rewrite + r13 "
+    "single-pass fold (see _Q21_SQL comment): both existence subqueries "
+    "fold into one per-order distinct-supplier aggregate, and numwait "
+    "derives from the aggregate alone (late_supp + n_late_lines) — the "
+    "lineitem JOIN orders pass evaluates ONCE (r11 three scans, r12 "
+    "two, r13 one). The ORACLE keeps the canonical subquery "
+    "formulation: two independent derivations agreeing on the value "
+    "hash is a stronger check than one text run twice (their equality "
+    "is also pytest-pinned). Plan test pins no-semi/anti-join, single "
+    "Expand aggregate, ONE lineitem scan. Total-ordered top-50.",
     oracle=_Q21_ORACLE_SQL,
 )
 
