@@ -205,3 +205,25 @@ def test_half_away_long_equals_f_round_on_doubles(spark):
     ]
     assert [g[0] for g in got] == [g[1] for g in got]  # == F.round
     assert [g[0] for g in got] == duck  # == DuckDB round
+
+
+def test_ps_cte_engine_equals_canonical_round_form():
+    """The de-facto-partsupp CTE is dialect-split (r13): the engine runs
+    _PS_CTE_ENGINE (half-away FLOOR arithmetic), the q2/q11/q16 oracles
+    the canonical round() form. Pin their algebraic equality directly —
+    both formulations, one engine (DuckDB), full result-set compare."""
+    import duckdb
+
+    from xml_processor_spark.operators.composite import (
+        _PS_CTE, _PS_CTE_ENGINE,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.01/lineitem.parquet')"
+    )
+    order = " ORDER BY ps_partkey, ps_suppkey"
+    a = con.execute(_PS_CTE + order).fetchall()
+    b = con.execute(_PS_CTE_ENGINE + order).fetchall()
+    assert len(a) > 0 and a == b

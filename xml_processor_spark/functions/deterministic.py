@@ -42,9 +42,15 @@ def cents(col: Column | str) -> Column:
     *product* of doubles to 4 dp is NOT (Spark rounds the shortest-string
     decimal repr, DuckDB the exact binary value — they disagree on ties).
     All derived-price sums therefore go through integer-cents arithmetic.
+
+    r13: routes through half_away_long — bit-equal to both F.round(v, 0)
+    and DuckDB's scale-0 round on every double (pinned by
+    tests/test_units.py's hostile-double probe) but pure codegen
+    arithmetic; F.round's BigDecimal.valueOf → Double.toString path
+    measured as the dominant per-row cost across the SF1 commerce suite.
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.round(c * 100, 0).cast("long")
+    return half_away_long(c * 100)
 
 
 def cents_sql(expr: str) -> str:

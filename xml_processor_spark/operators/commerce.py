@@ -429,6 +429,28 @@ _REV_UNITS = (
 )
 
 
+def _ha_expr(v: str) -> str:
+    """Spark-dialect half-away whole-integer round — the SQL-string twin
+    of deterministic.half_away_long (FLOOR + exact fraction test, pure
+    codegen; bit-equal to round() on every double, pinned in
+    tests/test_units.py). Engine F.expr sites only; oracles keep
+    round()."""
+    a = f"ABS({v})"
+    return (
+        f"((CASE WHEN ({v}) < 0 THEN -1 ELSE 1 END) * "
+        f"(FLOOR({a}) + (CASE WHEN {a} - FLOOR({a}) >= "
+        f"CAST(0.5 AS DOUBLE) THEN 1 ELSE 0 END)))"
+    )
+
+
+# Engine twin of _REV_UNITS: same integer units, codegen rounds (r13 —
+# Spark SQL round()'s BigDecimal path measured dominant per-row at SF1).
+_REV_UNITS_ENGINE = (
+    f"CAST({_ha_expr('l_extendedprice * 100')} AS BIGINT)"
+    f" * (100 - CAST({_ha_expr('l_discount * 100')} AS BIGINT))"
+)
+
+
 @register(
     "q_orders_abc",
     oracle=f"""
@@ -472,7 +494,7 @@ def q_orders_abc(spark, sf_dir):
     rev = (
         li.join(pt, li["l_partkey"] == pt["p_partkey"])
         .groupBy(F.col("p_brand").alias("brand"))
-        .agg(F.sum(F.expr(_REV_UNITS)).alias("units"))
+        .agg(F.sum(F.expr(_REV_UNITS_ENGINE)).alias("units"))
     )
     w_cum = Window.partitionBy().orderBy(F.col("units").desc(), "brand")
     w_all = Window.partitionBy()
@@ -1409,7 +1431,7 @@ def q_region_share(spark, sf_dir):
         .join(F.broadcast(na), su["s_nationkey"] == na["n_nationkey"])
         .join(F.broadcast(re), na["n_regionkey"] == re["r_regionkey"])
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
-        .agg(F.sum(F.expr(_REV_UNITS)).alias("u"))
+        .agg(F.sum(F.expr(_REV_UNITS_ENGINE)).alias("u"))
     )
     w_reg = Window.partitionBy("region")
     w_all = Window.partitionBy()
@@ -1574,7 +1596,7 @@ def q_returns_by_brand(spark, sf_dir):
                 / F.count(F.lit(1)).cast("double")
             ).alias("return_rate"),
             F.round(
-                F.sum(F.when(ret, F.expr(_REV_UNITS)).otherwise(0)).cast(
+                F.sum(F.when(ret, F.expr(_REV_UNITS_ENGINE)).otherwise(0)).cast(
                     "double"
                 )
                 / 1e4,
@@ -2296,8 +2318,8 @@ def q_brand_abc_xyz(spark, sf_dir):
             (F.datediff("l_shipdate", "mn").cast("long") / 7)
             .cast("long")
             .alias("week"),
-            F.round("l_quantity", 0).cast("long").alias("q"),
-            F.expr(_REV_UNITS).alias("units"),
+            half_away_long(F.col("l_quantity")).alias("q"),
+            F.expr(_REV_UNITS_ENGINE).alias("units"),
         )
     )
     weekly = wk.groupBy("brand", "week").agg(

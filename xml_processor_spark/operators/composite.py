@@ -671,6 +671,42 @@ _PS_CTE = """
     GROUP BY l_partkey, l_suppkey
 """
 
+
+def _ha_sql(v: str) -> str:
+    """Spark-dialect half-away-from-zero whole-integer round of ``v`` —
+    the SQL twin of deterministic.half_away_long: FLOOR plus an exact
+    fractional-part test, pure codegen arithmetic. Bit-equal to round(v)
+    on every double (|v| < 2^52; the fraction compare is exact — see the
+    half_away_long docstring), but avoids Spark SQL round()'s
+    BigDecimal.valueOf → Double.toString per-row path, which measured as
+    the dominant per-row cost of the de-facto-partsupp CTE at SF1.
+    Engine side only — oracles keep round(); the two forms' equality is
+    pinned in DuckDB by tests/test_units.py."""
+    a = f"ABS({v})"
+    return (
+        f"((CASE WHEN ({v}) < 0 THEN -1 ELSE 1 END) * "
+        f"(FLOOR({a}) + (CASE WHEN {a} - FLOOR({a}) >= CAST(0.5 AS DOUBLE) "
+        f"THEN 1 ELSE 0 END)))"
+    )
+
+
+# Engine-side twin of _PS_CTE (r13): same grouping, half-away arithmetic
+# rounds instead of round(). The per-row pre-projection keeps each ha()
+# input evaluated once before the aggregate.
+_PS_CTE_ENGINE = f"""
+    SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+           CAST(min(unit_c) AS BIGINT) AS ps_supplycost_c,
+           CAST(SUM(q) AS BIGINT) AS ps_availqty
+    FROM (
+        SELECT l_partkey, l_suppkey,
+               {_ha_sql('l_extendedprice * 100 / l_quantity')} AS unit_c,
+               CAST({_ha_sql('l_quantity')} AS BIGINT) AS q
+        FROM lineitem
+        WHERE l_quantity > 0
+    )
+    GROUP BY l_partkey, l_suppkey
+"""
+
 _Q2_SQL = f"""
     WITH ps AS ({_PS_CTE}),
     costs AS (
@@ -698,7 +734,7 @@ _Q2_SQL = f"""
 
 _sql_query(
     "q_tpch_q2",
-    _Q2_SQL,
+    _Q2_SQL.replace(_PS_CTE, _PS_CTE_ENGINE),
     "TPC-H Q2 shape (minimum-cost supplier) adapted to the fixture (de "
     "facto partsupp CTE; min observed unit price in integer cents stands "
     "in for ps_supplycost): region-filtered per-part supplier costs, the "
@@ -706,7 +742,10 @@ _sql_query(
     "top-100 by balance under a total order. Catalyst decorrelates the "
     "min() subquery into an aggregate + equi-join on ps_partkey and "
     "plans the tie-broken LIMIT as TakeOrderedAndProject; integer-cents "
-    "cost makes the min and the equality exact on both engines.",
+    "cost makes the min and the equality exact on both engines. r13: "
+    "the engine swaps the ps CTE's round() for half-away arithmetic "
+    "(_PS_CTE_ENGINE, dialect-split; oracle keeps the canonical form).",
+    oracle=_Q2_SQL,
 )
 
 _Q11_SQL = f"""
@@ -732,7 +771,7 @@ _Q11_SQL = f"""
 
 _sql_query(
     "q_tpch_q11",
-    _Q11_SQL,
+    _Q11_SQL.replace(_PS_CTE, _PS_CTE_ENGINE),
     "TPC-H Q11 shape (important stock identification) adapted to the "
     "fixture (de facto partsupp; cost x shipped-quantity stands in for "
     "cost x availqty): per-part inventory value within one nation, kept "
@@ -748,7 +787,10 @@ _sql_query(
     "Value accumulates as exact int64 (cents x quantity) well under "
     "2^53, so the explicit double casts in the comparison reproduce "
     "both engines' prior implicit promotion bit-for-bit; the 1-row tot "
-    "broadcast is the house totals-fold pattern.",
+    "broadcast is the house totals-fold pattern. r13: the engine swaps "
+    "the ps CTE's round() for half-away arithmetic (_PS_CTE_ENGINE, "
+    "dialect-split; oracle keeps the canonical form).",
+    oracle=_Q11_SQL,
 )
 
 _Q16_SQL = f"""
@@ -768,14 +810,17 @@ _Q16_SQL = f"""
 
 _sql_query(
     "q_tpch_q16",
-    _Q16_SQL,
+    _Q16_SQL.replace(_PS_CTE, _PS_CTE_ENGINE),
     "TPC-H Q16 shape (parts/supplier relationship) adapted to the fixture "
     "(de facto partsupp pairs; negative account balance stands in for the "
     "complaint-comment supplier exclusion): distinct supplier count per "
     "(brand, type, size) bucket over brand/type/size anti-filters, with "
     "the signature NOT IN subquery. s_suppkey is non-null so NOT IN is "
     "a plain left-anti hash join (no null-aware nested loop); the count-"
-    "distinct shuffles once on the group keys.",
+    "distinct shuffles once on the group keys. r13: the engine swaps "
+    "the ps CTE's round() for half-away arithmetic (_PS_CTE_ENGINE, "
+    "dialect-split; oracle keeps the canonical form).",
+    oracle=_Q16_SQL,
 )
 
 # Q1 exact-integer discipline: quantity/price/discount/tax all become
