@@ -850,10 +850,11 @@ def test_asof_tolerance_keyed_no_cartesian(spark, queries):
 
 
 def test_basket_pairs_generated_in_group_no_self_join(spark, queries):
-    """Pair generation happens inside the order group (sorted brand set ->
-    higher-order pair expansion): exactly ONE join in the plan (the
-    lineitem-part key join), plus a Generate — never a self-join of the
-    (order, brand) projection and never a nested loop."""
+    """Pair generation happens inside the order group (r13: per-order
+    bit_or brand MASK -> per-distinct-mask higher-order pair expansion):
+    exactly ONE join in the plan (the lineitem-part key join), plus a
+    Generate — never a self-join of the (order, brand) projection and
+    never a nested loop."""
     import re
 
     plan = explain(queries["q_orders_basket"](spark, SF_MID))

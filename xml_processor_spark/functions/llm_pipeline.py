@@ -1001,8 +1001,15 @@ def q_text_dsir(spark, sf_dir):
     )
 
     def bucket_of(bg, memo={}):
+        # Bounded memo (ADVICE r12): an uncapped dict grows O(distinct
+        # bigrams) per worker — executor-OOM bait on a high-cardinality
+        # 100 TB corpus. Cleared wholesale at 2^20 entries (~100 MB
+        # worst-case); the md5 value is a pure function of the bigram, so
+        # cache state never affects results.
         b = memo.get(bg)
         if b is None:
+            if len(memo) >= (1 << 20):
+                memo.clear()
             b = int(hashlib.md5(bg.encode("utf-8")).hexdigest()[:15], 16)
             b %= _DSIR_B
             memo[bg] = b
@@ -1041,8 +1048,15 @@ def q_text_dsir(spark, sf_dir):
     tot_t = sum(ct.values())
     # lr exists only for buckets with raw mass (the oracle's raw-anchored
     # LEFT JOIN); scoring can only ever look up such buckets.
+    # Half-away fixed-pointing (ADVICE r12): python round() is banker's
+    # (half-to-even) while the oracle's DuckDB round() is half-away — a
+    # log-ratio landing exactly on .5e-6 would flip the integer. Same
+    # sign-aware floor as _pq_half_away.
+    def _ha(v):
+        return int(math.copysign(math.floor(abs(v) + 0.5), v))
+
     lr = {
-        b: round(
+        b: _ha(
             (
                 math.log((ct.get(b, 0) + 1.0) / (tot_t + float(_DSIR_B)))
                 - math.log((n + 1.0) / (tot_r + float(_DSIR_B)))

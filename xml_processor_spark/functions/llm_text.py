@@ -556,9 +556,17 @@ def _bigram_lm_scored(spark, sf_dir):
     n1: dict = {}
     for bg, n in n12.items():
         n1[bg[0]] = n1.get(bg[0], 0) + n
+    # Half-away fixed-pointing (ADVICE r12): python round() is banker's
+    # (half-to-even) while the oracle's DuckDB round() is half-away and
+    # the pre-r12 engine used F.round (HALF_UP) — a log2 value landing
+    # exactly on .5 in double would flip the integer. Sign-aware floor,
+    # the _pq_half_away rule.
     t = {
-        bg: round(math.log2((n + 1) / (n1[bg[0]] + vsz)) * _LP_SCALE)
-        for bg, n in n12.items()
+        bg: int(math.copysign(math.floor(abs(v) + 0.5), v))
+        for bg, v in (
+            (bg, math.log2((n + 1) / (n1[bg[0]] + vsz)) * _LP_SCALE)
+            for bg, n in n12.items()
+        )
     }
 
     def score(it):

@@ -56,42 +56,65 @@ _EWMA_SPAN = 8
         FROM pairs
     """,
     doc="Market-basket affinity over brands: which part brands co-occur in "
-        "one order. Pair generation happens INSIDE the order group: one "
-        "groupBy(l_orderkey) collects the sorted distinct brand set "
-        "(≤13 per order), then a JVM higher-order expression emits the "
-        "C(k,2) ≤ 78 ordered pairs per order — ONE fact-side shuffle "
-        "total, no self-join of the (order, brand) projection at all "
-        "(the oracle states the independent self-join truth; this plan "
-        "replaces it). The lineitem⋈part key join carries no hint "
-        "(part ∝ sf; AQE decides). `share` normalizes by the all-pairs "
-        "total via a window over the ≤25²/2-row aggregate — integer "
-        "ratio, cross-engine exact at 6 dp.",
+        "one order. r13 bitmask plan: the brand domain is tiny (25 "
+        "values), so each brand gets a bit (index = rank in the sorted "
+        "distinct brand list, a bounded driver collect) and each order "
+        "folds to ONE int64 via a map-side-combinable bit_or — the fact "
+        "shuffle carries (orderkey, mask) longs instead of collected "
+        "string arrays. Orders sharing a brand SET then collapse into one "
+        "row per distinct mask (≤ C(25,k) ≪ |orders|), and the C(k,2) "
+        "pair expansion — the only interpreted higher-order expression — "
+        "runs once per distinct MASK, weighted by its order count, not "
+        "once per order (the r12 per-order HOF expansion measured as the "
+        "dominant cost at SF1). Bit index rank = lexicographic brand "
+        "rank, so (i < j) pairs are exactly the oracle's (brand_a < "
+        "brand_b) pairs. The oracle states the independent self-join "
+        "truth; this plan replaces it. `share` normalizes by the "
+        "all-pairs total via a window over the ≤25²/2-row aggregate — "
+        "integer ratio, cross-engine exact at 6 dp.",
 )
 def q_orders_basket(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     pt = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    ob = li.join(pt, li["l_partkey"] == pt["p_partkey"]).select(
-        F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand")
+    brands = sorted(
+        r["p_brand"] for r in pt.select("p_brand").distinct().collect()
     )
-    arrs = ob.groupBy("okey").agg(
-        F.sort_array(F.collect_set("brand")).alias("brands")
+    idx = {b: i for i, b in enumerate(brands)}
+    bmap = F.create_map(
+        *[x for b, i in idx.items() for x in (F.lit(b), F.lit(i))]
     )
-    # sorted distinct array => every emitted (x, y) already has x < y and
-    # appears exactly once; C(13,2)=78 structs per order, worst case.
+    ob = li.join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"]).select(
+        F.col("l_orderkey").alias("okey"),
+        F.element_at(bmap, F.col("p_brand")).alias("bidx"),
+    )
+    masks = (
+        ob.groupBy("okey")
+        .agg(F.expr("bit_or(shiftleft(1L, bidx))").alias("m"))
+        .groupBy("m")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # Set-bit positions ascending == brand names ascending, so the (x, y)
+    # expansion below emits exactly the oracle's brand_a < brand_b pairs.
     pair_expr = F.expr(
-        "flatten(transform(brands, (x, i) -> "
-        "transform(slice(brands, i + 2, size(brands)), "
-        "y -> struct(x AS brand_a, y AS brand_b))))"
+        f"flatten(transform("
+        f"filter(sequence(0, {len(brands) - 1}), "
+        f"i -> (shiftright(m, i) & 1) = 1), "
+        f"(x, i) -> transform("
+        f"slice(filter(sequence(0, {len(brands) - 1}), "
+        f"j -> (shiftright(m, j) & 1) = 1), i + 2, {len(brands)}), "
+        f"y -> struct(x AS a, y AS b))))"
     )
+    blits = F.array(*[F.lit(b) for b in brands])
     pairs = (
-        arrs.select(F.explode(pair_expr).alias("p"))
-        .groupBy(F.col("p.brand_a").alias("brand_a"),
-                 F.col("p.brand_b").alias("brand_b"))
-        .agg(F.count(F.lit(1)).alias("n_orders"))
+        masks.select(F.explode(pair_expr).alias("p"), "cnt")
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("cnt").alias("n_orders"))
     )
     total = F.sum("n_orders").over(Window.partitionBy())
     return pairs.select(
-        "brand_a", "brand_b", "n_orders",
+        F.element_at(blits, F.col("a") + 1).alias("brand_a"),
+        F.element_at(blits, F.col("b") + 1).alias("brand_b"),
+        "n_orders",
         r6(F.col("n_orders").cast("double") / total.cast("double")).alias("share"),
     )
 
@@ -2090,13 +2113,25 @@ def q_part_price_elasticity(spark, sf_dir):
 )
 def q_supplier_scorecard(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem")
-    agg = li.groupBy("l_suppkey").agg(
-        F.count(F.lit(1)).alias("n_lineitems"),
-        F.countDistinct("l_partkey").alias("n_parts"),
-        F.sum(cents("l_extendedprice")).cast("long").alias("revenue_cents"),
-        F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("n_returned"),
-        F.sum(cents("l_discount")).cast("long").alias("disc_pct_sum"),
-        F.max("l_shipdate").alias("last_ship"),
+    # Two-level rollup (r13): countDistinct alongside plain aggregates
+    # forces an Expand that doubles the 6M-row shuffle. Level 1 folds by
+    # (suppkey, partkey) — every metric is sum/count/max, so the level-2
+    # re-fold by suppkey is exact by associativity and n_parts is a plain
+    # count(*) of the level-1 rows. No distinct aggregate, no Expand.
+    p1 = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.count(F.lit(1)).alias("n1"),
+        F.sum(cents("l_extendedprice")).cast("long").alias("rev1"),
+        F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("ret1"),
+        F.sum(cents("l_discount")).cast("long").alias("disc1"),
+        F.max("l_shipdate").alias("ship1"),
+    )
+    agg = p1.groupBy("l_suppkey").agg(
+        F.sum("n1").alias("n_lineitems"),
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("rev1").cast("long").alias("revenue_cents"),
+        F.sum("ret1").alias("n_returned"),
+        F.sum("disc1").cast("long").alias("disc_pct_sum"),
+        F.max("ship1").alias("last_ship"),
     )
     s = table(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_name", "s_nationkey"

@@ -94,6 +94,15 @@ def read_replay_stream(spark: SparkSession, src: str) -> DataFrame:
 
 
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> DataFrame:
+    spark = stream_df.sparkSession
+    # Spark keeps only numRecentProgressUpdates (default 100) progress
+    # entries; a replay with more triggers than that would silently drop
+    # the EARLY entries, so max(state rows) in the 16x stress tests could
+    # under-observe the true peak and pass a bound it should fail
+    # (ADVICE r12). Raise it well past any replay's trigger count
+    # (maxFilesPerTrigger=1 -> one trigger per file; stress fixtures are
+    # O(hundreds) of files).
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
@@ -102,7 +111,6 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> DataFram
         .start()
     )
     q.awaitTermination(300)
-    spark = stream_df.sparkSession
     # Per-trigger state-store metrics of the LAST replay, kept for the
     # state-bound stress tests (VERDICT r11 #7): list of per-progress
     # total state rows, summed over the query's state operators. Stored

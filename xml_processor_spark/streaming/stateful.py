@@ -33,11 +33,44 @@ _GAP_MS = 30 * 60 * 1000
 
 @register(
     "E-WATERMARK",
-    oracle=None,
+    oracle="""
+        WITH et AS (
+            SELECT event_id, ts FROM events WHERE user_id < 30
+        ), bounds AS (
+            SELECT min(ts) AS lo FROM et
+        ), on_time AS (
+            SELECT e.ts FROM et e, bounds b
+            WHERE NOT (e.event_id % 50 = 0 AND e.ts < b.lo + INTERVAL 3 DAY)
+        ), wm AS (
+            SELECT date_trunc('milliseconds', max(ts)) - INTERVAL 10 MINUTE
+                       AS w
+            FROM on_time
+        ), agg AS (
+            SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM on_time GROUP BY 1
+        )
+        SELECT w_start, n FROM agg, wm
+        WHERE w_start + INTERVAL 1 HOUR <= wm.w
+    """,
     doc="Late-data drop: 10-minute watermark + 1h tumbling count in append "
         "mode; a deliberately late bucket (early timestamps arriving last) "
         "is discarded once the watermark has passed its windows. "
-        "tests/test_streaming.py asserts the late rows are absent.",
+        "tests/test_streaming.py asserts the late rows are absent. "
+        "Oracle-checked since r13 (VERDICT r12 #6): the post-watermark "
+        "append output IS batch-expressible — hourly counts over the "
+        "on-time rows, restricted to windows whose end precedes the FINAL "
+        "watermark (max on-time event time, ms-truncated as Spark's "
+        "EventTimeStats does, minus the 10-minute delay); late rows are "
+        "days beyond the watermark, and the replay's availableNow "
+        "triggers leave the tail windows (end past the final watermark) "
+        "unemitted, which the oracle's window-end predicate states "
+        "directly. Boundary note: window ends are hour-aligned while the "
+        "watermark sits at max-10min, so the <=-vs-< emission boundary "
+        "is only reachable if max(ts) lands exactly on hh:10:00.000 — "
+        "not a case any fixture produces; the full result-set equality "
+        "was verified empirically at sf0.01 (679 windows) before "
+        "oracle-izing.",
 )
 def e_watermark(spark, sf_dir):
     ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
@@ -246,8 +279,23 @@ def e_foreach_batch(spark, sf_dir):
 
 @register(
     "E-STREAM-STATIC",
-    oracle=None,
-    doc="Stream-static enrichment join: the event stream joins a STATIC "
+    oracle="""
+        SELECT time_bucket(INTERVAL '1 hour', e.ts) AS win_start,
+               CASE WHEN c.c_acctbal >= 0 THEN 'solvent' ELSE 'overdrawn'
+                    END AS segment,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events e
+        JOIN customer c ON c.c_custkey = e.user_id
+        WHERE e.user_id < 30
+        GROUP BY 1, 2
+    """,
+    doc="Oracle-checked since r13 (VERDICT r12 #6): the sentinel flush "
+        "row advances the final watermark a full day past max(ts), so "
+        "EVERY window closes and the append-mode output equals the plain "
+        "batch join+window aggregation — which the oracle states "
+        "directly in SQL (the sentinel's user_id=-1 misses the inner "
+        "join and can never appear). "
+        "Stream-static enrichment join: the event stream joins a STATIC "
         "dimension (per-user segment derived from customer) inside the "
         "micro-batch plan — the canonical streaming-ETL enrichment shape. "
         "The static side needs no watermark and no stream state: Spark "
