@@ -1,10 +1,14 @@
 """Stateful streaming operators (SURVEY §2.I E-WATERMARK / E-STATEFUL /
 E-STREAM-JOIN).
 
-These are the engine features with no SQL oracle: late-data discipline,
-custom sessionization state (HYPERSONIC-style CEP sessioning, PAPERS.md),
-and stream-stream joins. Batch twins (`q_stream_*`) are the golden answers;
-tests/test_streaming.py asserts batch ≡ stream on the overlap.
+Late-data discipline, custom sessionization state (HYPERSONIC-style CEP
+sessioning, PAPERS.md), and stream-stream joins. Batch twins
+(`q_stream_*`) are the golden answers; tests/test_streaming.py asserts
+batch ≡ stream on the overlap, and — since r13 — every key here ALSO
+carries a full DuckDB oracle: the replay harness is deterministic
+(time-ordered buckets, sentinel-advanced final watermark, ms-truncated
+JSON event times), which makes each key's post-watermark streamed output
+batch-expressible SQL.
 
 State at 100 TB: watermarks bound every state store; sessionization keys by
 user (state ∝ |active users|, not |events|); RocksDB state store is the
@@ -143,11 +147,42 @@ def _sessionize(
 
 @register(
     "E-STATEFUL",
-    oracle=None,
+    oracle="""
+        WITH et AS (
+            -- the replay serializes event times through JSON at
+            -- millisecond precision — the processor sees ms-truncated ts
+            SELECT event_id, user_id, date_trunc('milliseconds', ts) AS ts
+            FROM events WHERE user_id < 30
+        ), flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                        OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+            FROM et
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sessions AS (
+            SELECT user_id, ts,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM flagged
+        )
+        SELECT user_id,
+               date_trunc('second', min(ts)) AS session_start,
+               date_trunc('second', max(ts)) AS last_event,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM sessions GROUP BY user_id, sid
+    """,
     doc="Custom stateful sessionization via applyInPandasWithState with "
         "event-time timeout (the CEP-style escape hatch; cf. HYPERSONIC, "
         "PAPERS.md). Golden answer = batch q_stream_session; equality on "
-        "the replayed subset asserted in tests/test_streaming.py.",
+        "the replayed subset asserted in tests/test_streaming.py. "
+        "Oracle-checked since r13: the sentinel row advances the final "
+        "watermark a day past max(ts), firing every real user's terminal "
+        "session timeout (the sentinel's own open session belongs to "
+        "user -1, outside the user_id < 30 slice), so the streamed "
+        "output is exactly the 30-min gaps-and-islands sessionization "
+        "the oracle states — the q_stream_session oracle restricted to "
+        "the replayed slice, over ms-truncated event times (what the "
+        "JSON replay delivers).",
 )
 def e_stateful(spark, sf_dir):
     ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
@@ -179,10 +214,33 @@ def e_stateful(spark, sf_dir):
 
 @register(
     "E-STREAM-JOIN",
-    oracle=None,
+    oracle="""
+        WITH et AS (
+            -- the replay harness serializes event times through JSON at
+            -- millisecond precision; the stream (and therefore the join
+            -- predicate) sees ms-truncated timestamps
+            SELECT event_id, user_id, event_type,
+                   date_trunc('milliseconds', ts) AS ts
+            FROM events WHERE user_id < 30
+        )
+        SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+               p.user_id AS p_user, p.ts AS p_ts, v.ts AS v_ts
+        FROM et p
+        JOIN et v
+          ON v.user_id = p.user_id
+         AND v.ts <= p.ts
+         AND v.ts >= p.ts - INTERVAL 1 HOUR
+        WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+    """,
     doc="Stream-stream inner join with watermark bounds: purchases joined "
         "to views by the same user within the preceding hour — the "
-        "streaming twin of q_join_range's interval semantics.",
+        "streaming twin of q_join_range's interval semantics. "
+        "Oracle-checked since r13: the replay delivers both sides from "
+        "the SAME time-ordered buckets with no late channel, and the 2 h "
+        "watermark exceeds the 1 h join range, so no match is ever "
+        "evicted before its partner arrives — the streamed inner-join "
+        "output equals the batch interval join, which the oracle states "
+        "directly (the same equality tests/test_streaming.py asserts).",
 )
 def e_stream_join(spark, sf_dir):
     ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
@@ -232,8 +290,17 @@ def epoch_keyed_sink(out_dir: str):
 
 @register(
     "E-FOREACH-BATCH",
-    oracle=None,
-    doc="Exactly-once idempotent sink via foreachBatch: each micro-batch "
+    oracle="""
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        FROM events WHERE user_id < 30
+        GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Oracle-checked since r13: the epoch-keyed sink is exactly-once, "
+        "so reading the sink back yields precisely the source rows and "
+        "the per-type counts equal the batch aggregation the oracle "
+        "states directly (the same equality tests/test_streaming.py "
+        "asserts, including after a hand-replayed epoch). "
+        "Exactly-once idempotent sink via foreachBatch: each micro-batch "
         "is written to a path keyed by its epoch id, so a re-delivered "
         "epoch (Spark replays the batch after a sink failure — "
         "at-least-once delivery into the sink function) OVERWRITES its "
@@ -343,8 +410,17 @@ def e_stream_static(spark, sf_dir):
 
 @register(
     "E-DEDUP-TTL",
-    oracle=None,
-    doc="Streaming dedup with BOUNDED state — dropDuplicatesWithinWatermark "
+    oracle="""
+        SELECT event_id, event_type, value
+        FROM events WHERE user_id < 30
+    """,
+    doc="Oracle-checked since r13: both duplicate channels are dropped "
+        "(in-watermark copies by dedup state, stale re-deliveries as "
+        "late data) and event_id is unique in the base table, so the "
+        "streamed output is exactly the base event set — stated "
+        "directly by the oracle; the same equality "
+        "tests/test_streaming.py asserts. "
+        "Streaming dedup with BOUNDED state — dropDuplicatesWithinWatermark "
         "(the TTL successor to plain streaming dropDuplicates, whose "
         "per-key state grows forever on an infinite stream): duplicate "
         "deliveries arriving WITHIN the 10-minute watermark are dropped by "
@@ -352,9 +428,7 @@ def e_stream_static(spark, sf_dir):
         "has passed their event time are discarded as late data — so the "
         "output is exactly the distinct event set while state size is "
         "bounded by the watermark window, the property that makes "
-        "streaming dedup viable on an unbounded 100 TB/day feed. "
-        "tests/test_streaming.py asserts output ≡ batch distinct despite "
-        "both duplicate channels.",
+        "streaming dedup viable on an unbounded 100 TB/day feed.",
 )
 def e_dedup_ttl(spark, sf_dir):
     ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
