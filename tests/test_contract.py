@@ -176,7 +176,8 @@ def test_localverify_artifact_covers_registry():
         f"tools/verify_local.py --json): {missing[:10]}"
     )
     bad = sorted(
-        k for k in qs if keys[k]["status"] not in ("pass", "rows_only")
+        k for k in qs
+        if keys[k]["status"] not in ("pass", "rows_only", "tolerance_pass")
     )
     assert not bad, f"{newest} has non-green keys: {bad[:10]}"
     weak = sorted(k for k in osql if keys[k]["status"] != "pass")

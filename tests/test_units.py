@@ -227,3 +227,34 @@ def test_ps_cte_engine_equals_canonical_round_form():
     a = con.execute(_PS_CTE + order).fetchall()
     b = con.execute(_PS_CTE_ENGINE + order).fetchall()
     assert len(a) > 0 and a == b
+
+
+def test_partsupp_pushdown_engine_equals_canonical_oracle():
+    """r14: the q2/q11/q16 engine dialects push the supplier/part
+    predicates BELOW the (partkey, suppkey) pair aggregate as group-key
+    semi/anti joins (valid: the filters are functions of the group keys,
+    so they remove whole groups, never rows of surviving groups). Pin the
+    algebraic equality directly — both formulations, one engine (DuckDB),
+    full result-set compare, no Spark in the loop."""
+    import duckdb
+
+    from xml_processor_spark.operators.composite import (
+        _Q2_ENGINE_SQL, _Q11_ENGINE_SQL, _Q16_ENGINE_SQL,
+    )
+    from xml_processor_spark.registry import get_oracles
+
+    con = duckdb.connect()
+    for t in ("lineitem", "part", "supplier", "nation", "region"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('/root/testdata/sf0.01/{t}.parquet')"
+        )
+    oracles = get_oracles()
+    for key, engine_sql in (
+        ("q_tpch_q2", _Q2_ENGINE_SQL),
+        ("q_tpch_q11", _Q11_ENGINE_SQL),
+        ("q_tpch_q16", _Q16_ENGINE_SQL),
+    ):
+        a = con.execute(engine_sql).fetchall()
+        b = con.execute(oracles[key]).fetchall()
+        assert len(a) > 0 and a == b, key

@@ -82,6 +82,40 @@ def half_away_long(col: Column) -> Column:
     return (F.signum(col).cast("long") * (fl + up)).cast("long")
 
 
+def ha_sql(v: str) -> str:
+    """Spark-dialect SQL-string twin of :func:`half_away_long` — half-away
+    whole-integer round as FLOOR plus the exact fractional-part test, pure
+    codegen arithmetic. Bit-equal to round(v) on every double (|v| < 2^52;
+    the fraction compare is exact — see the half_away_long docstring), but
+    avoids Spark SQL round()'s BigDecimal.valueOf → Double.toString per-row
+    path, which measured as the dominant per-row cost of the
+    de-facto-partsupp CTE at SF1 (r13). Engine F.expr/SQL sites only —
+    oracles keep round(); the two forms' equality is pinned in DuckDB by
+    tests/test_units.py. Single definition (ADVICE r13): composite.py and
+    commerce.py import this instead of carrying byte-identical copies."""
+    a = f"ABS({v})"
+    return (
+        f"((CASE WHEN ({v}) < 0 THEN -1 ELSE 1 END) * "
+        f"(FLOOR({a}) + (CASE WHEN {a} - FLOOR({a}) >= CAST(0.5 AS DOUBLE) "
+        f"THEN 1 ELSE 0 END)))"
+    )
+
+
+def py_half_away(v: float) -> int:
+    """Driver-side Python twin of :func:`half_away_long` — exact
+    fractional-part test, NOT floor(|v| + 0.5): the inexact +0.5 rounds up
+    across a binade for values half-an-ulp below a k.5 boundary (the
+    half_away_long docstring proves it; ADVICE r13 flagged the three
+    floor(+0.5) driver helpers). Used to fixed-point driver-computed
+    literals (log tables, DSIR ratios) so they match the DuckDB oracle's
+    value-based round() on every double."""
+    import math
+
+    av = abs(v)
+    f = math.floor(av)
+    return int(math.copysign(f + (1 if av - f >= 0.5 else 0), v))
+
+
 def r6(col: Column) -> Column:
     """Round to 6 dp — for avg/stddev/corr and similarity scores."""
     return F.round(col, 6)

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from xml_processor_spark.functions.deterministic import r6
+from xml_processor_spark.functions.deterministic import py_half_away, r6
 from xml_processor_spark.io import table, widen
 from xml_processor_spark.registry import register
 
@@ -1050,10 +1050,10 @@ def q_text_dsir(spark, sf_dir):
     # LEFT JOIN); scoring can only ever look up such buckets.
     # Half-away fixed-pointing (ADVICE r12): python round() is banker's
     # (half-to-even) while the oracle's DuckDB round() is half-away — a
-    # log-ratio landing exactly on .5e-6 would flip the integer. Same
-    # sign-aware floor as _pq_half_away.
-    def _ha(v):
-        return int(math.copysign(math.floor(abs(v) + 0.5), v))
+    # log-ratio landing exactly on .5e-6 would flip the integer.
+    # ADVICE r13: exact fractional-part test (deterministic.py), not
+    # floor(|v|+0.5) — the inexact +0.5 can round up across a binade.
+    _ha = py_half_away
 
     lr = {
         b: _ha(

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from xml_processor_spark.functions.deterministic import r6
+from xml_processor_spark.functions.deterministic import py_half_away, r6
 from xml_processor_spark.io import table, widen
 from xml_processor_spark.registry import register
 
@@ -559,10 +559,10 @@ def _bigram_lm_scored(spark, sf_dir):
     # Half-away fixed-pointing (ADVICE r12): python round() is banker's
     # (half-to-even) while the oracle's DuckDB round() is half-away and
     # the pre-r12 engine used F.round (HALF_UP) — a log2 value landing
-    # exactly on .5 in double would flip the integer. Sign-aware floor,
-    # the _pq_half_away rule.
+    # exactly on .5 in double would flip the integer. ADVICE r13: exact
+    # fractional-part test (deterministic.py), not floor(|v|+0.5).
     t = {
-        bg: int(math.copysign(math.floor(abs(v) + 0.5), v))
+        bg: py_half_away(v)
         for bg, v in (
             (bg, math.log2((n + 1) / (n1[bg[0]] + vsz)) * _LP_SCALE)
             for bg, n in n12.items()

@@ -926,10 +926,15 @@ _PQ_ITERS = 10   # Lloyd iterations
 
 def _pq_half_away(v):
     """Round half away from zero — DuckDB round(DOUBLE) / Spark F.round
-    semantics (numpy's own round is banker's and would flip grid ties)."""
+    semantics (numpy's own round is banker's and would flip grid ties).
+    Vectorized exact fractional-part test (the half_away_long rule, r14):
+    floor(|v|+0.5)'s inexact +0.5 rounds up across a binade for values
+    half-an-ulp below a k.5 boundary; |v|−floor(|v|) is exact."""
     import numpy as np
 
-    return np.sign(v) * np.floor(np.abs(v) + 0.5)
+    a = np.abs(v)
+    f = np.floor(a)
+    return np.sign(v) * (f + (a - f >= 0.5))
 
 
 def _pq_quantize(mat):

@@ -25,7 +25,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from xml_processor_spark.functions.deterministic import (
-    cents, cents_sql, half_away_long, r6,
+    cents, cents_sql, ha_sql, half_away_long, py_half_away, r6,
 )
 from xml_processor_spark.io import table
 from xml_processor_spark.registry import register
@@ -79,11 +79,20 @@ def q_orders_basket(spark, sf_dir):
     brands = sorted(
         r["p_brand"] for r in pt.select("p_brand").distinct().collect()
     )
+    # int64 bitmask holds ≤63 brand bits; wider domains must take the
+    # array plan instead of silently wrapping the shift (ADVICE r13).
+    if len(brands) > 63:
+        raise ValueError(
+            f"q_orders_basket bitmask plan supports <=63 distinct brands, "
+            f"got {len(brands)}; use an array<int> brand-set plan instead"
+        )
     idx = {b: i for i, b in enumerate(brands)}
     bmap = F.create_map(
         *[x for b, i in idx.items() for x in (F.lit(b), F.lit(i))]
     )
-    ob = li.join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"]).select(
+    # No broadcast hint: part scales with sf (hard-hinting it would OOM at
+    # the 100 TB point, ADVICE r13) — AQE picks broadcast at bench scales.
+    ob = li.join(pt, li["l_partkey"] == pt["p_partkey"]).select(
         F.col("l_orderkey").alias("okey"),
         F.element_at(bmap, F.col("p_brand")).alias("bidx"),
     )
@@ -452,18 +461,9 @@ _REV_UNITS = (
 )
 
 
-def _ha_expr(v: str) -> str:
-    """Spark-dialect half-away whole-integer round — the SQL-string twin
-    of deterministic.half_away_long (FLOOR + exact fraction test, pure
-    codegen; bit-equal to round() on every double, pinned in
-    tests/test_units.py). Engine F.expr sites only; oracles keep
-    round()."""
-    a = f"ABS({v})"
-    return (
-        f"((CASE WHEN ({v}) < 0 THEN -1 ELSE 1 END) * "
-        f"(FLOOR({a}) + (CASE WHEN {a} - FLOOR({a}) >= "
-        f"CAST(0.5 AS DOUBLE) THEN 1 ELSE 0 END)))"
-    )
+# Shared single definition in functions/deterministic.py (ADVICE r13);
+# engine-dialect F.expr sites only — oracles keep round().
+_ha_expr = ha_sql
 
 
 # Engine twin of _REV_UNITS: same integer units, codegen rounds (r13 —
@@ -1973,7 +1973,9 @@ _ELA_E6 = 1_000_000  # fixed-point grain for the per-row log terms
         "argument: int64 crosses at ~70k rows/brand; sf1 already has "
         "240k). Scale shape (r13): the FACT TABLE NEVER JOINS — level-1 "
         "int64 moments fold by l_partkey map-side, the |parts|-row "
-        "partials broadcast-join part, level 2 folds by brand in "
+        "partials join part hint-free (both sides scale with sf, so AQE "
+        "broadcasts at bench scales and shuffles at 100 TB — ADVICE "
+        "r13), level 2 folds by brand in "
         "decimal; per-row rounds are half_away_long codegen arithmetic "
         "(F.round's BigDecimal/Double.toString path measured as the "
         "dominant per-row cost at SF1) and ln(q) is a 50-entry literal "
@@ -2005,17 +2007,19 @@ def q_part_price_elasticity(spark, sf_dir):
     #      quantities (none in the fixtures) fall back to the per-row JVM
     #      ln branch, so the operator stays total;
     #   3. the fact join is GONE: level-1 moments aggregate by l_partkey
-    #      alone (brand is a function of part), the 200k-row partials
-    #      broadcast-join part, and level 2 folds by brand in decimal.
+    #      alone (brand is a function of part), the |parts|-row partials
+    #      join part (hint-free — AQE decides), level 2 folds by brand.
     q = half_away_long(F.col("l_quantity"))
     pc = half_away_long(F.col("l_extendedprice") * 100)
     x = half_away_long(
         F.log(pc.cast("double") / (100 * q).cast("double")) * _ELA_E6
     )
-    _py_ha = lambda v: int(math.copysign(math.floor(abs(v) + 0.5), v))  # noqa: E731
+    # Exact fractional-part test (ADVICE r13): floor(|v|+0.5)'s inexact
+    # +0.5 can round up across a binade; py_half_away matches the
+    # oracle's value-based round() on every double.
     ylut = F.array(
         *[
-            F.lit(_py_ha(math.log(i) * _ELA_E6)).cast("long")
+            F.lit(py_half_away(math.log(i) * _ELA_E6)).cast("long")
             for i in range(1, 51)
         ]
     )
@@ -2043,7 +2047,9 @@ def q_part_price_elasticity(spark, sf_dir):
         F.sum(F.col("y") * F.col("y")).alias("syy"),
     )
     dec = "decimal(38,0)"
-    j2 = p1.join(F.broadcast(pt), p1["l_partkey"] == pt["p_partkey"])
+    # No broadcast hint: both sides are |part|-sized and scale with sf
+    # (ADVICE r13) — AQE picks broadcast at bench scales, shuffle at 100 TB.
+    j2 = p1.join(pt, p1["l_partkey"] == pt["p_partkey"])
     m = j2.groupBy("p_brand").agg(
         F.sum("n").alias("n"),
         F.sum(F.col("sx").cast(dec)).alias("sx"),

@@ -15,6 +15,7 @@ order-independent across any partitioning — the property that makes a
 
 from __future__ import annotations
 
+from xml_processor_spark.functions.deterministic import ha_sql
 from xml_processor_spark.io import register_views
 from xml_processor_spark.registry import register
 
@@ -672,22 +673,9 @@ _PS_CTE = """
 """
 
 
-def _ha_sql(v: str) -> str:
-    """Spark-dialect half-away-from-zero whole-integer round of ``v`` —
-    the SQL twin of deterministic.half_away_long: FLOOR plus an exact
-    fractional-part test, pure codegen arithmetic. Bit-equal to round(v)
-    on every double (|v| < 2^52; the fraction compare is exact — see the
-    half_away_long docstring), but avoids Spark SQL round()'s
-    BigDecimal.valueOf → Double.toString per-row path, which measured as
-    the dominant per-row cost of the de-facto-partsupp CTE at SF1.
-    Engine side only — oracles keep round(); the two forms' equality is
-    pinned in DuckDB by tests/test_units.py."""
-    a = f"ABS({v})"
-    return (
-        f"((CASE WHEN ({v}) < 0 THEN -1 ELSE 1 END) * "
-        f"(FLOOR({a}) + (CASE WHEN {a} - FLOOR({a}) >= CAST(0.5 AS DOUBLE) "
-        f"THEN 1 ELSE 0 END)))"
-    )
+# Shared single definition in functions/deterministic.py (ADVICE r13);
+# engine-dialect only — oracles keep round().
+_ha_sql = ha_sql
 
 
 # Engine-side twin of _PS_CTE (r13): same grouping, half-away arithmetic
@@ -732,9 +720,54 @@ _Q2_SQL = f"""
     LIMIT 100
 """
 
+# Engine dialect (r14): the ASIA-supplier and part filters are pushed
+# BELOW the (partkey, suppkey) pair aggregate as semi joins on the group
+# keys. Valid because both filters are functions of the GROUP KEYS alone:
+# dropping a filtered-out supplier's/part's lineitem rows removes whole
+# groups and never a row from a surviving group, so min(unit_c) per
+# surviving pair is unchanged, and the correlated min-cost subquery only
+# ever evaluates at filtered partkeys (whose cost rows all survive).
+# Catalyst does not push joins through aggregates itself — hand-pushed,
+# the shuffle shrinks from |lineitem| to the ~1% of rows in
+# (ASIA suppliers × PROMO/size≤15 parts). Oracle keeps the canonical
+# join-above-aggregate form (dialect-split, the q21 precedent).
+_Q2_ENGINE_SQL = f"""
+    WITH costs AS (
+        SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               CAST(min(unit_c) AS BIGINT) AS ps_supplycost_c
+        FROM (
+            SELECT l_partkey, l_suppkey,
+                   {ha_sql('l_extendedprice * 100 / l_quantity')} AS unit_c
+            FROM lineitem
+            WHERE l_quantity > 0
+              AND l_suppkey IN (SELECT s_suppkey FROM supplier
+                                JOIN nation ON n_nationkey = s_nationkey
+                                JOIN region ON r_regionkey = n_regionkey
+                                WHERE r_name = 'ASIA')
+              AND l_partkey IN (SELECT p_partkey FROM part
+                                WHERE p_size <= 15
+                                  AND p_type LIKE 'PROMO%')
+        )
+        GROUP BY l_partkey, l_suppkey
+    )
+    SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name,
+           p_partkey, s_suppkey,
+           CAST(c.ps_supplycost_c AS DOUBLE) / 1e2 AS supplycost
+    FROM part
+    JOIN costs c ON c.ps_partkey = p_partkey
+    JOIN supplier ON s_suppkey = c.ps_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE p_size <= 15
+      AND p_type LIKE 'PROMO%'
+      AND c.ps_supplycost_c = (SELECT min(c2.ps_supplycost_c) FROM costs c2
+                               WHERE c2.ps_partkey = p_partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, s_suppkey
+    LIMIT 100
+"""
+
 _sql_query(
     "q_tpch_q2",
-    _Q2_SQL.replace(_PS_CTE, _PS_CTE_ENGINE),
+    _Q2_ENGINE_SQL,
     "TPC-H Q2 shape (minimum-cost supplier) adapted to the fixture (de "
     "facto partsupp CTE; min observed unit price in integer cents stands "
     "in for ps_supplycost): region-filtered per-part supplier costs, the "
@@ -743,8 +776,12 @@ _sql_query(
     "min() subquery into an aggregate + equi-join on ps_partkey and "
     "plans the tie-broken LIMIT as TakeOrderedAndProject; integer-cents "
     "cost makes the min and the equality exact on both engines. r13: "
-    "the engine swaps the ps CTE's round() for half-away arithmetic "
-    "(_PS_CTE_ENGINE, dialect-split; oracle keeps the canonical form).",
+    "the engine swaps the ps CTE's round() for half-away arithmetic. "
+    "r14: the ASIA-supplier and part predicates push below the pair "
+    "aggregate as group-key semi joins (see _Q2_ENGINE_SQL comment) — "
+    "the pair shuffle carries ~1% of lineitem instead of all of it; "
+    "oracle keeps the canonical join-above-aggregate form "
+    "(dialect-split).",
     oracle=_Q2_SQL,
 )
 
@@ -769,9 +806,46 @@ _Q11_SQL = f"""
     ORDER BY value DESC, ps_partkey
 """
 
+# Engine dialect (r14): the NATION_3 supplier filter pushes below the
+# pair aggregate as a group-key semi join (the _Q2_ENGINE_SQL argument:
+# the filter is a function of l_suppkey, a group key, so it removes whole
+# groups only) — the pair shuffle carries 1/|nations| of lineitem. The
+# supplier join above the aggregate disappears entirely (it contributed
+# nothing but the filter). tot still folds from g inside the same plan
+# so ReuseExchange dedupes the aggregate.
+_Q11_ENGINE_SQL = f"""
+    WITH g AS (
+        SELECT ps_partkey, CAST(SUM(value_c) AS BIGINT) AS sv_c
+        FROM (
+            SELECT l_partkey AS ps_partkey,
+                   CAST(min(unit_c) AS BIGINT)
+                       * CAST(SUM(q) AS BIGINT) AS value_c
+            FROM (
+                SELECT l_partkey, l_suppkey,
+                       {ha_sql('l_extendedprice * 100 / l_quantity')}
+                           AS unit_c,
+                       CAST({ha_sql('l_quantity')} AS BIGINT) AS q
+                FROM lineitem
+                WHERE l_quantity > 0
+                  AND l_suppkey IN (SELECT s_suppkey FROM supplier
+                                    JOIN nation
+                                      ON n_nationkey = s_nationkey
+                                    WHERE n_name = 'NATION_3')
+            )
+            GROUP BY l_partkey, l_suppkey
+        )
+        GROUP BY ps_partkey
+    ),
+    tot AS (SELECT CAST(SUM(sv_c) AS BIGINT) AS tot_c FROM g)
+    SELECT ps_partkey, CAST(sv_c AS DOUBLE) / 1e2 AS value
+    FROM g, tot
+    WHERE CAST(sv_c AS DOUBLE) > CAST(tot_c AS DOUBLE) * 0.001
+    ORDER BY value DESC, ps_partkey
+"""
+
 _sql_query(
     "q_tpch_q11",
-    _Q11_SQL.replace(_PS_CTE, _PS_CTE_ENGINE),
+    _Q11_ENGINE_SQL,
     "TPC-H Q11 shape (important stock identification) adapted to the "
     "fixture (de facto partsupp; cost x shipped-quantity stands in for "
     "cost x availqty): per-part inventory value within one nation, kept "
@@ -788,8 +862,11 @@ _sql_query(
     "2^53, so the explicit double casts in the comparison reproduce "
     "both engines' prior implicit promotion bit-for-bit; the 1-row tot "
     "broadcast is the house totals-fold pattern. r13: the engine swaps "
-    "the ps CTE's round() for half-away arithmetic (_PS_CTE_ENGINE, "
-    "dialect-split; oracle keeps the canonical form).",
+    "the ps CTE's round() for half-away arithmetic. r14: the NATION_3 "
+    "predicate pushes below the pair aggregate as a group-key semi join "
+    "(see _Q11_ENGINE_SQL comment) — the pair shuffle carries "
+    "1/|nations| of lineitem; oracle keeps the canonical form "
+    "(dialect-split).",
     oracle=_Q11_SQL,
 )
 
@@ -808,18 +885,47 @@ _Q16_SQL = f"""
     ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
 """
 
+# Engine dialect (r14): q16 uses the ps CTE only as the DISTINCT
+# (partkey, suppkey) pair set — the cost/availqty aggregates it computed
+# were dead columns. The engine states just the distinct, and both the
+# part predicate and the negative-balance supplier exclusion push below
+# it as group-key semi/anti joins (functions of the group keys — whole
+# groups only). Oracle keeps the canonical form (dialect-split).
+_Q16_ENGINE_SQL = """
+    WITH ps AS (
+        SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+        FROM lineitem
+        WHERE l_quantity > 0
+          AND l_partkey IN (SELECT p_partkey FROM part
+                            WHERE p_brand <> 'Brand#45'
+                              AND p_type NOT LIKE 'MEDIUM%'
+                              AND p_size IN (1, 4, 7, 10, 13, 16, 19,
+                                             22, 25, 49))
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_acctbal < 0)
+    )
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+    FROM ps
+    JOIN part ON p_partkey = ps_partkey
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
 _sql_query(
     "q_tpch_q16",
-    _Q16_SQL.replace(_PS_CTE, _PS_CTE_ENGINE),
+    _Q16_ENGINE_SQL,
     "TPC-H Q16 shape (parts/supplier relationship) adapted to the fixture "
     "(de facto partsupp pairs; negative account balance stands in for the "
     "complaint-comment supplier exclusion): distinct supplier count per "
     "(brand, type, size) bucket over brand/type/size anti-filters, with "
     "the signature NOT IN subquery. s_suppkey is non-null so NOT IN is "
     "a plain left-anti hash join (no null-aware nested loop); the count-"
-    "distinct shuffles once on the group keys. r13: the engine swaps "
-    "the ps CTE's round() for half-away arithmetic (_PS_CTE_ENGINE, "
-    "dialect-split; oracle keeps the canonical form).",
+    "distinct shuffles once on the group keys. r14: the engine drops "
+    "the ps CTE's dead cost/availqty aggregates (q16 needs only the "
+    "distinct pair set) and pushes both predicates below the distinct "
+    "as group-key semi/anti joins (see _Q16_ENGINE_SQL comment); "
+    "oracle keeps the canonical form (dialect-split).",
     oracle=_Q16_SQL,
 )
 

@@ -154,14 +154,19 @@ def _sessionize(
             SELECT event_id, user_id, date_trunc('milliseconds', ts) AS ts
             FROM events WHERE user_id < 30
         ), flagged AS (
-            SELECT user_id, ts,
+            SELECT user_id, ts, event_id,
                    CASE WHEN ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
                         OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
             FROM et
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ), sessions AS (
+            -- (ts, event_id) tie-break matches flagged's window (ADVICE
+            -- r13): two same-user events sharing an ms timestamp at a
+            -- session boundary must accumulate in the order the flags
+            -- were computed, or the session assignment is nondeterministic
             SELECT user_id, ts,
-                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                   SUM(new_s) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
                                     ROWS UNBOUNDED PRECEDING) AS sid
             FROM flagged
         )
