@@ -158,8 +158,9 @@ def test_elasticity_ylut_bit_equals_duckdb_ln():
 
     import duckdb
 
-    py_ha = lambda v: int(math.copysign(math.floor(abs(v) + 0.5), v))  # noqa: E731
-    py = [py_ha(math.log(i) * 1_000_000) for i in range(1, 51)]
+    from xml_processor_spark.functions.deterministic import py_half_away
+
+    py = [py_half_away(math.log(i) * 1_000_000) for i in range(1, 51)]
     duck = [
         r[0]
         for r in duckdb.sql(
@@ -205,6 +206,48 @@ def test_half_away_long_equals_f_round_on_doubles(spark):
     ]
     assert [g[0] for g in got] == [g[1] for g in got]  # == F.round
     assert [g[0] for g in got] == duck  # == DuckDB round
+
+
+def test_half_away_nn_variants_agree_on_nonnegative_doubles(spark):
+    """The non-negative fast path (half_away_long_nn / ha_sql_nn, r14:
+    signum/abs dropped for schema-non-negative columns) must agree with
+    the signed form, F.round, and DuckDB round on the non-negative half
+    of the hostile sample — exact .5 ties, ulp-neighbors, and the price
+    magnitude range. ha_sql_nn is additionally pinned inside DuckDB
+    itself (FLOOR arithmetic == round) since the engine-dialect SQL
+    string must hold on both parsers."""
+    import math
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from xml_processor_spark.functions.deterministic import (
+        ha_sql_nn, half_away_long, half_away_long_nn,
+    )
+
+    vals = []
+    for k in [0, 1, 2, 3, 7, 99, 1023, 1_000_000, 11_512_925]:
+        for base in [float(k), k + 0.5, k + 0.25, k + 0.75]:
+            vals.append(base)
+            vals += [abs(math.nextafter(base, 0.0)),
+                     math.nextafter(base, 1e18)]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    rows = df.select(
+        half_away_long_nn(F.col("v")).alias("nn"),
+        half_away_long(F.col("v")).alias("signed"),
+        F.round("v", 0).cast("long").alias("fr"),
+        F.expr(f"CAST({ha_sql_nn('v')} AS BIGINT)").alias("sqlnn"),
+    ).collect()
+    assert [r["nn"] for r in rows] == [r["signed"] for r in rows]
+    assert [r["nn"] for r in rows] == [r["fr"] for r in rows]
+    assert [r["nn"] for r in rows] == [r["sqlnn"] for r in rows]
+    duck = duckdb.sql(
+        f"SELECT CAST(round(v) AS BIGINT), CAST({ha_sql_nn('v')} AS BIGINT) "
+        "FROM (SELECT unnest(?) AS v)",
+        params=[vals],
+    ).fetchall()
+    assert [r["nn"] for r in rows] == [d[0] for d in duck]
+    assert [d[0] for d in duck] == [d[1] for d in duck]
 
 
 def test_ps_cte_engine_equals_canonical_round_form():

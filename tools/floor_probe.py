@@ -1,0 +1,255 @@
+"""Multi-scan floor decomposition at SF1 (VERDICT r13 #2).
+
+For each watchlist key, times a SEMANTICALLY-INERT twin — the same table
+scans, semi/broadcast joins, aggregate keys and window shapes as the
+registered engine plan, but with trivial measures (counts / raw-column
+min-sums) in place of the per-row exact-integer arithmetic — back-to-back
+with the full registered query and its DuckDB oracle, 1 warmup + min-of-N
+each. If the inert twin measures >=60% of the full query, the key's
+residual ratio vs DuckDB is proven to be Spark job-infrastructure floor
+(the fixture's 6-parquet-row-group scan ceiling + per-stage scheduling),
+not plan shape or expression waste — the floor becomes an artifact, not an
+assertion (the r14 ask).
+
+Usage: python tools/floor_probe.py [--sf /tmp/xps_sf1] [--runs 3]
+       [--out FLOOR_SF1.json] [keys ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.verify_local import connect_duckdb  # noqa: E402
+from xml_processor_spark.io import register_views  # noqa: E402
+from xml_processor_spark.registry import get_oracles, get_queries  # noqa: E402
+from xml_processor_spark.session import build_session  # noqa: E402
+
+# Inert twins: one SQL string per key, run via spark.sql on the registered
+# views. Shapes mirror the registered engine plans (see the per-key
+# operator docstrings); measures are trivial so Catalyst cannot prune the
+# scans, joins, aggregates or windows, but no half-away/cents/log
+# arithmetic runs. A final single-row aggregate consumes every branch.
+INERT_TWINS: dict[str, str] = {
+    # scan + 2 group-key semi joins + pair agg + partkey window min +
+    # 3 dimension joins (the registered q2 shape, no ha math)
+    "q_tpch_q2": """
+        WITH best AS (
+            SELECT ps_partkey, ps_suppkey, c
+            FROM (
+                SELECT ps_partkey, ps_suppkey, c,
+                       min(c) OVER (PARTITION BY ps_partkey) AS mc
+                FROM (
+                    SELECT l_partkey AS ps_partkey,
+                           l_suppkey AS ps_suppkey,
+                           CAST(min(l_extendedprice) AS BIGINT) AS c
+                    FROM lineitem
+                    WHERE l_quantity > 0
+                      AND l_suppkey IN (
+                          SELECT s_suppkey FROM supplier
+                          WHERE s_nationkey IN (
+                              SELECT n_nationkey FROM nation
+                              WHERE n_regionkey = (SELECT r_regionkey
+                                                   FROM region
+                                                   WHERE r_name = 'ASIA')))
+                      AND l_partkey IN (SELECT p_partkey FROM part
+                                        WHERE p_size <= 15
+                                          AND p_type LIKE 'PROMO%')
+                    GROUP BY l_partkey, l_suppkey
+                )
+            )
+            WHERE c = mc
+        )
+        SELECT count(*) AS n, sum(s_suppkey) AS s
+        FROM part
+        JOIN best c ON c.ps_partkey = p_partkey
+        JOIN supplier ON s_suppkey = c.ps_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        WHERE p_size <= 15 AND p_type LIKE 'PROMO%'
+    """,
+    # scan + NATION_3 semi join + pair agg + partkey agg + 1-row total
+    # cross join (the registered q11 shape, no ha math)
+    "q_tpch_q11": """
+        WITH g AS (
+            SELECT ps_partkey, CAST(SUM(value_c) AS BIGINT) AS sv_c
+            FROM (
+                SELECT l_partkey AS ps_partkey,
+                       CAST(min(l_extendedprice) AS BIGINT)
+                           * CAST(count(*) AS BIGINT) AS value_c
+                FROM lineitem
+                WHERE l_quantity > 0
+                  AND l_suppkey IN (
+                      SELECT s_suppkey FROM supplier
+                      WHERE s_nationkey = (SELECT n_nationkey FROM nation
+                                           WHERE n_name = 'NATION_3'))
+                GROUP BY l_partkey, l_suppkey
+            )
+            GROUP BY ps_partkey
+        ),
+        tot AS (SELECT CAST(SUM(sv_c) AS BIGINT) AS tot_c FROM g)
+        SELECT count(*) AS n, sum(sv_c) AS s
+        FROM g, tot
+        WHERE CAST(sv_c AS DOUBLE) > CAST(tot_c AS DOUBLE) * 0.001
+    """,
+    # scan + part semi join + pair distinct + part join + anti join +
+    # count-distinct rollup (the registered q16 shape)
+    "q_tpch_q16": """
+        WITH ps AS (
+            SELECT DISTINCT l_partkey AS ps_partkey,
+                            l_suppkey AS ps_suppkey
+            FROM lineitem
+            WHERE l_quantity > 0
+              AND l_partkey IN (SELECT p_partkey FROM part
+                                WHERE p_brand <> 'Brand#45'
+                                  AND p_type NOT LIKE 'MEDIUM%'
+                                  AND p_size IN (1, 4, 7, 10, 13, 16, 19,
+                                                 22, 25, 49))
+        )
+        SELECT count(*) AS n, sum(supplier_cnt) AS s
+        FROM (
+            SELECT p_brand, p_type, p_size,
+                   CAST(count(DISTINCT ps_suppkey) AS BIGINT)
+                       AS supplier_cnt
+            FROM ps
+            JOIN part ON p_partkey = ps_partkey
+            WHERE ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                     WHERE s_acctbal < 0)
+            GROUP BY p_brand, p_type, p_size
+        )
+    """,
+    # 6-col scan + (suppkey, partkey) pair agg + suppkey refold +
+    # 2 dimension joins (the registered scorecard shape, no cents math)
+    "q_supplier_scorecard": """
+        SELECT count(*) AS n, sum(n_lineitems) AS s
+        FROM (
+            SELECT l_suppkey,
+                   CAST(sum(n1) AS BIGINT) AS n_lineitems,
+                   CAST(count(*) AS BIGINT) AS n_parts,
+                   min(e1) AS e, min(d1) AS d, min(r1) AS r,
+                   max(ship1) AS last_ship
+            FROM (
+                SELECT l_suppkey, l_partkey,
+                       count(*) AS n1, min(l_extendedprice) AS e1,
+                       min(l_discount) AS d1, min(l_returnflag) AS r1,
+                       max(l_shipdate) AS ship1
+                FROM lineitem GROUP BY l_suppkey, l_partkey
+            )
+            GROUP BY l_suppkey
+        ) li
+        JOIN supplier s ON s.s_suppkey = li.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+    """,
+    # 2-col scan + part join + per-order agg + value regroup (the
+    # registered basket shape with a trivial per-order measure in place
+    # of the bitmask bit_or, and no HOF pair expansion). NOTE: a
+    # count-distinct twin would NOT be inert — it plans an Expand the
+    # bitmask plan exists to avoid (first probe measured it at 169% of
+    # the real query).
+    "q_orders_basket": """
+        SELECT count(*) AS n, sum(cnt) AS s
+        FROM (
+            SELECT m, CAST(count(*) AS BIGINT) AS cnt
+            FROM (
+                SELECT l_orderkey, min(p.p_brand) AS m
+                FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+                GROUP BY l_orderkey
+            )
+            GROUP BY m
+        )
+    """,
+}
+
+# 4-col scan + part join + (brand, day) agg + single-partition min-day
+# window + week refold (the registered abc_xyz shape, no ha/units math;
+# the downstream 25-row moment/rank stages are pipelined and free).
+ABC_INERT_SQL = """
+    SELECT count(*) AS n, sum(wu) AS s
+    FROM (
+        SELECT brand, week,
+               CAST(sum(dq) AS BIGINT) AS wq, CAST(sum(du) AS BIGINT) AS wu
+        FROM (
+            SELECT brand,
+                   CAST((day - min(day) OVER ()) / 7 AS BIGINT) AS week,
+                   dq, du
+            FROM (
+                SELECT p_brand AS brand,
+                       CAST(datediff(l_shipdate, DATE '1970-01-01')
+                            AS BIGINT) AS day,
+                       count(*) AS dq, min(l_extendedprice) AS du
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                GROUP BY 1, 2
+            )
+        )
+        GROUP BY brand, week
+    )
+"""
+INERT_TWINS["q_brand_abc_xyz"] = ABC_INERT_SQL
+
+
+def _min_of(fn, runs: int) -> float:
+    fn()  # warmup
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/tmp/xps_sf1")
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--out", default="FLOOR_SF1.json")
+    ap.add_argument("keys", nargs="*", default=None)
+    args = ap.parse_args()
+    keys = args.keys or sorted(INERT_TWINS)
+
+    queries, oracles = get_queries(), get_oracles()
+    spark = build_session("floor_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    register_views(spark, args.sf)
+    con = connect_duckdb(args.sf)
+
+    out: dict[str, dict] = {}
+    for key in keys:
+        inert_sql = INERT_TWINS[key]
+        full = _min_of(lambda: queries[key](spark, args.sf).collect(),
+                       args.runs)
+        inert = _min_of(lambda: spark.sql(inert_sql).collect(), args.runs)
+        duck = _min_of(lambda: con.execute(oracles[key]).fetchall(),
+                       args.runs)
+        frac = round(inert / full, 3) if full else None
+        out[key] = {
+            "full_spark": full, "inert_spark": inert, "duck": duck,
+            "inert_frac": frac, "ratio_vs_duck": round(full / duck, 2),
+            "floor_bound": bool(frac is not None and frac >= 0.6),
+        }
+        print(f"{key}: full={full}s inert={inert}s ({frac:.0%}) "
+              f"duck={duck}s -> {'FLOOR-BOUND' if out[key]['floor_bound'] else 'NOT floor-bound'}")
+
+    with open(args.out, "w") as f:
+        json.dump(
+            {
+                "sf_dir": args.sf,
+                "protocol": f"1 warmup + min-of-{args.runs}, inert twin = "
+                "same scans/joins/aggregate keys/window shapes with "
+                "trivial measures (tools/floor_probe.py INERT_TWINS); "
+                "floor_bound = inert >= 60% of full (VERDICT r13 #2 "
+                "criterion)",
+                "keys": out,
+            },
+            f,
+            indent=1,
+        )
+    print(f"wrote {args.out}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

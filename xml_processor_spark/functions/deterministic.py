@@ -116,6 +116,38 @@ def py_half_away(v: float) -> int:
     return int(math.copysign(f + (1 if av - f >= 0.5 else 0), v))
 
 
+def half_away_long_nn(col: Column) -> Column:
+    """:func:`half_away_long` for PROVABLY NON-NEGATIVE inputs (prices,
+    discounts, quantities — schema contract): identical output for every
+    v >= 0, but drops the signum/abs ops. FLOOR + the same exact
+    fractional-part test, pure codegen. Measured on the SF1 commerce hot
+    paths (r14): the sign plumbing was ~1/3 of the half-away cost at the
+    fixture's 6-row-group scan parallelism ceiling. Callers must
+    guarantee v >= 0 (a negative input would floor toward -inf instead
+    of rounding away from zero)."""
+    fl = F.floor(col)  # LONG in Spark SQL
+    return (
+        fl + F.when(col - fl.cast("double") >= 0.5, F.lit(1)).otherwise(F.lit(0))
+    ).cast("long")
+
+
+def ha_sql_nn(v: str) -> str:
+    """SQL-string twin of :func:`half_away_long_nn` — engine dialect
+    only; oracles keep round(). Caller guarantees ``v`` >= 0."""
+    return (
+        f"(FLOOR({v}) + (CASE WHEN ({v}) - FLOOR({v}) >= "
+        f"CAST(0.5 AS DOUBLE) THEN 1 ELSE 0 END))"
+    )
+
+
+def cents_nn(col: Column | str) -> Column:
+    """:func:`cents` for non-negative currency columns (the lineitem /
+    orders price and discount fields — never negative by schema): same
+    exact integer-hundredths result through half_away_long_nn."""
+    c = F.col(col) if isinstance(col, str) else col
+    return half_away_long_nn(c * 100)
+
+
 def r6(col: Column) -> Column:
     """Round to 6 dp — for avg/stddev/corr and similarity scores."""
     return F.round(col, 6)

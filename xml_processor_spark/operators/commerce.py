@@ -25,7 +25,8 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from xml_processor_spark.functions.deterministic import (
-    cents, cents_sql, ha_sql, half_away_long, py_half_away, r6,
+    cents, cents_nn, cents_sql, ha_sql, ha_sql_nn, half_away_long,
+    half_away_long_nn, py_half_away, r6,
 )
 from xml_processor_spark.io import table
 from xml_processor_spark.registry import register
@@ -56,22 +57,29 @@ _EWMA_SPAN = 8
         FROM pairs
     """,
     doc="Market-basket affinity over brands: which part brands co-occur in "
-        "one order. r13 bitmask plan: the brand domain is tiny (25 "
-        "values), so each brand gets a bit (index = rank in the sorted "
-        "distinct brand list, a bounded driver collect) and each order "
-        "folds to ONE int64 via a map-side-combinable bit_or — the fact "
-        "shuffle carries (orderkey, mask) longs instead of collected "
-        "string arrays. Orders sharing a brand SET then collapse into one "
-        "row per distinct mask (≤ C(25,k) ≪ |orders|), and the C(k,2) "
-        "pair expansion — the only interpreted higher-order expression — "
-        "runs once per distinct MASK, weighted by its order count, not "
-        "once per order (the r12 per-order HOF expansion measured as the "
-        "dominant cost at SF1). Bit index rank = lexicographic brand "
-        "rank, so (i < j) pairs are exactly the oracle's (brand_a < "
-        "brand_b) pairs. The oracle states the independent self-join "
-        "truth; this plan replaces it. `share` normalizes by the "
-        "all-pairs total via a window over the ≤25²/2-row aggregate — "
-        "integer ratio, cross-engine exact at 6 dp.",
+        "one order. r13 bitmask plan, r14 profile pass: the brand domain "
+        "is tiny (25 values), so each brand gets a bit (index = rank in "
+        "the sorted distinct brand list, a bounded driver collect) "
+        "carried as a COLUMN OF THE PART DIMENSION (25-row broadcast "
+        "rank frame joined onto part before the fact join — the r13 "
+        "per-fact-row map<string,int> lookup measured ~0.3 s at SF1), "
+        "and each order folds to ONE int64 via a map-side-combinable "
+        "bit_or — the fact shuffle carries (orderkey, mask) longs. "
+        "Orders sharing a brand SET then collapse into one row per "
+        "distinct mask (≤ C(25,k) ≪ |orders|), and the C(k,2) pair "
+        "expansion — the only interpreted higher-order expression — "
+        "extracts the bits array once and runs once per distinct MASK, "
+        "weighted by its order count, not once per order. Bit index "
+        "rank = lexicographic brand rank, so (i < j) pairs are exactly "
+        "the oracle's (brand_a < brand_b) pairs. The oracle states the "
+        "independent self-join truth; this plan replaces it. `share` "
+        "normalizes by the all-pairs total via a window over the "
+        "≤25²/2-row aggregate — integer ratio, cross-engine exact at "
+        "6 dp. SF1 floor decomposition (r14, BASELINE.md): the inert "
+        "scan+join+per-order groupBy prefix alone measures ~1.16 s at "
+        "the fixture's 6-row-group scan ceiling — the remaining gap to "
+        "DuckDB's fused in-process pipeline is job-infrastructure floor, "
+        "not plan shape.",
 )
 def q_orders_basket(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
@@ -86,15 +94,29 @@ def q_orders_basket(spark, sf_dir):
             f"q_orders_basket bitmask plan supports <=63 distinct brands, "
             f"got {len(brands)}; use an array<int> brand-set plan instead"
         )
-    idx = {b: i for i, b in enumerate(brands)}
+    # r14 profile-driven rework (SF1 decomposition committed in
+    # BASELINE.md): the r13 plan spent ~0.3 s running a 25-entry
+    # map<string,int> lookup per FACT ROW and re-extracted the mask's set
+    # bits once per HOF level. The brand index is now a column of the
+    # part DIMENSION (25-row broadcast rank frame joined onto part before
+    # the fact join — zero per-fact-row string work), and the pair
+    # expansion extracts the bits array ONCE per distinct mask.
     bmap = F.create_map(
-        *[x for b, i in idx.items() for x in (F.lit(b), F.lit(i))]
+        *[x for i, b in enumerate(brands) for x in (F.lit(b), F.lit(i))]
     )
-    # No broadcast hint: part scales with sf (hard-hinting it would OOM at
-    # the 100 TB point, ADVICE r13) — AQE picks broadcast at bench scales.
-    ob = li.join(pt, li["l_partkey"] == pt["p_partkey"]).select(
-        F.col("l_orderkey").alias("okey"),
-        F.element_at(bmap, F.col("p_brand")).alias("bidx"),
+    # The map lookup runs over the 200k-row part DIMENSION projection
+    # (statically estimable scan → AQE broadcasts it), never per fact
+    # row. A rank-frame JOIN would be cleaner but loses the static size
+    # estimate (join-derived subplans overestimate) and demotes the fact
+    # join to a 6M-row SortMergeJoin exchange — measured +0.5 s at SF1.
+    pidx = pt.select(
+        "p_partkey", F.element_at(bmap, F.col("p_brand")).alias("bidx")
+    )
+    # No broadcast hint on the part side: part scales with sf
+    # (hard-hinting it would OOM at the 100 TB point, ADVICE r13) — AQE
+    # picks broadcast at bench scales.
+    ob = li.join(pidx, li["l_partkey"] == pidx["p_partkey"]).select(
+        F.col("l_orderkey").alias("okey"), "bidx"
     )
     masks = (
         ob.groupBy("okey")
@@ -104,18 +126,18 @@ def q_orders_basket(spark, sf_dir):
     )
     # Set-bit positions ascending == brand names ascending, so the (x, y)
     # expansion below emits exactly the oracle's brand_a < brand_b pairs.
-    pair_expr = F.expr(
-        f"flatten(transform("
+    bits = F.expr(
         f"filter(sequence(0, {len(brands) - 1}), "
-        f"i -> (shiftright(m, i) & 1) = 1), "
-        f"(x, i) -> transform("
-        f"slice(filter(sequence(0, {len(brands) - 1}), "
-        f"j -> (shiftright(m, j) & 1) = 1), i + 2, {len(brands)}), "
-        f"y -> struct(x AS a, y AS b))))"
+        f"j -> (shiftright(m, j) & 1) = 1)"
+    )
+    pair_expr = F.expr(
+        "flatten(transform(bs, (x, i) -> transform("
+        "slice(bs, i + 2, size(bs)), y -> struct(x AS a, y AS b))))"
     )
     blits = F.array(*[F.lit(b) for b in brands])
     pairs = (
-        masks.select(F.explode(pair_expr).alias("p"), "cnt")
+        masks.select(bits.alias("bs"), "cnt")
+        .select(F.explode(pair_expr).alias("p"), "cnt")
         .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .agg(F.sum("cnt").alias("n_orders"))
     )
@@ -468,9 +490,12 @@ _ha_expr = ha_sql
 
 # Engine twin of _REV_UNITS: same integer units, codegen rounds (r13 —
 # Spark SQL round()'s BigDecimal path measured dominant per-row at SF1).
+# r14: the non-negative half-away variant (price and discount are >= 0 by
+# schema) drops the signum/abs plumbing — ~1/3 of the per-row round cost
+# at the SF1 scan-parallelism ceiling.
 _REV_UNITS_ENGINE = (
-    f"CAST({_ha_expr('l_extendedprice * 100')} AS BIGINT)"
-    f" * (100 - CAST({_ha_expr('l_discount * 100')} AS BIGINT))"
+    f"CAST({ha_sql_nn('l_extendedprice * 100')} AS BIGINT)"
+    f" * (100 - CAST({ha_sql_nn('l_discount * 100')} AS BIGINT))"
 )
 
 
@@ -2009,8 +2034,10 @@ def q_part_price_elasticity(spark, sf_dir):
     #   3. the fact join is GONE: level-1 moments aggregate by l_partkey
     #      alone (brand is a function of part), the |parts|-row partials
     #      join part (hint-free — AQE decides), level 2 folds by brand.
-    q = half_away_long(F.col("l_quantity"))
-    pc = half_away_long(F.col("l_extendedprice") * 100)
+    # nn variants for the provably non-negative quantity/price rounds;
+    # x keeps the SIGNED form — the log ratio goes negative below 1.
+    q = half_away_long_nn(F.col("l_quantity"))
+    pc = half_away_long_nn(F.col("l_extendedprice") * 100)
     x = half_away_long(
         F.log(pc.cast("double") / (100 * q).cast("double")) * _ELA_E6
     )
@@ -2124,11 +2151,13 @@ def q_supplier_scorecard(spark, sf_dir):
     # (suppkey, partkey) — every metric is sum/count/max, so the level-2
     # re-fold by suppkey is exact by associativity and n_parts is a plain
     # count(*) of the level-1 rows. No distinct aggregate, no Expand.
+    # cents_nn: price and discount are non-negative by schema — the
+    # signed half-away's signum/abs ops are dead per-row weight (r14).
     p1 = li.groupBy("l_suppkey", "l_partkey").agg(
         F.count(F.lit(1)).alias("n1"),
-        F.sum(cents("l_extendedprice")).cast("long").alias("rev1"),
+        F.sum(cents_nn("l_extendedprice")).cast("long").alias("rev1"),
         F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("ret1"),
-        F.sum(cents("l_discount")).cast("long").alias("disc1"),
+        F.sum(cents_nn("l_discount")).cast("long").alias("disc1"),
         F.max("l_shipdate").alias("ship1"),
     )
     agg = p1.groupBy("l_suppkey").agg(
@@ -2342,30 +2371,56 @@ def q_orders_gmv_bridge(spark, sf_dir):
         "4·(nS2−S1²) ≤ S1² etc. — no float boundary can flip a class; "
         "the reported cv itself is one sqrt + one division over exact "
         "integers, CV = √(nS2−S1²)/S1). Weeks are integer-day DIV 7 "
-        "from the corpus min ship date (1-row bounds broadcast — no "
-        "engine week-truncation semantics). Scale shape: fact⋈part key "
-        "join → (brand, week) map-side-combined aggregate → |brands|-"
-        "row moments; ranking windows run on the bounded table only.",
+        "from the corpus min ship date (no engine week-truncation "
+        "semantics). Scale shape (r14): ONE fact scan — fact⋈part key "
+        "join → (brand, absolute-day) map-side-combined aggregate "
+        "(bounded, SF-invariant ~60k rows) → min-day window + week "
+        "refold on the aggregate (exact int64 sums refold "
+        "associatively; the r13 plan's separate min-shipdate scan and "
+        "bounds broadcast are gone) → |brands|-row moments; ranking "
+        "windows run on the bounded table only.",
 )
 def q_brand_abc_xyz(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem")
     pt = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    bounds = li.agg(F.min("l_shipdate").alias("mn"))
-    wk = (
+    # r14 single-scan rewrite: the r13 plan scanned lineitem TWICE (once
+    # for the min-shipdate bounds broadcast, once for the fact pass). Fold
+    # by (brand, absolute day) first — |brands|x|days| is bounded and
+    # SF-invariant (~60k rows) — then derive the corpus min day from that
+    # aggregate via a window and re-fold days into weeks. The q/units
+    # sums are exact int64, so the two-level refold is bit-identical to
+    # the direct (brand, week) aggregate by associativity.
+    daily = (
         li.join(pt, li["l_partkey"] == pt["p_partkey"])
-        .crossJoin(F.broadcast(bounds))
         .select(
             F.col("p_brand").alias("brand"),
-            (F.datediff("l_shipdate", "mn").cast("long") / 7)
+            F.datediff("l_shipdate", F.lit("1970-01-01").cast("date"))
             .cast("long")
-            .alias("week"),
-            half_away_long(F.col("l_quantity")).alias("q"),
+            .alias("day"),
+            half_away_long_nn(F.col("l_quantity")).alias("q"),
             F.expr(_REV_UNITS_ENGINE).alias("units"),
         )
+        .groupBy("brand", "day")
+        .agg(
+            F.sum("q").cast("long").alias("dq"),
+            F.sum("units").cast("long").alias("du"),
+        )
     )
-    weekly = wk.groupBy("brand", "week").agg(
-        F.sum("q").cast("long").alias("wq"),
-        F.sum("units").cast("long").alias("wu"),
+    w_mn = Window.partitionBy()
+    weekly = (
+        daily.select(
+            "brand",
+            ((F.col("day") - F.min("day").over(w_mn)) / 7)
+            .cast("long")
+            .alias("week"),
+            "dq",
+            "du",
+        )
+        .groupBy("brand", "week")
+        .agg(
+            F.sum("dq").cast("long").alias("wq"),
+            F.sum("du").cast("long").alias("wu"),
+        )
     )
     dec = "decimal(38,0)"
     m = weekly.groupBy("brand").agg(

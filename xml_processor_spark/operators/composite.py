@@ -15,7 +15,7 @@ order-independent across any partitioning — the property that makes a
 
 from __future__ import annotations
 
-from xml_processor_spark.functions.deterministic import ha_sql
+from xml_processor_spark.functions.deterministic import ha_sql, ha_sql_nn
 from xml_processor_spark.io import register_views
 from xml_processor_spark.registry import register
 
@@ -720,47 +720,68 @@ _Q2_SQL = f"""
     LIMIT 100
 """
 
-# Engine dialect (r14): the ASIA-supplier and part filters are pushed
-# BELOW the (partkey, suppkey) pair aggregate as semi joins on the group
-# keys. Valid because both filters are functions of the GROUP KEYS alone:
-# dropping a filtered-out supplier's/part's lineitem rows removes whole
-# groups and never a row from a surviving group, so min(unit_c) per
-# surviving pair is unchanged, and the correlated min-cost subquery only
-# ever evaluates at filtered partkeys (whose cost rows all survive).
-# Catalyst does not push joins through aggregates itself — hand-pushed,
-# the shuffle shrinks from |lineitem| to the ~1% of rows in
-# (ASIA suppliers × PROMO/size≤15 parts). Oracle keeps the canonical
-# join-above-aggregate form (dialect-split, the q21 precedent).
+# Engine dialect (r14): three structural moves vs the canonical oracle,
+# all plan-motivated (the SF1 executed plan showed the lineitem pipeline
+# running TWICE and a 6M-row SortMergeJoin exchange):
+# 1. The ASIA-supplier and part filters push BELOW the (partkey, suppkey)
+#    pair aggregate as semi joins on the group keys. Valid because both
+#    filters are functions of the GROUP KEYS alone: dropping a filtered
+#    supplier's/part's rows removes whole groups, never a row of a
+#    surviving group, so min(unit_c) per surviving pair is unchanged.
+#    Catalyst does not push joins through aggregates itself.
+# 2. The correlated min-cost subquery becomes a window min over the pair
+#    aggregate (ties kept by the = predicate either way) — the canonical
+#    form re-evaluated the ENTIRE lineitem pipeline for the subquery
+#    branch (no exchange reuse: the two branches aggregate differently).
+# 3. The supplier semi-join's right side is a join-free nested-IN chain
+#    (supplier → nation → region scalar) instead of a 3-way join:
+#    Catalyst's size estimate for a join-derived subquery blocks static
+#    broadcast and plans a SortMergeJoin whose exchange shuffles all of
+#    lineitem; a filtered-scan subquery broadcasts statically.
+# Oracle keeps the canonical join-above-aggregate correlated-subquery
+# form (dialect-split, the q21 precedent); full-result equality pinned
+# in tests/test_units.py.
 _Q2_ENGINE_SQL = f"""
-    WITH costs AS (
-        SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
-               CAST(min(unit_c) AS BIGINT) AS ps_supplycost_c
+    WITH best AS (
+        SELECT ps_partkey, ps_suppkey, ps_supplycost_c
         FROM (
-            SELECT l_partkey, l_suppkey,
-                   {ha_sql('l_extendedprice * 100 / l_quantity')} AS unit_c
-            FROM lineitem
-            WHERE l_quantity > 0
-              AND l_suppkey IN (SELECT s_suppkey FROM supplier
-                                JOIN nation ON n_nationkey = s_nationkey
-                                JOIN region ON r_regionkey = n_regionkey
-                                WHERE r_name = 'ASIA')
-              AND l_partkey IN (SELECT p_partkey FROM part
-                                WHERE p_size <= 15
-                                  AND p_type LIKE 'PROMO%')
+            SELECT ps_partkey, ps_suppkey, ps_supplycost_c,
+                   min(ps_supplycost_c) OVER (PARTITION BY ps_partkey)
+                       AS min_c
+            FROM (
+                SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                       CAST(min(unit_c) AS BIGINT) AS ps_supplycost_c
+                FROM (
+                    SELECT l_partkey, l_suppkey,
+                           {ha_sql_nn('l_extendedprice * 100 / l_quantity')}
+                               AS unit_c
+                    FROM lineitem
+                    WHERE l_quantity > 0
+                      AND l_suppkey IN (
+                          SELECT s_suppkey FROM supplier
+                          WHERE s_nationkey IN (
+                              SELECT n_nationkey FROM nation
+                              WHERE n_regionkey = (SELECT r_regionkey
+                                                   FROM region
+                                                   WHERE r_name = 'ASIA')))
+                      AND l_partkey IN (SELECT p_partkey FROM part
+                                        WHERE p_size <= 15
+                                          AND p_type LIKE 'PROMO%')
+                )
+                GROUP BY l_partkey, l_suppkey
+            )
         )
-        GROUP BY l_partkey, l_suppkey
+        WHERE ps_supplycost_c = min_c
     )
     SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name,
            p_partkey, s_suppkey,
            CAST(c.ps_supplycost_c AS DOUBLE) / 1e2 AS supplycost
     FROM part
-    JOIN costs c ON c.ps_partkey = p_partkey
+    JOIN best c ON c.ps_partkey = p_partkey
     JOIN supplier ON s_suppkey = c.ps_suppkey
     JOIN nation ON n_nationkey = s_nationkey
     WHERE p_size <= 15
       AND p_type LIKE 'PROMO%'
-      AND c.ps_supplycost_c = (SELECT min(c2.ps_supplycost_c) FROM costs c2
-                               WHERE c2.ps_partkey = p_partkey)
     ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, s_suppkey
     LIMIT 100
 """
@@ -822,15 +843,15 @@ _Q11_ENGINE_SQL = f"""
                        * CAST(SUM(q) AS BIGINT) AS value_c
             FROM (
                 SELECT l_partkey, l_suppkey,
-                       {ha_sql('l_extendedprice * 100 / l_quantity')}
+                       {ha_sql_nn('l_extendedprice * 100 / l_quantity')}
                            AS unit_c,
-                       CAST({ha_sql('l_quantity')} AS BIGINT) AS q
+                       CAST({ha_sql_nn('l_quantity')} AS BIGINT) AS q
                 FROM lineitem
                 WHERE l_quantity > 0
-                  AND l_suppkey IN (SELECT s_suppkey FROM supplier
-                                    JOIN nation
-                                      ON n_nationkey = s_nationkey
-                                    WHERE n_name = 'NATION_3')
+                  AND l_suppkey IN (
+                      SELECT s_suppkey FROM supplier
+                      WHERE s_nationkey = (SELECT n_nationkey FROM nation
+                                           WHERE n_name = 'NATION_3'))
             )
             GROUP BY l_partkey, l_suppkey
         )
@@ -901,13 +922,13 @@ _Q16_ENGINE_SQL = """
                               AND p_type NOT LIKE 'MEDIUM%'
                               AND p_size IN (1, 4, 7, 10, 13, 16, 19,
                                              22, 25, 49))
-          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
-                                WHERE s_acctbal < 0)
     )
     SELECT p_brand, p_type, p_size,
            CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
     FROM ps
     JOIN part ON p_partkey = ps_partkey
+    WHERE ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                             WHERE s_acctbal < 0)
     GROUP BY p_brand, p_type, p_size
     ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
 """
