@@ -359,6 +359,58 @@ def test_tpch_q21_single_lineitem_aggregate(spark, queries):
     assert plan.count("lineitem.parquet") == 1  # single fact pass (r13)
 
 
+def test_tpch_q2_single_lineitem_pass_and_pushed_semis(spark, queries):
+    """Q2 after the r14 rewrite: the correlated min-cost subquery is a
+    window min over ONE pair aggregate (the canonical form re-ran the
+    whole lineitem pipeline for the subquery branch), and the ASIA/part
+    predicates push below the aggregate as group-key semi joins whose
+    right sides are join-free filtered scans — so the plan must hold
+    exactly one lineitem scan and plan every lineitem-side semi join as
+    a BROADCAST hash join (a join-derived subquery side loses its static
+    size estimate and demotes to a SortMergeJoin whose exchange shuffles
+    the whole fact table — the r13 profile's dominant cost)."""
+    plan = explain(queries["q_tpch_q2"](spark, SF_MID))
+    assert plan.count("lineitem.parquet") == 1  # single fact pass (r14)
+    assert "SortMergeJoin LeftSemi" not in plan
+    assert "BroadcastHashJoin LeftSemi" in plan  # pushed-down group-key semis
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q11_single_lineitem_pass_and_pushed_semi(spark, queries):
+    """Q11 after the r14 pushdown: the NATION_3 supplier filter is a
+    broadcast semi join BELOW the pair aggregate (scalar-subquery nation
+    lookup keeps the supplier side a statically-estimable filtered
+    scan), and the threshold total folds via a window over the bounded
+    per-part aggregate (the r13 tot-CTE's ReuseExchange stopped firing
+    under the deeper nesting, silently re-running the whole lineitem
+    pipeline — exactly the regression this single-scan assert pins)."""
+    plan = explain(queries["q_tpch_q11"](spark, SF_MID))
+    assert plan.count("lineitem.parquet") == 1
+    assert "SortMergeJoin LeftSemi" not in plan
+    assert "BroadcastHashJoin LeftSemi" in plan
+    assert "Window" in plan  # total folds over the bounded aggregate
+
+
+def test_brand_abc_xyz_single_scan(spark, queries):
+    """abc_xyz after the r14 single-scan fold: the min-shipdate bounds
+    pass is gone — (brand, day) aggregate first, min-day window + week
+    refold on the bounded aggregate. Two lineitem scans would re-pay the
+    dominant scan at 100 TB."""
+    plan = explain(queries["q_brand_abc_xyz"](spark, SF_MID))
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_orders_basket_no_fact_side_smj(spark, queries):
+    """Basket's brand-index join must stay a broadcast hash join on the
+    fact side (the dimension carries the bit index); a rank-frame join
+    loses the static size estimate and demotes the 6M-row fact join to
+    a SortMergeJoin (measured +0.5 s at SF1, r14)."""
+    plan = explain(queries["q_orders_basket"](spark, SF_MID))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("lineitem.parquet") == 1
+
+
 def test_tpch_q13_single_custkey_shuffle(spark, queries):
     """Q13's distribution-of-counts must shuffle customer-sized data once
     (on c_custkey); the second aggregation input is |distinct counts|
@@ -435,17 +487,20 @@ def test_tpch_q2_min_cost_subquery_decorrelates(spark, queries):
 
 
 def test_tpch_q11_threshold_is_single_plan_totals_fold(spark, queries):
-    """Q11 r9 restructure: the fraction-of-total threshold must NOT be a
-    scalar subquery (Spark plans those as a separate AdaptiveSparkPlan,
-    re-running the whole lineitem aggregate with no exchange reuse —
-    measured 2x at sf0.1). It must fold the 1-row total inside the SAME
-    plan via the house totals-fold (1-row broadcast nested loop), with
-    both consumers sharing the per-part aggregate exchange."""
+    """Q11 r9 restructure, r14 refinement: the fraction-of-total
+    threshold must NOT be a scalar subquery RE-RUNNING THE LINEITEM
+    AGGREGATE (Spark plans those as a separate AdaptiveSparkPlan with no
+    exchange reuse — measured 2x at sf0.1). r14 folds the total via a
+    window over the bounded per-part aggregate; the only subquery left
+    is the 25-row nation scalar lookup that keeps the pushed-down
+    supplier semi side a statically-estimable filtered scan. The
+    companion single-scan test pins that no subquery branch touches
+    lineitem."""
     plan = explain(queries["q_tpch_q11"](spark, SF_MID))
     n = node_counts(plan)
-    assert "Subquery" not in plan
+    assert plan.count("lineitem.parquet") == 1  # no re-run of the fact agg
     assert "CartesianProduct" not in plan
-    assert n["BroadcastNestedLoopJoin"] <= 1  # the 1-row totals fold only
+    assert n["BroadcastNestedLoopJoin"] == 0  # window fold — no BNLJ left
     # one driving plan: the threshold branch lives inside it, not apart
     assert plan.count("== Physical Plan ==") == 1
 

@@ -832,34 +832,40 @@ _Q11_SQL = f"""
 # the filter is a function of l_suppkey, a group key, so it removes whole
 # groups only) — the pair shuffle carries 1/|nations| of lineitem. The
 # supplier join above the aggregate disappears entirely (it contributed
-# nothing but the filter). tot still folds from g inside the same plan
-# so ReuseExchange dedupes the aggregate.
+# nothing but the filter). The threshold total folds via a window over
+# the per-part aggregate — with the deeper r14 nesting the r13 tot-CTE's
+# exchanges stopped being identical, so ReuseExchange no longer deduped
+# them and the lineitem pipeline ran twice (plan-asserted single scan
+# now); the window runs over the bounded |parts-in-nation| aggregate.
 _Q11_ENGINE_SQL = f"""
-    WITH g AS (
-        SELECT ps_partkey, CAST(SUM(value_c) AS BIGINT) AS sv_c
-        FROM (
-            SELECT l_partkey AS ps_partkey,
-                   CAST(min(unit_c) AS BIGINT)
-                       * CAST(SUM(q) AS BIGINT) AS value_c
-            FROM (
-                SELECT l_partkey, l_suppkey,
-                       {ha_sql_nn('l_extendedprice * 100 / l_quantity')}
-                           AS unit_c,
-                       CAST({ha_sql_nn('l_quantity')} AS BIGINT) AS q
-                FROM lineitem
-                WHERE l_quantity > 0
-                  AND l_suppkey IN (
-                      SELECT s_suppkey FROM supplier
-                      WHERE s_nationkey = (SELECT n_nationkey FROM nation
-                                           WHERE n_name = 'NATION_3'))
-            )
-            GROUP BY l_partkey, l_suppkey
-        )
-        GROUP BY ps_partkey
-    ),
-    tot AS (SELECT CAST(SUM(sv_c) AS BIGINT) AS tot_c FROM g)
     SELECT ps_partkey, CAST(sv_c AS DOUBLE) / 1e2 AS value
-    FROM g, tot
+    FROM (
+        SELECT ps_partkey, sv_c,
+               CAST(SUM(sv_c) OVER () AS BIGINT) AS tot_c
+        FROM (
+            SELECT ps_partkey, CAST(SUM(value_c) AS BIGINT) AS sv_c
+            FROM (
+                SELECT l_partkey AS ps_partkey,
+                       CAST(min(unit_c) AS BIGINT)
+                           * CAST(SUM(q) AS BIGINT) AS value_c
+                FROM (
+                    SELECT l_partkey, l_suppkey,
+                           {ha_sql_nn('l_extendedprice * 100 / l_quantity')}
+                               AS unit_c,
+                           CAST({ha_sql_nn('l_quantity')} AS BIGINT) AS q
+                    FROM lineitem
+                    WHERE l_quantity > 0
+                      AND l_suppkey IN (
+                          SELECT s_suppkey FROM supplier
+                          WHERE s_nationkey = (SELECT n_nationkey
+                                               FROM nation
+                                               WHERE n_name = 'NATION_3'))
+                )
+                GROUP BY l_partkey, l_suppkey
+            )
+            GROUP BY ps_partkey
+        )
+    )
     WHERE CAST(sv_c AS DOUBLE) > CAST(tot_c AS DOUBLE) * 0.001
     ORDER BY value DESC, ps_partkey
 """
