@@ -219,9 +219,12 @@ def main() -> None:
     out: dict[str, dict] = {}
     for key in keys:
         inert_sql = INERT_TWINS[key]
-        full = _min_of(lambda: queries[key](spark, args.sf).collect(),
+        # toPandas() = the committed-artifact estimator (Arrow); collect()
+        # would bill pickle deserialization of wide results (e.g. the 10k-row
+        # scorecard) to the full query but not to the 1-row inert twin.
+        full = _min_of(lambda: queries[key](spark, args.sf).toPandas(),
                        args.runs)
-        inert = _min_of(lambda: spark.sql(inert_sql).collect(), args.runs)
+        inert = _min_of(lambda: spark.sql(inert_sql).toPandas(), args.runs)
         duck = _min_of(lambda: con.execute(oracles[key]).fetchall(),
                        args.runs)
         frac = round(inert / full, 3) if full else None

@@ -34,11 +34,16 @@ def main() -> None:
     con = connect_duckdb(sf_dir)
     for key in keys:
         fn = queries[key]
-        fn(spark, sf_dir).collect()  # warmup (also triggers caches/JIT)
+        # toPandas(), NOT collect(): the r14 drift investigation found this
+        # tool timing pickle row deserialization on large results (a 600k-row
+        # key measured 3.5 s here vs 1.7 s in bench.py, identical plan) —
+        # bench.py's docstring already documents the 6x collect() tax. Arrow
+        # materialization is the estimator the committed artifacts use.
+        fn(spark, sf_dir).toPandas()  # warmup (also triggers caches/JIT)
         s_runs = []
         for _ in range(3):
             t0 = time.perf_counter()
-            fn(spark, sf_dir).collect()
+            fn(spark, sf_dir).toPandas()
             s_runs.append(time.perf_counter() - t0)
         d_best = None
         if key in oracles:
