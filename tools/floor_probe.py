@@ -72,8 +72,9 @@ INERT_TWINS: dict[str, str] = {
         JOIN nation ON n_nationkey = s_nationkey
         WHERE p_size <= 15 AND p_type LIKE 'PROMO%'
     """,
-    # scan + NATION_3 semi join + pair agg + partkey agg + 1-row total
-    # cross join (the registered q11 shape, no ha math)
+    # scan + NATION_3 semi join + pair agg + partkey agg + window total
+    # fold (the registered r14 q11 shape — SUM() OVER () on the per-part
+    # aggregate, not the r13 1-row cross join; ADVICE r14), no ha math
     "q_tpch_q11": """
         WITH g AS (
             SELECT ps_partkey, CAST(SUM(value_c) AS BIGINT) AS sv_c
@@ -91,9 +92,10 @@ INERT_TWINS: dict[str, str] = {
             )
             GROUP BY ps_partkey
         ),
-        tot AS (SELECT CAST(SUM(sv_c) AS BIGINT) AS tot_c FROM g)
+        gt AS (SELECT sv_c, CAST(SUM(sv_c) OVER () AS BIGINT) AS tot_c
+               FROM g)
         SELECT count(*) AS n, sum(sv_c) AS s
-        FROM g, tot
+        FROM gt
         WHERE CAST(sv_c AS DOUBLE) > CAST(tot_c AS DOUBLE) * 0.001
     """,
     # scan + part semi join + pair distinct + part join + anti join +
@@ -233,7 +235,8 @@ def main() -> None:
             "inert_frac": frac, "ratio_vs_duck": round(full / duck, 2),
             "floor_bound": bool(frac is not None and frac >= 0.6),
         }
-        print(f"{key}: full={full}s inert={inert}s ({frac:.0%}) "
+        frac_s = f"{frac:.0%}" if frac is not None else "n/a"
+        print(f"{key}: full={full}s inert={inert}s ({frac_s}) "
               f"duck={duck}s -> {'FLOOR-BOUND' if out[key]['floor_bound'] else 'NOT floor-bound'}")
 
     with open(args.out, "w") as f:

@@ -175,8 +175,20 @@ def _tolerance_check(s_cols, s_rows, d_cols, d_rows, spec) -> list[str]:
     dkey = lambda r: tuple(_norm(r[d_idx[c]]) for c in gcols)  # noqa: E731
     s_by = {skey(r): r for r in s_rows}
     d_by = {dkey(r): r for r in d_rows}
-    if sorted(s_by) != sorted(d_by):
-        return [f"group keys spark={sorted(s_by)} duck={sorted(d_by)}"]
+    # Set comparison, not sorted(): a NULL group key on one side makes the
+    # tuples unorderable (None vs str raises TypeError mid-verify instead
+    # of recording a clean failure), and hashable keys need no ordering.
+    # Also detect duplicate group keys, which the dicts would silently
+    # collapse (ADVICE r14).
+    if len(s_by) != len(s_rows) or len(d_by) != len(d_rows):
+        return [
+            f"duplicate group keys: spark {len(s_rows)} rows -> "
+            f"{len(s_by)} keys, duck {len(d_rows)} rows -> {len(d_by)} keys"
+        ]
+    if set(s_by) != set(d_by):
+        only_s = set(s_by) - set(d_by)
+        only_d = set(d_by) - set(s_by)
+        return [f"group keys differ: only_spark={only_s} only_duck={only_d}"]
     val_cols = [c for c in s_cols if c not in gcols]
     for k, sr in s_by.items():
         dr = d_by[k]

@@ -16,6 +16,8 @@ Cross-engine hash-equality rules encoded once:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -109,8 +111,6 @@ def py_half_away(v: float) -> int:
     floor(+0.5) driver helpers). Used to fixed-point driver-computed
     literals (log tables, DSIR ratios) so they match the DuckDB oracle's
     value-based round() on every double."""
-    import math
-
     av = abs(v)
     f = math.floor(av)
     return int(math.copysign(f + (1 if av - f >= 0.5 else 0), v))

@@ -71,7 +71,11 @@ _EWMA_SPAN = 8
         "extracts the bits array once and runs once per distinct MASK, "
         "weighted by its order count, not once per order. Bit index "
         "rank = lexicographic brand rank, so (i < j) pairs are exactly "
-        "the oracle's (brand_a < brand_b) pairs. The oracle states the "
+        "the oracle's (brand_a < brand_b) pairs. Domains past 63 brands "
+        "overflow the int64 mask and take the array<int> brand-set plan "
+        "(collect_set → sort_array → group by the array; same distinct-"
+        "set collapse, covered by a 70-brand unit test). The oracle "
+        "states the "
         "independent self-join truth; this plan replaces it. `share` "
         "normalizes by the all-pairs total via a window over the "
         "≤25²/2-row aggregate — integer ratio, cross-engine exact at "
@@ -87,13 +91,6 @@ def q_orders_basket(spark, sf_dir):
     brands = sorted(
         r["p_brand"] for r in pt.select("p_brand").distinct().collect()
     )
-    # int64 bitmask holds ≤63 brand bits; wider domains must take the
-    # array plan instead of silently wrapping the shift (ADVICE r13).
-    if len(brands) > 63:
-        raise ValueError(
-            f"q_orders_basket bitmask plan supports <=63 distinct brands, "
-            f"got {len(brands)}; use an array<int> brand-set plan instead"
-        )
     # r14 profile-driven rework (SF1 decomposition committed in
     # BASELINE.md): the r13 plan spent ~0.3 s running a 25-entry
     # map<string,int> lookup per FACT ROW and re-extracted the mask's set
@@ -118,25 +115,47 @@ def q_orders_basket(spark, sf_dir):
     ob = li.join(pidx, li["l_partkey"] == pidx["p_partkey"]).select(
         F.col("l_orderkey").alias("okey"), "bidx"
     )
-    masks = (
-        ob.groupBy("okey")
-        .agg(F.expr("bit_or(shiftleft(1L, bidx))").alias("m"))
-        .groupBy("m")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    # Set-bit positions ascending == brand names ascending, so the (x, y)
-    # expansion below emits exactly the oracle's brand_a < brand_b pairs.
-    bits = F.expr(
-        f"filter(sequence(0, {len(brands) - 1}), "
-        f"j -> (shiftright(m, j) & 1) = 1)"
-    )
+    if len(brands) <= 63:
+        # int64 bitmask plan: one bit per brand, map-side-combinable
+        # bit_or folds each order to a single long, orders sharing a
+        # brand set collapse by mask. Set-bit positions ascending ==
+        # brand names ascending, so the (x, y) expansion below emits
+        # exactly the oracle's brand_a < brand_b pairs.
+        masks = (
+            ob.groupBy("okey")
+            .agg(F.expr("bit_or(shiftleft(1L, bidx))").alias("m"))
+            .groupBy("m")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        bits = F.expr(
+            f"filter(sequence(0, {len(brands) - 1}), "
+            f"j -> (shiftright(m, j) & 1) = 1)"
+        )
+        grouped = masks.select(bits.alias("bs"), "cnt")
+    else:
+        # array<int> brand-set fallback (>63 brands overflow the int64
+        # mask; VERDICT r14 #5 — the guard used to hard-fail here). Each
+        # order folds to its sorted distinct brand-index array via
+        # collect_set (partial-aggregation capable, so the fact shuffle
+        # still carries one ≤|brands|-element array per (partition,
+        # order) partial, not one row per lineitem), then orders sharing
+        # a brand SET collapse by grouping on the array itself — same
+        # distinct-set collapse as the mask plan, just with an array
+        # group key. sort_array makes index order ascending == brand
+        # name ascending, so the shared pair expansion is unchanged.
+        grouped = (
+            ob.groupBy("okey")
+            .agg(F.sort_array(F.collect_set("bidx")).alias("bs"))
+            .groupBy("bs")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
     pair_expr = F.expr(
         "flatten(transform(bs, (x, i) -> transform("
         "slice(bs, i + 2, size(bs)), y -> struct(x AS a, y AS b))))"
     )
     blits = F.array(*[F.lit(b) for b in brands])
     pairs = (
-        masks.select(bits.alias("bs"), "cnt")
+        grouped
         .select(F.explode(pair_expr).alias("p"), "cnt")
         .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .agg(F.sum("cnt").alias("n_orders"))
@@ -2390,6 +2409,20 @@ def q_brand_abc_xyz(spark, sf_dir):
     # aggregate via a window and re-fold days into weeks. The q/units
     # sums are exact int64, so the two-level refold is bit-identical to
     # the direct (brand, week) aggregate by associativity.
+    #
+    # FK-INTEGRITY ASSUMPTION (ADVICE r14): the corpus min day here is
+    # min over the (brand, day) aggregate, i.e. min(l_shipdate) over
+    # lineitem rows whose l_partkey HAS a part row — the oracle's bounds
+    # CTE takes min(l_shipdate) over RAW lineitem. The two anchors agree
+    # iff every l_partkey resolves in part (lineitem→part FK integrity,
+    # which TPC-H-shaped data guarantees and both fixtures satisfy). On
+    # FK-violating data the week buckets would all shift by the same
+    # offset, changing n/s1/s2 and the ABC/XYZ classes. The alternative
+    # exact-on-any-data anchor costs a second full lineitem scan (or a
+    # pre-join global min), which at 100 TB is the wrong trade for a
+    # constraint the ingest layer should enforce; if a future source may
+    # violate the FK, compute the anchor as a 1-row min over raw lineitem
+    # and broadcast it below the join instead of the window here.
     daily = (
         li.join(pt, li["l_partkey"] == pt["p_partkey"])
         .select(
