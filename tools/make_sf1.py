@@ -170,6 +170,20 @@ def _tile(tabs, strides, name: str, t: int) -> pa.Table:
     return out
 
 
+def _rows_per_group(tab: pa.Table, target_bytes: int) -> int:
+    """Rows per parquet row group sized so each group holds ~target_bytes
+    of in-memory Arrow data (VERDICT r14 #1: the old fixed 1M-row groups
+    gave SF1 lineitem only 6 groups, capping Spark's scan parallelism at
+    6 tasks and inflating the inert-twin floor — a REAL SF1 parquet has
+    dozens of ~8 MB groups, and Spark's byte-range file splits then get
+    one-group-or-more granularity for free). Arrow in-memory bytes
+    overstate encoded parquet bytes (dictionary/RLE), so the resulting
+    groups land comfortably under the HDFS-era 128 MB ceiling while
+    staying big enough that metadata/footer overhead is negligible."""
+    per_row = max(1, tab.nbytes // max(1, len(tab)))
+    return max(4096, target_bytes // per_row)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/xps_sf1")
@@ -180,6 +194,15 @@ def main() -> None:
         "cyclic shingle multiset (adversarially near-dup-heavy corpus); "
         "'decimate' permutes tokens by a coprime stride (realistic "
         "near-dup rate — the base fixture's planted families only)")
+    ap.add_argument(
+        "--row-group-bytes", type=int, default=8 << 20,
+        help="target in-memory bytes per parquet row group (default 8 MiB "
+        "— realistic production layout; VERDICT r14 #1). 0 restores the "
+        "legacy fixed 1M-row groups for A/B comparison.")
+    ap.add_argument(
+        "--rows-per-group", type=int, default=0,
+        help="explicit rows per row group for EVERY tiled table; "
+        "overrides --row-group-bytes when > 0")
     args = ap.parse_args()
     global TEXT_TRANSFORM
     TEXT_TRANSFORM = args.text_transform
@@ -194,6 +217,13 @@ def main() -> None:
     }
     strides = _strides(tabs)
 
+    import json
+
+    manifest_path = os.path.join(args.out, "_layout.json")
+    manifest: dict[str, int] = {}
+    if os.path.exists(manifest_path):
+        manifest = json.load(open(manifest_path))
+
     for name, tab in tabs.items():
         dst = os.path.join(args.out, f"{name}.parquet")
         want = (
@@ -201,19 +231,41 @@ def main() -> None:
             if name in ("region", "nation")
             else len(tab) * args.tiles
         )
+        if args.rows_per_group > 0:
+            rpg = args.rows_per_group
+        elif args.row_group_bytes > 0:
+            rpg = _rows_per_group(tab, args.row_group_bytes)
+        else:
+            rpg = 1 << 20  # legacy layout
         if os.path.exists(dst):
-            have = pq.read_metadata(dst).num_rows
-            if have == want:
-                print(f"skip {name}: {have} rows already present")
+            meta = pq.read_metadata(dst)
+            # Layout is part of the fixture contract now (VERDICT r14 #1):
+            # same row count but a different rows-per-group target must
+            # regenerate, so A/B layout comparisons can't silently reuse
+            # the other layout's file. The manifest records what was built.
+            built_rpg = manifest.get(name)
+            if meta.num_rows == want and (
+                name in ("region", "nation") or built_rpg == rpg
+            ):
+                print(f"skip {name}: {meta.num_rows} rows / "
+                      f"{meta.num_row_groups} row groups already present")
                 continue
         if name in ("region", "nation"):
             pq.write_table(tab, dst)
             print(f"copy {name}: {len(tab)} rows (dimension, not tiled)")
             continue
         tiles = [_tile(tabs, strides, name, t) for t in range(args.tiles)]
-        merged = pa.concat_tables(tiles)
-        pq.write_table(merged, dst, row_group_size=1 << 20)
-        print(f"tile {name}: {len(tab)} x {args.tiles} = {len(merged)} rows")
+        # combine_chunks: the parquet writer starts a new row group at
+        # every Arrow chunk boundary, so a 10-chunk concat would cap the
+        # layout at per-tile granularity regardless of rpg.
+        merged = pa.concat_tables(tiles).combine_chunks()
+        pq.write_table(merged, dst, row_group_size=rpg)
+        manifest[name] = rpg
+        with open(manifest_path, "w") as f:
+            json.dump(manifest, f)
+        ngroups = pq.read_metadata(dst).num_row_groups
+        print(f"tile {name}: {len(tab)} x {args.tiles} = {len(merged)} rows "
+              f"in {ngroups} row groups ({rpg} rows/group)")
     print("done:", args.out)
 
 

@@ -157,7 +157,136 @@ TOLERANCE_ORACLES: dict[str, dict] = {
         "rtol": 0.01,  # accuracy=10000 sketch: ±1% (tests/test_llm.py)
         "group_cols": ["l_returnflag"],
     },
+    # VERDICT r14 #3: E-EMB-PCA's projection VALUES are eigenbasis
+    # artifacts no static SQL can replay (llm_vectors.py docstring), but
+    # the eigenbasis-INVARIANT outputs are fully checkable against an
+    # independently-derived exact twin: DuckDB recomputes the engine's
+    # fixed-point moments (same round(x*1000) grid, so both covariance
+    # matrices are bit-identical long sums), numpy on the TOOL side
+    # eigensolves that twin covariance, and the engine's projections must
+    # then satisfy (a) per-component population variance == the twin's
+    # top-k eigenvalues, (b) per-component mean == 0 (centered data),
+    # (c) zero cross-component covariance (orthogonal basis), (d) exact
+    # shape (n*k rows, one row per (vec_id, component)). Any defect in
+    # the distributed Gram/mean aggregation, the eigensolve wiring, or
+    # the Arrow-batched projection shifts (a)-(c); only a pure rotation
+    # WITHIN a numerically-degenerate eigenspace passes unseen — and that
+    # is exactly the ambiguity the invariants are designed to quotient
+    # out. Tolerances are quantization-noise bounds, not slack: the
+    # engine projects the RAW float32 vectors onto the eigenbasis of the
+    # GRID covariance (measured residual ~3e-5 at sf0.01, ~25x inside
+    # the derived bounds in _pca_invariant_check). Recorded as
+    # tolerance_pass, not rows_only.
+    "E-EMB-PCA": {
+        "checker": "_pca_invariant_check",
+        "rtol": "quantization-noise bounds (derived in checker)",
+    },
 }
+
+
+def _pca_invariant_check(s_cols, s_rows, con) -> list[str]:
+    """Eigenbasis-invariant verdict for E-EMB-PCA (see TOLERANCE_ORACLES
+    entry). Returns a list of problems (empty = tolerance_pass)."""
+    import numpy as np
+
+    problems: list[str] = []
+    if sorted(s_cols) != ["component", "value", "vec_id"]:
+        return [f"cols {sorted(s_cols)} != [component, value, vec_id]"]
+    idx = {c: i for i, c in enumerate(s_cols)}
+
+    # Exact twin covariance from DuckDB on the engine's own 1e-3 grid:
+    # q_i = round(x_i * 1000)::BIGINT, cov = E[q q']/1e6 - mu mu' with
+    # mu = sum(q)/1000/n — the identical formula e_emb_pca aggregates in
+    # Spark, so the two float64 matrices agree to the last bit (integer
+    # sums are exact; the float divisions are the same operations).
+    n = con.execute("SELECT count(*) FROM embeddings").fetchone()[0]
+    dim = con.execute(
+        "SELECT len(embedding) FROM embeddings LIMIT 1"
+    ).fetchone()[0]
+    moments = con.execute("""
+        WITH ex AS (
+            SELECT vec_id,
+                   generate_subscripts(embedding, 1) - 1 AS i,
+                   CAST(round(unnest(embedding) * 1000) AS BIGINT) AS q
+            FROM embeddings
+        )
+        SELECT a.i AS i, b.i AS j, SUM(a.q * b.q) AS s
+        FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
+        GROUP BY a.i, b.i
+    """).fetchall()
+    means = con.execute("""
+        WITH ex AS (
+            SELECT generate_subscripts(embedding, 1) - 1 AS i,
+                   CAST(round(unnest(embedding) * 1000) AS BIGINT) AS q
+            FROM embeddings
+        )
+        SELECT i, SUM(q) AS s FROM ex GROUP BY i
+    """).fetchall()
+    mu = np.zeros(dim)
+    for i, s in means:
+        mu[i] = s / 1e3 / n
+    g = np.zeros((dim, dim))
+    for i, j, s in moments:
+        g[i, j] = g[j, i] = s / 1e6
+    cov = g / n - np.outer(mu, mu)
+    w = np.linalg.eigvalsh(cov)[::-1]  # descending eigenvalue spectrum
+
+    k = len({r[idx["component"]] for r in s_rows})
+    if len(s_rows) != n * k:
+        return [f"rows {len(s_rows)} != n*k = {n}*{k}"]
+    proj = np.zeros((n, k))
+    vid_of = {}
+    for r in s_rows:
+        vid = r[idx["vec_id"]]
+        row = vid_of.setdefault(vid, len(vid_of))
+        proj[row, r[idx["component"]]] = r[idx["value"]]
+    if len(vid_of) != n:
+        return [f"distinct vec_ids {len(vid_of)} != {n}"]
+
+    # Quantization-noise tolerances. The engine projects RAW float32
+    # coordinates x, but the eigenbasis diagonalizes the GRID covariance
+    # of q = round(x*1000)/1000, so per coordinate x = q + eps with
+    # |eps| <= 5e-4 (sd <= QSTEP = 1e-3/sqrt(12) for grid-rounding
+    # noise). For a unit eigenvector e: var(eps.e) <= QSTEP^2, so
+    #  - |var(proj_c) - lambda_c| <= 2*sqrt(lambda_c)*QSTEP + QSTEP^2
+    #    (cross term dominates; x4 safety margin applied),
+    #  - |cov(proj_a, proj_b)| <= 2*sqrt(lambda_max)*QSTEP (x4 margin),
+    #  - |mean(proj_c)| = |(mean_raw - mu_grid).e| <= QSTEP/sqrt(n)
+    #    stochastically; widened by sqrt(dim) because per-coordinate
+    #    rounding bias is not exactly mean-zero on coordinate-correlated
+    #    data and can align with e up to ||e||_1 <= sqrt(dim); x8 margin.
+    # Measured residuals at sf0.01 sit ~25x inside these bounds; a real
+    # pipeline defect (mis-ordered components, a lost Gram cell, wrong
+    # centering) shifts variances by >>1e-3 absolute.
+    QSTEP = 1e-3 / np.sqrt(12.0)
+    lam_max = max(abs(w[0]), 1e-12)
+    tol_cross = 4 * 2 * np.sqrt(lam_max) * QSTEP
+    tol_mean = 8 * QSTEP * np.sqrt(dim / max(n, 1))
+    pmean = proj.mean(axis=0)
+    pcov = (proj.T @ proj) / n - np.outer(pmean, pmean)
+    for c in range(k):
+        tol_var = 4 * (2 * np.sqrt(max(w[c], 0)) * QSTEP + QSTEP**2)
+        if abs(pmean[c]) > tol_mean:
+            problems.append(
+                f"component {c} mean {pmean[c]:.3e} != 0 "
+                f"(tol {tol_mean:.3e})"
+            )
+        if abs(pcov[c, c] - w[c]) > tol_var:
+            problems.append(
+                f"component {c} variance {pcov[c, c]:.9f} != "
+                f"eigenvalue {w[c]:.9f} (tol {tol_var:.3e})"
+            )
+        for c2 in range(c + 1, k):
+            if abs(pcov[c, c2]) > tol_cross:
+                problems.append(
+                    f"components ({c},{c2}) cross-cov "
+                    f"{pcov[c, c2]:.3e} != 0 (not orthogonal, "
+                    f"tol {tol_cross:.3e})"
+                )
+    return problems
+
+
+_CHECKERS = {"_pca_invariant_check": _pca_invariant_check}
 
 
 def _tolerance_check(s_cols, s_rows, d_cols, d_rows, spec) -> list[str]:
@@ -325,12 +454,17 @@ def main() -> int:
             spec = TOLERANCE_ORACLES.get(key)
             if spec is not None:
                 try:
-                    cur = con.execute(spec["sql"])
-                    d_cols = [d[0] for d in cur.description]
-                    d_rows = cur.fetchall()
-                    problems = _tolerance_check(
-                        s_cols, s_rows, d_cols, d_rows, spec
-                    )
+                    if "checker" in spec:
+                        problems = _CHECKERS[spec["checker"]](
+                            s_cols, s_rows, con
+                        )
+                    else:
+                        cur = con.execute(spec["sql"])
+                        d_cols = [d[0] for d in cur.description]
+                        d_rows = cur.fetchall()
+                        problems = _tolerance_check(
+                            s_cols, s_rows, d_cols, d_rows, spec
+                        )
                 except Exception as e:  # noqa: BLE001
                     problems = [f"duckdb: {type(e).__name__}: {e}"[:300]]
                 if problems:
