@@ -66,6 +66,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     con = connect_duckdb(args.sf)
 
+    import pyarrow.parquet as pq
+
+    layout = {
+        t: pq.read_metadata(os.path.join(args.sf, f"{t}.parquet")).num_row_groups
+        for t in ("lineitem", "orders", "events", "documents")
+        if os.path.exists(os.path.join(args.sf, f"{t}.parquet"))
+    }
     out: dict[str, dict] = {}
     for key in volume:
         if key not in oracles or key in args.skip:
@@ -91,6 +98,7 @@ def main() -> None:
               f"duck={out[key]['duck']}s", flush=True)
         with open(args.out, "w") as f:
             json.dump({"sf": args.sf, "runs": args.runs,
+                       "fixture_row_groups": layout,
                        "queries": out}, f, indent=1)
 
     sp = sum(v["spark"] for v in out.values())

@@ -218,6 +218,18 @@ def main() -> None:
     register_views(spark, args.sf)
     con = connect_duckdb(args.sf)
 
+    # Session-wide pre-warm BEFORE any measurement: the first key measured
+    # in a fresh JVM pays whole-stage-codegen compilation + C2 JIT for the
+    # shared operator kernels (measured r15: alphabetically-first
+    # q_brand_abc_xyz read 1.6-2.1 s cold vs 1.07 s in a warm session —
+    # enough to flip its floor verdict). One pass of every surface first
+    # makes the per-key min-of-N measure steady-state execution, which is
+    # what the floor decomposition is about.
+    for key in keys:
+        queries[key](spark, args.sf).toPandas()
+        spark.sql(INERT_TWINS[key]).toPandas()
+        con.execute(oracles[key]).fetchall()
+
     out: dict[str, dict] = {}
     for key in keys:
         inert_sql = INERT_TWINS[key]
@@ -239,15 +251,29 @@ def main() -> None:
         print(f"{key}: full={full}s inert={inert}s ({frac_s}) "
               f"duck={duck}s -> {'FLOOR-BOUND' if out[key]['floor_bound'] else 'NOT floor-bound'}")
 
+    import pyarrow.parquet as pq
+
+    layout = {
+        t: pq.read_metadata(os.path.join(args.sf, f"{t}.parquet")).num_row_groups
+        for t in ("lineitem", "orders", "events", "documents")
+        if os.path.exists(os.path.join(args.sf, f"{t}.parquet"))
+    }
     with open(args.out, "w") as f:
         json.dump(
             {
                 "sf_dir": args.sf,
-                "protocol": f"1 warmup + min-of-{args.runs}, inert twin = "
-                "same scans/joins/aggregate keys/window shapes with "
-                "trivial measures (tools/floor_probe.py INERT_TWINS); "
-                "floor_bound = inert >= 60% of full (VERDICT r13 #2 "
-                "criterion)",
+                # VERDICT r14 #1: the floor claim must name the scan layout
+                # it was measured on (row groups per fact table).
+                "fixture_row_groups": layout,
+                "protocol": "session-wide pre-warm (every key's full+"
+                f"inert+oracle once) then 1 warmup + min-of-{args.runs} "
+                "per measurement, inert twin = same scans/joins/"
+                "aggregate keys/window shapes with trivial measures "
+                "(tools/floor_probe.py INERT_TWINS); floor_bound = "
+                "inert >= 60% of full (VERDICT r13 #2 criterion). "
+                "inert_frac near 100% means the twin IS the query's "
+                "cost; values a few points above 1.0 are host noise on "
+                "two equal measurements, reported unclamped",
                 "keys": out,
             },
             f,
