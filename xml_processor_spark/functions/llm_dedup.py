@@ -315,19 +315,50 @@ def q_dedup_incremental(spark, sf_dir):
     d = widen(table(spark, sf_dir, "documents"))
     sh = d.select("doc_id", F.explode(shingles(F.col("text"))).alias("s"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    new_side = sh.filter(F.col("doc_id") % 5 == 0).select(
-        F.col("doc_id").alias("id_n"), "s"
+    # r15 k=2 rarity-prefix-pair block (see q_dedup_ngram_jaccard — same
+    # J ≥ 0.8 lemma, both sides block on unordered PAIRS of their
+    # ⌊n/5⌋+2 rarest shingles; singleton docs via the k=1 route): the
+    # corpus-side index a production pipeline materializes is then the
+    # prefix PAIR postings — free of the Σ df² frequency head the
+    # SCALING.json probe measured on the every-shingle block.
+    ranked = _rarity_ranked(sh)
+    pref = ranked.filter(5 * F.col("r") <= F.col("n") + 10)
+    _inc_filter = lambda: (  # noqa: E731
+        (F.col("id_p") != F.col("id_n"))
+        & ((F.col("id_p") % 5 != 0) | (F.col("id_p") < F.col("id_n")))
     )
-    partner_side = sh.select(F.col("doc_id").alias("id_p"), "s")
-    inter = (
-        new_side.join(partner_side, "s")
-        .filter(
-            (F.col("id_p") != F.col("id_n"))
-            & ((F.col("id_p") % 5 != 0) | (F.col("id_p") < F.col("id_n")))
+    cand2 = (
+        _pair_combos(pref.filter(F.col("doc_id") % 5 == 0), "id_n")
+        .join(_pair_combos(pref, "id_p"), "pk")
+        .filter(_inc_filter())
+        .select("id_n", "id_p")
+    )
+    single = ranked.filter(F.col("n") == 1)
+    cand1 = (
+        single.filter(F.col("doc_id") % 5 == 0)
+        .select(F.col("doc_id").alias("id_n"), "s")
+        .join(single.select(F.col("doc_id").alias("id_p"), "s"), "s")
+        .filter(_inc_filter())
+        .select("id_n", "id_p")
+    )
+    cand = (
+        cand2.unionByName(cand1)
+        .distinct()
+        .join(
+            sizes.select(F.col("doc_id").alias("id_n"), F.col("n").alias("nn")),
+            "id_n",
         )
-        .groupBy("id_n", "id_p")
-        .agg(F.count(F.lit(1)).alias("i"))
+        .join(
+            sizes.select(F.col("doc_id").alias("id_p"), F.col("n").alias("np")),
+            "id_p",
+        )
+        .filter(
+            (10 * F.col("nn") >= 8 * F.col("np"))
+            & (10 * F.col("np") >= 8 * F.col("nn"))
+        )
+        .select("id_n", "id_p")
     )
+    inter = _prefix_pairs_exact(sh, cand, left_id="id_n", right_id="id_p")
     sn = sizes.select(F.col("doc_id").alias("id_n"), F.col("n").alias("nn"))
     sp = sizes.select(F.col("doc_id").alias("id_p"), F.col("n").alias("np"))
     union_sz = F.col("nn") + F.col("np") - F.col("i")
@@ -380,6 +411,98 @@ def shingles(text_col):
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def _rarity_ranked(sh):
+    """Per-document global-rarity rank of each distinct shingle — the
+    candidate-prefix machinery of exact set-similarity self-joins
+    (AllPairs / PPJoin family; Bayardo et al. WWW'07, Xiao et al.
+    WWW'08 — public literature).
+
+    Input: ``sh`` = (doc_id, s), distinct shingles per doc. Output adds
+    ``r`` — the 1-based rank of s within its doc under the GLOBAL total
+    order (document-frequency asc, shingle asc) — and ``n``, the doc's
+    distinct-shingle count.
+
+    WHY (SCALING.json, r15): blocking a similarity self-join on EVERY
+    shingle makes the join output Σ_s df(s)² — the head of the shingle
+    frequency distribution grows that quadratically in corpus size
+    (measured: q_dedup_containment exp_sf1_sf3 = 2.18, 430 s at SF3).
+    The prefix lemma makes a tiny blocking set lossless: under ANY fixed
+    global order, if |A∩B| ≥ α then the (|A|−α+1)-prefix of A and the
+    (|B|−α+1)-prefix of B intersect (if they were disjoint, every common
+    element would have to sit strictly after the later prefix end on one
+    side, leaving < α common elements). Rarity order makes that prefix
+    the doc's RAREST shingles, so the candidate join's output is
+    Σ_{s∈prefixes} df_pref(s)·df(s) — near-linear on Zipfian text, and a
+    shingle can only be in many prefixes if it is globally rare.
+    Correctness never depends on the order (any total order satisfies
+    the lemma); rarity is pure performance, ties broken by shingle value
+    so ranks are deterministic at any partitioning.
+
+    Two extra linear shuffles (df aggregate on s; per-doc window on
+    doc_id) buy the asymptotic drop — at 100 TB the df table and the
+    ranked posting list are exactly what a production pipeline
+    materializes once per corpus snapshot.
+    """
+    from pyspark.sql import Window
+
+    df = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    w_rank = Window.partitionBy("doc_id").orderBy("df", "s")
+    w_doc = Window.partitionBy("doc_id")
+    return sh.join(df, "s").select(
+        "doc_id",
+        "s",
+        F.row_number().over(w_rank).alias("r"),
+        F.count(F.lit(1)).over(w_doc).alias("n"),
+    )
+
+
+def _pair_combos(rows, id_alias):
+    """(doc_id, s) rows → (id_alias, pk): one row per unordered 2-subset
+    of each doc's shingle rows, pk = xxhash64(s1, s2) with s1 < s2.
+
+    The k=2 prefix-lemma block key (r15): the k=1 single-shingle block
+    saturates on a bounded vocabulary — every shingle's df grows ∝ corpus
+    (measured: 19M candidates for 7k true pairs at SF1) — but a PAIR of
+    specific shingles co-occurs with frequency ~df²/|docs|, which stays
+    O(1) per doc. The lemma generalizes: if |A∩B| ≥ α ≥ 2, the
+    (n−α+2)-prefixes share at least TWO common elements (the k=1 proof
+    verbatim: common elements past the later prefix-max number ≤ α−2, so
+    ≥ 2 sit inside both prefixes), hence the two sides share an unordered
+    prefix-pair. Hash collisions in pk only ADD candidates — the exact
+    verification recount keeps the output lossless.
+
+    Per-doc combos via sorted array + nested transform (the e_emb_pca
+    gram pattern) — no self-join; the guard excludes size<2 docs, which
+    route through the k=1 singleton block instead."""
+    arr = rows.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("s")).alias("ss")
+    )
+    combos = F.expr(
+        "flatten(transform(sequence(0, size(ss) - 2), i -> "
+        "transform(sequence(i + 1, size(ss) - 1), j -> "
+        "xxhash64(element_at(ss, i + 1), element_at(ss, j + 1)))))"
+    )
+    return arr.filter(F.size("ss") >= 2).select(
+        F.col("doc_id").alias(id_alias), F.explode(combos).alias("pk")
+    )
+
+
+def _prefix_pairs_exact(sh, cand, left_id="id_a", right_id="id_b"):
+    """Exact |A∩B| for the candidate pairs: two pair-bounded joins back
+    to the full shingle lists (cand ⋈ sh_A on the left id expands each
+    pair to A's shingles — Σ_pairs |A| rows — and the inner join on
+    (right id, s) keeps exactly the shared ones). Returns
+    (left_id, right_id, i)."""
+    sha = sh.select(F.col("doc_id").alias(left_id), "s")
+    shb = sh.select(F.col("doc_id").alias(right_id), "s")
+    return (
+        cand.join(sha, left_id)
+        .join(shb, [right_id, "s"])
+        .groupBy(left_id, right_id)
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
 
 
 # Carter-Wegman MinHash family (r12, VERDICT r11 #2): h_i = (a_i·w1 +
@@ -711,7 +834,15 @@ _NGRAM_PAIRS_SQL = f"""
     doc="n-gram (3-word shingle) Jaccard near-dup pairs at >= 0.8 — the "
         "order-sensitive counterpart of token-set Jaccard (detects copies, "
         "not just shared vocabulary); the exact truth E-MINHASH-LSH "
-        "approximates.",
+        "approximates. Candidates via the lossless rarity-prefix block "
+        "(r15, _rarity_ranked: the every-shingle block is Σ df² on the "
+        "frequency head — the SCALING.json quadratic): J ≥ 0.8 forces "
+        "the two docs' ⌊n/5⌋+1-rarest-shingle prefixes to intersect "
+        "(prefix lemma with α = ⌈0.8·max(na,nb)⌉), so the block joins "
+        "prefix × prefix; the 10·min ≥ 8·max length filter then prunes "
+        "impossible pairs before the exact pair-bounded intersection "
+        "recount. Output identical to the all-shingle formulation (the "
+        "oracle keeps it).",
 )
 def q_dedup_ngram_jaccard(spark, sf_dir):
     # widen(): shingle building is CPU-heavy per row; the candidate join
@@ -720,14 +851,45 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     d = widen(table(spark, sf_dir, "documents"))
     sh = d.select("doc_id", F.explode(shingles(F.col("text"))).alias("s"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc_id").alias("id_a"), "s")
-    b = sh.select(F.col("doc_id").alias("id_b"), "s")
-    inter = (
-        a.join(b, ["s"])
+    ranked = _rarity_ranked(sh)
+    # k=2 prefix lemma, symmetric: J ≥ 4/5 ⟹ i ≥ ⌈0.8·max(na, nb)⌉ and
+    # (for max ≥ 2, i.e. any pair that is not singleton-singleton) the
+    # two (n − ⌈0.8n⌉ + 2 = ⌊n/5⌋+2)-prefixes share TWO elements
+    # (r ≤ ⌊n/5⌋+2 ⇔ 5·r ≤ n+10) — block prefix-PAIRS on both sides.
+    pref = ranked.filter(5 * F.col("r") <= F.col("n") + 10)
+    cand2 = (
+        _pair_combos(pref, "id_a")
+        .join(_pair_combos(pref, "id_b"), "pk")
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("i"))
+        .select("id_a", "id_b")
     )
+    # k=1 route: singleton-singleton identical docs (max = 1 forces
+    # na = nb = 1 — any larger partner caps J at 1/2 < 0.8).
+    single = ranked.filter(F.col("n") == 1)
+    cand1 = (
+        single.select(F.col("doc_id").alias("id_a"), "s")
+        .join(single.select(F.col("doc_id").alias("id_b"), "s"), "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    cand = cand2.unionByName(cand1).distinct()
+    # Length filter: i ≤ min and 9i ≥ 4(na+nb) ⟹ 10·min ≥ 8·max.
+    cand = (
+        cand.join(
+            sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb")),
+            "id_b",
+        )
+        .filter(
+            (10 * F.col("na") >= 8 * F.col("nb"))
+            & (10 * F.col("nb") >= 8 * F.col("na"))
+        )
+        .select("id_a", "id_b")
+    )
+    inter = _prefix_pairs_exact(sh, cand)
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
     union_sz = F.col("na") + F.col("nb") - F.col("i")
@@ -1659,24 +1821,61 @@ _CT_NUM, _CT_DEN = 9, 10
         "contained in B when 90% of A's 3-word shingles also occur in B — "
         "the one-sided Jaccard that catches subset/boilerplate relations "
         "symmetric Jaccard misses (a short doc embedded in a long one "
-        "scores low on Jaccard but 1.0 on containment). Same "
-        "shingle-blocked equi self-join as q_dedup_ngram_jaccard (shuffle "
-        "∝ shingle occurrences, no cartesian), direction materialized by "
-        "normalizing the intersection count by |A| only; integer-exact "
-        "threshold at the boundary.",
+        "scores low on Jaccard but 1.0 on containment). Candidates via "
+        "the lossless rarity-prefix block (r15, SCALING.json: the "
+        "every-shingle block measured exp_sf1_sf3 = 2.18 — Σ df² on the "
+        "frequency head; see _rarity_ranked): C(A,B) ≥ 0.9 forces B to "
+        "share one of A's ⌊|A|/10⌋+1 rarest shingles, so the block join "
+        "is prefix(A) × postings(B) instead of postings × postings; a "
+        "10·nb ≥ 9·na length filter prunes impossible pairs before the "
+        "exact pair-bounded intersection recount. Identical output to "
+        "the all-shingle formulation (the oracle keeps it) — the prefix "
+        "only drops pairs that cannot reach the threshold; integer-"
+        "exact threshold at the boundary.",
 )
 def q_dedup_containment(spark, sf_dir):
     d = widen(table(spark, sf_dir, "documents"))
     sh = d.select("doc_id", F.explode(shingles(F.col("text"))).alias("s"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc_id").alias("id_a"), "s")
-    b = sh.select(F.col("doc_id").alias("id_b"), "s")
-    inter = (
-        a.join(b, ["s"])
+    ranked = _rarity_ranked(sh)
+    # k=2 prefix lemma, directional: i ≥ ⌈0.9·na⌉ ≥ 2 ⟹ B contains TWO
+    # of A's first ⌊na/10⌋+2 rarity-ordered shingles (r ≤ ⌊na/10⌋+2 ⇔
+    # 10·r ≤ na+20) — so block A's prefix-PAIRS against B's pairs.
+    # Containment bounds only A's side, so B's pair set is its whole
+    # shingle set, pre-restricted (semi join) to shingles that occur in
+    # SOME doc's prefix — both guaranteed common elements are A-prefix
+    # members, so the restriction is lossless and cuts B's quadratic
+    # per-doc combo count to the prefix-dictionary hit subset.
+    pref_a = ranked.filter(10 * F.col("r") <= F.col("n") + 20)
+    pdict = pref_a.select("s").distinct()
+    pk_a = _pair_combos(pref_a, "id_a")
+    pk_b = _pair_combos(sh.join(pdict, "s"), "id_b")
+    cand2 = (
+        pk_a.join(pk_b, "pk")
         .filter(F.col("id_a") != F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("i"))
+        .select("id_a", "id_b")
     )
+    # k=1 route for docs the pair block cannot cover: na = 1 (α = 1 —
+    # a true pair shares only one element). Their single shingle IS the
+    # whole prefix, blocked against the full posting list.
+    cand1 = (
+        ranked.filter(F.col("n") == 1)
+        .select(F.col("doc_id").alias("id_a"), "s")
+        .join(sh.select(F.col("doc_id").alias("id_b"), "s"), "s")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    cand = cand2.unionByName(cand1).distinct()
+    # Length filter: i ≤ nb and 10·i ≥ 9·na ⟹ 10·nb ≥ 9·na.
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    cand = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(10 * F.col("nb") >= 9 * F.col("na"))
+        .select("id_a", "id_b")
+    )
+    inter = _prefix_pairs_exact(sh, cand)
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
     # No broadcast hint on the corpus-sized per-doc size table (see
     # q_dedup_near_jaccard) — AQE picks broadcast at test SFs only.
