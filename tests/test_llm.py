@@ -519,3 +519,72 @@ def test_duckdb_list_dot_product_bit_equals_spark_fold(spark):
         f"(first: {bad[:3]}) — re-derive the emb oracles' float "
         "discipline before trusting hash verdicts"
     )
+
+
+def test_prefix_pair_block_routes_cover_hostile_shapes(spark, tmp_path):
+    """The r15 k=2 prefix-pair candidate block (SCALING.json rewrite) has
+    two special routes the planted fixtures never exercise together:
+    singleton docs (one shingle — no pair exists, k=1 block) and
+    near-identical long docs (the k=2 pair route). Synthetic corpus,
+    expectations recomputed from brute-force Python shingle sets."""
+    import itertools
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from xml_processor_spark.functions.llm_dedup import (
+        q_dedup_containment,
+        q_dedup_ngram_jaccard,
+    )
+
+    long_a = " ".join(f"t{i}" for i in range(22))            # 20 shingles
+    long_b = " ".join(f"t{i}" for i in range(21)) + " zz"    # 19 shared
+    texts = {
+        0: "a b c",                                  # singleton
+        1: "a b c d e f g h i j k l",                # contains doc 0
+        2: "a b c",                                  # identical singleton
+        3: long_a,
+        4: long_b,
+        5: "p q r s t u v w x y z0 z1",              # unrelated
+    }
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(sorted(texts), type=pa.int64()),
+            "text": pa.array([texts[i] for i in sorted(texts)]),
+        }),
+        str(tmp_path / "documents.parquet"),
+    )
+
+    def sh(t):
+        toks = t.split(" ")
+        return {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+
+    sets = {i: sh(t) for i, t in texts.items()}
+    exp_cont = {}
+    for a, b in itertools.permutations(sets, 2):
+        i = len(sets[a] & sets[b])
+        if 10 * i >= 9 * len(sets[a]):
+            exp_cont[(a, b)] = round(i / len(sets[a]), 6)
+    exp_jac = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        i = len(sets[a] & sets[b])
+        u = len(sets[a]) + len(sets[b]) - i
+        if 10 * i >= 8 * u:
+            exp_jac[(a, b)] = round(i / u, 6)
+
+    # Sanity: the synthetic corpus really exercises both routes.
+    assert (0, 1) in exp_cont and (0, 2) in exp_cont   # k=1 singleton
+    assert (3, 4) in exp_jac and (0, 2) in exp_jac     # k=2 and k=1
+
+    got_c = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in q_dedup_containment(spark, str(tmp_path)).collect()
+    }
+    got_j = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in q_dedup_ngram_jaccard(spark, str(tmp_path)).collect()
+    }
+    assert got_c == exp_cont
+    assert got_j == exp_jac
