@@ -203,6 +203,12 @@ def main() -> None:
         "--rows-per-group", type=int, default=0,
         help="explicit rows per row group for EVERY tiled table; "
         "overrides --row-group-bytes when > 0")
+    ap.add_argument(
+        "--tables", default=None,
+        help="comma-separated subset of tables to emit (e.g. "
+        "'documents,embeddings' for the SCALING.json growth-law fixture "
+        "— the quadratic-risk keys read only those two, so a 30-40x "
+        "tiling need not materialize an 18M-row lineitem)")
     args = ap.parse_args()
     global TEXT_TRANSFORM
     TEXT_TRANSFORM = args.text_transform
@@ -224,7 +230,10 @@ def main() -> None:
     if os.path.exists(manifest_path):
         manifest = json.load(open(manifest_path))
 
+    only = set(args.tables.split(",")) if args.tables else None
     for name, tab in tabs.items():
+        if only is not None and name not in only:
+            continue
         dst = os.path.join(args.out, f"{name}.parquet")
         want = (
             len(tab)
