@@ -1531,9 +1531,16 @@ def _star_contract(spark, pairs, max_rounds=_CC_MAX_ROUNDS):
         .distinct()
         .checkpoint()
     )
+    # Members derive from the CHECKPOINTED edges, not from `pairs`: a
+    # second action on the lazily-derived pair list would re-execute the
+    # entire upstream candidate pipeline (SCALING.json r15 measured the
+    # double build as the bulk of cc_star's 1.52 growth exponent at SF3
+    # — the pair join is the super-linear part; reading the checkpoint
+    # back is linear IO). Equivalent set: dedup pairs carry id_a != id_b
+    # by construction, so no member exists only on a self-loop row.
     members = (
-        pairs.select(F.col("id_a").alias("id"))
-        .union(pairs.select("id_b"))
+        edges.select(F.col("u").alias("id"))
+        .union(edges.select(F.col("v").alias("id")))
         .distinct()
         .checkpoint()
     )
