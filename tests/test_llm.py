@@ -578,13 +578,26 @@ def test_prefix_pair_block_routes_cover_hostile_shapes(spark, tmp_path):
     assert (0, 1) in exp_cont and (0, 2) in exp_cont   # k=1 singleton
     assert (3, 4) in exp_jac and (0, 2) in exp_jac     # k=2 and k=1
 
-    got_c = {
-        (r["id_a"], r["id_b"]): r["containment"]
-        for r in q_dedup_containment(spark, str(tmp_path)).collect()
-    }
-    got_j = {
-        (r["id_a"], r["id_b"]): r["jaccard"]
-        for r in q_dedup_ngram_jaccard(spark, str(tmp_path)).collect()
-    }
-    assert got_c == exp_cont
-    assert got_j == exp_jac
+    # Both candidate routes (r15 cost-based cutover at
+    # _PAIR_BLOCK_MIN_DOCS) must reproduce the brute-force truth: the
+    # 6-doc corpus takes the posting route by default; forcing the
+    # threshold to 0 drives the same corpus through the prefix-pair
+    # block, pinning the k=1/k=2 lemma routes AND route equality.
+    import xml_processor_spark.functions.llm_dedup as LD
+
+    saved = LD._PAIR_BLOCK_MIN_DOCS
+    try:
+        for forced_min_docs in (saved, 0):
+            LD._PAIR_BLOCK_MIN_DOCS = forced_min_docs
+            got_c = {
+                (r["id_a"], r["id_b"]): r["containment"]
+                for r in q_dedup_containment(spark, str(tmp_path)).collect()
+            }
+            got_j = {
+                (r["id_a"], r["id_b"]): r["jaccard"]
+                for r in q_dedup_ngram_jaccard(spark, str(tmp_path)).collect()
+            }
+            assert got_c == exp_cont, f"min_docs={forced_min_docs}"
+            assert got_j == exp_jac, f"min_docs={forced_min_docs}"
+    finally:
+        LD._PAIR_BLOCK_MIN_DOCS = saved

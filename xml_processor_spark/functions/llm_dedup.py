@@ -321,12 +321,24 @@ def q_dedup_incremental(spark, sf_dir):
     # corpus-side index a production pipeline materializes is then the
     # prefix PAIR postings — free of the Σ df² frequency head the
     # SCALING.json probe measured on the every-shingle block.
-    ranked = _rarity_ranked(sh)
-    pref = ranked.filter(5 * F.col("r") <= F.col("n") + 10)
     _inc_filter = lambda: (  # noqa: E731
         (F.col("id_p") != F.col("id_n"))
         & ((F.col("id_p") % 5 != 0) | (F.col("id_p") < F.col("id_n")))
     )
+    if table(spark, sf_dir, "documents").count() < _PAIR_BLOCK_MIN_DOCS:
+        # Small corpus: posting block with the NEW batch on one side
+        # (cutover rationale at _PAIR_BLOCK_MIN_DOCS).
+        inter = (
+            sh.filter(F.col("doc_id") % 5 == 0)
+            .select(F.col("doc_id").alias("id_n"), "s")
+            .join(sh.select(F.col("doc_id").alias("id_p"), "s"), "s")
+            .filter(_inc_filter())
+            .groupBy("id_n", "id_p")
+            .agg(F.count(F.lit(1)).alias("i"))
+        )
+        return _inc_threshold(inter, sizes)
+    ranked = _rarity_ranked(sh)
+    pref = ranked.filter(5 * F.col("r") <= F.col("n") + 10)
     cand2 = (
         _pair_combos(pref.filter(F.col("doc_id") % 5 == 0), "id_n")
         .join(_pair_combos(pref, "id_p"), "pk")
@@ -359,6 +371,12 @@ def q_dedup_incremental(spark, sf_dir):
         .select("id_n", "id_p")
     )
     inter = _prefix_pairs_exact(sh, cand, left_id="id_n", right_id="id_p")
+    return _inc_threshold(inter, sizes)
+
+
+def _inc_threshold(inter, sizes):
+    """Shared exact-Jaccard threshold + output projection for both
+    q_dedup_incremental candidate routes (posting / prefix-pair)."""
     sn = sizes.select(F.col("doc_id").alias("id_n"), F.col("n").alias("nn"))
     sp = sizes.select(F.col("doc_id").alias("id_p"), F.col("n").alias("np"))
     union_sz = F.col("nn") + F.col("np") - F.col("i")
@@ -500,6 +518,49 @@ def _prefix_pairs_exact(sh, cand, left_id="id_a", right_id="id_b"):
     return (
         cand.join(sha, left_id)
         .join(shb, [right_id, "s"])
+        .groupBy(left_id, right_id)
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+
+
+# Cost-based candidate-route cutover (r15). Two exact, hash-identical
+# candidate generators exist for the shingle-Jaccard family:
+#   posting block — join the shingle posting lists directly; ONE shuffle,
+#     no prelude, but the candidate volume is Σ_s df(s)², which
+#     SCALING.json measured growing quadratically on the frequency head
+#     (containment exp 2.18, 430 s at SF3 on the decimate corpus);
+#   rarity-prefix-PAIR block (_rarity_ranked/_pair_combos) — near-linear
+#     by the generalized prefix lemma, but its df-aggregate + rank-window
+#     + combo-explode prelude adds ~4 linear stages that DOMINATE a small
+#     corpus (sf0.1, 5k docs: ngram 1.13 s posting vs 3.41 s pair in the
+#     r15 committed bench pair).
+# SCALING.json's measured crossover sits near SF1 (50k docs: posting
+# 21.05 s vs pair 20.19 s), so the operators pick the route from a
+# one-job count of the pruned documents scan: posting below
+# _PAIR_BLOCK_MIN_DOCS, prefix-pair at or above it — the same
+# cardinality-driven physical-plan choice a cost-based optimizer makes,
+# with both routes' output equality pinned by the route test in
+# tests/test_llm.py and by the fixture sweeps (sf0.01 exercises posting,
+# SF1/SF3 exercise prefix-pair).
+_PAIR_BLOCK_MIN_DOCS = 20_000
+
+
+def _posting_intersections(sh, left_id, right_id, *, symmetric):
+    """Exact |A∩B| for every co-shingled doc pair via the every-shingle
+    posting join — the small-corpus candidate route (see
+    _PAIR_BLOCK_MIN_DOCS). ``symmetric=True`` keeps each unordered pair
+    once (id_a < id_b); ``False`` keeps both orientations for
+    directional scores."""
+    sha = sh.select(F.col("doc_id").alias(left_id), "s")
+    shb = sh.select(F.col("doc_id").alias(right_id), "s")
+    cond = (
+        F.col(left_id) < F.col(right_id)
+        if symmetric
+        else F.col(left_id) != F.col(right_id)
+    )
+    return (
+        sha.join(shb, "s")
+        .filter(cond)
         .groupBy(left_id, right_id)
         .agg(F.count(F.lit(1)).alias("i"))
     )
@@ -851,45 +912,54 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     d = widen(table(spark, sf_dir, "documents"))
     sh = d.select("doc_id", F.explode(shingles(F.col("text"))).alias("s"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    ranked = _rarity_ranked(sh)
-    # k=2 prefix lemma, symmetric: J ≥ 4/5 ⟹ i ≥ ⌈0.8·max(na, nb)⌉ and
-    # (for max ≥ 2, i.e. any pair that is not singleton-singleton) the
-    # two (n − ⌈0.8n⌉ + 2 = ⌊n/5⌋+2)-prefixes share TWO elements
-    # (r ≤ ⌊n/5⌋+2 ⇔ 5·r ≤ n+10) — block prefix-PAIRS on both sides.
-    pref = ranked.filter(5 * F.col("r") <= F.col("n") + 10)
-    cand2 = (
-        _pair_combos(pref, "id_a")
-        .join(_pair_combos(pref, "id_b"), "pk")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-    )
-    # k=1 route: singleton-singleton identical docs (max = 1 forces
-    # na = nb = 1 — any larger partner caps J at 1/2 < 0.8).
-    single = ranked.filter(F.col("n") == 1)
-    cand1 = (
-        single.select(F.col("doc_id").alias("id_a"), "s")
-        .join(single.select(F.col("doc_id").alias("id_b"), "s"), "s")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-    )
-    cand = cand2.unionByName(cand1).distinct()
-    # Length filter: i ≤ min and 9i ≥ 4(na+nb) ⟹ 10·min ≥ 8·max.
-    cand = (
-        cand.join(
-            sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na")),
-            "id_a",
+    if table(spark, sf_dir, "documents").count() < _PAIR_BLOCK_MIN_DOCS:
+        # Small corpus: the posting block's one shuffle beats the pair
+        # machinery's prelude (cutover rationale at _PAIR_BLOCK_MIN_DOCS).
+        inter = _posting_intersections(sh, "id_a", "id_b", symmetric=True)
+    else:
+        ranked = _rarity_ranked(sh)
+        # k=2 prefix lemma, symmetric: J ≥ 4/5 ⟹ i ≥ ⌈0.8·max(na, nb)⌉
+        # and (for max ≥ 2, i.e. any pair that is not singleton-singleton)
+        # the two (n − ⌈0.8n⌉ + 2 = ⌊n/5⌋+2)-prefixes share TWO elements
+        # (r ≤ ⌊n/5⌋+2 ⇔ 5·r ≤ n+10) — block prefix-PAIRS on both sides.
+        pref = ranked.filter(5 * F.col("r") <= F.col("n") + 10)
+        cand2 = (
+            _pair_combos(pref, "id_a")
+            .join(_pair_combos(pref, "id_b"), "pk")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
         )
-        .join(
-            sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb")),
-            "id_b",
+        # k=1 route: singleton-singleton identical docs (max = 1 forces
+        # na = nb = 1 — any larger partner caps J at 1/2 < 0.8).
+        single = ranked.filter(F.col("n") == 1)
+        cand1 = (
+            single.select(F.col("doc_id").alias("id_a"), "s")
+            .join(single.select(F.col("doc_id").alias("id_b"), "s"), "s")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
         )
-        .filter(
-            (10 * F.col("na") >= 8 * F.col("nb"))
-            & (10 * F.col("nb") >= 8 * F.col("na"))
+        cand = cand2.unionByName(cand1).distinct()
+        # Length filter: i ≤ min and 9i ≥ 4(na+nb) ⟹ 10·min ≥ 8·max.
+        cand = (
+            cand.join(
+                sizes.select(
+                    F.col("doc_id").alias("id_a"), F.col("n").alias("na")
+                ),
+                "id_a",
+            )
+            .join(
+                sizes.select(
+                    F.col("doc_id").alias("id_b"), F.col("n").alias("nb")
+                ),
+                "id_b",
+            )
+            .filter(
+                (10 * F.col("na") >= 8 * F.col("nb"))
+                & (10 * F.col("nb") >= 8 * F.col("na"))
+            )
+            .select("id_a", "id_b")
         )
-        .select("id_a", "id_b")
-    )
-    inter = _prefix_pairs_exact(sh, cand)
+        inter = _prefix_pairs_exact(sh, cand)
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
     union_sz = F.col("na") + F.col("nb") - F.col("i")
@@ -1844,45 +1914,54 @@ def q_dedup_containment(spark, sf_dir):
     d = widen(table(spark, sf_dir, "documents"))
     sh = d.select("doc_id", F.explode(shingles(F.col("text"))).alias("s"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    ranked = _rarity_ranked(sh)
-    # k=2 prefix lemma, directional: i ≥ ⌈0.9·na⌉ ≥ 2 ⟹ B contains TWO
-    # of A's first ⌊na/10⌋+2 rarity-ordered shingles (r ≤ ⌊na/10⌋+2 ⇔
-    # 10·r ≤ na+20) — so block A's prefix-PAIRS against B's pairs.
-    # Containment bounds only A's side, so B's pair set is its whole
-    # shingle set, pre-restricted (semi join) to shingles that occur in
-    # SOME doc's prefix — both guaranteed common elements are A-prefix
-    # members, so the restriction is lossless and cuts B's quadratic
-    # per-doc combo count to the prefix-dictionary hit subset.
-    pref_a = ranked.filter(10 * F.col("r") <= F.col("n") + 20)
-    pdict = pref_a.select("s").distinct()
-    pk_a = _pair_combos(pref_a, "id_a")
-    pk_b = _pair_combos(sh.join(pdict, "s"), "id_b")
-    cand2 = (
-        pk_a.join(pk_b, "pk")
-        .filter(F.col("id_a") != F.col("id_b"))
-        .select("id_a", "id_b")
-    )
-    # k=1 route for docs the pair block cannot cover: na = 1 (α = 1 —
-    # a true pair shares only one element). Their single shingle IS the
-    # whole prefix, blocked against the full posting list.
-    cand1 = (
-        ranked.filter(F.col("n") == 1)
-        .select(F.col("doc_id").alias("id_a"), "s")
-        .join(sh.select(F.col("doc_id").alias("id_b"), "s"), "s")
-        .filter(F.col("id_a") != F.col("id_b"))
-        .select("id_a", "id_b")
-    )
-    cand = cand2.unionByName(cand1).distinct()
-    # Length filter: i ≤ nb and 10·i ≥ 9·na ⟹ 10·nb ≥ 9·na.
-    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
-    cand = (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .filter(10 * F.col("nb") >= 9 * F.col("na"))
-        .select("id_a", "id_b")
-    )
-    inter = _prefix_pairs_exact(sh, cand)
+    if table(spark, sf_dir, "documents").count() < _PAIR_BLOCK_MIN_DOCS:
+        # Small corpus: posting block (cutover at _PAIR_BLOCK_MIN_DOCS).
+        inter = _posting_intersections(sh, "id_a", "id_b", symmetric=False)
+    else:
+        ranked = _rarity_ranked(sh)
+        # k=2 prefix lemma, directional: i ≥ ⌈0.9·na⌉ ≥ 2 ⟹ B contains
+        # TWO of A's first ⌊na/10⌋+2 rarity-ordered shingles
+        # (r ≤ ⌊na/10⌋+2 ⇔ 10·r ≤ na+20) — so block A's prefix-PAIRS
+        # against B's pairs. Containment bounds only A's side, so B's
+        # pair set is its whole shingle set, pre-restricted (semi join)
+        # to shingles that occur in SOME doc's prefix — both guaranteed
+        # common elements are A-prefix members, so the restriction is
+        # lossless and cuts B's quadratic per-doc combo count to the
+        # prefix-dictionary hit subset.
+        pref_a = ranked.filter(10 * F.col("r") <= F.col("n") + 20)
+        pdict = pref_a.select("s").distinct()
+        pk_a = _pair_combos(pref_a, "id_a")
+        pk_b = _pair_combos(sh.join(pdict, "s"), "id_b")
+        cand2 = (
+            pk_a.join(pk_b, "pk")
+            .filter(F.col("id_a") != F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        # k=1 route for docs the pair block cannot cover: na = 1 (α = 1
+        # — a true pair shares only one element). Their single shingle
+        # IS the whole prefix, blocked against the full posting list.
+        cand1 = (
+            ranked.filter(F.col("n") == 1)
+            .select(F.col("doc_id").alias("id_a"), "s")
+            .join(sh.select(F.col("doc_id").alias("id_b"), "s"), "s")
+            .filter(F.col("id_a") != F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        cand = cand2.unionByName(cand1).distinct()
+        # Length filter: i ≤ nb and 10·i ≥ 9·na ⟹ 10·nb ≥ 9·na.
+        sa = sizes.select(
+            F.col("doc_id").alias("id_a"), F.col("n").alias("na")
+        )
+        sb = sizes.select(
+            F.col("doc_id").alias("id_b"), F.col("n").alias("nb")
+        )
+        cand = (
+            cand.join(sa, "id_a")
+            .join(sb, "id_b")
+            .filter(10 * F.col("nb") >= 9 * F.col("na"))
+            .select("id_a", "id_b")
+        )
+        inter = _prefix_pairs_exact(sh, cand)
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
     # No broadcast hint on the corpus-sized per-doc size table (see
     # q_dedup_near_jaccard) — AQE picks broadcast at test SFs only.
