@@ -1500,6 +1500,86 @@ _KM_D2_SQL = (
 )
 
 
+def _km_assign_blas(vecs, crows):
+    """BLAS twin of _km_assign for √N-sized codebooks (r15,
+    q_dedup_semantic). The k-row centroid table arrives as a BOUNDED
+    driver-side list (k = max(8, 2⌊√N⌋), the accepted _ivf_index
+    codebook pattern — √(1e9) ≈ 3e4 rows × 64 dims ≈ 16 MB at 100 TB,
+    shipped in the worker closure, never shuffled), and assignment is
+    ONE exact-int64 matmul per Arrow batch: d2 = |x|² + |c|² − 2·x·c
+    (every term < 2^47, no overflow), argmin over columns sorted by
+    ascending centroid id so numpy's first-index tie rule reproduces the
+    crossJoin variant's ORDER BY (d2, c) bit-for-bit. SCALING.json r15:
+    the crossJoin + interpreted-HOF d2 at N·k pairs was the measured
+    bottleneck once k grew with √N (43 s at SF3); the matmul pass is the
+    same N·k·dim FLOPs at a BLAS constant."""
+    import numpy as np
+    import pandas as pd
+
+    crows = sorted(crows, key=lambda r: r[0])
+    cids = np.array([r[0] for r in crows], dtype=np.int64)
+    C = np.array([list(r[1]) for r in crows], dtype=np.int64)
+    cnn = (C * C).sum(axis=1)
+    Ct = C.T.copy()
+
+    def _assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["xe"].to_numpy()).astype(np.int64)
+            nnx = (X * X).sum(axis=1)
+            d2 = nnx[:, None] + cnn[None, :] - 2 * (X @ Ct)
+            j = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(np.int64),
+                    "c": cids[j],
+                    "d2": d2[np.arange(len(j)), j],
+                }
+            )
+
+    return vecs.mapInPandas(_assign, "vec_id long, c long, d2 long")
+
+
+def _km_vectors_and_a2_blas(spark, sf_dir, k):
+    """q_dedup_semantic's Lloyd front half at the √N codebook: identical
+    math to _km_vectors_and_round2_centroids + _km_assign (and to the
+    shared SQL oracle prefix), but both assignment passes run through
+    the Arrow BLAS kernel and the two k-row centroid tables are bounded
+    driver collects. Returns (vecs, a2) with a2 = (vec_id, c, d2)."""
+    e = widen(table(spark, sf_dir, "embeddings"))
+    vecs = e.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * _KM_SCALE, 0).cast("long"),
+        ).alias("xe"),
+    )
+    init_rows = [
+        (r["vec_id"], r["xe"])
+        for r in vecs.filter(F.col("vec_id") < k).collect()
+    ]
+    a1 = _km_assign_blas(vecs, init_rows)
+    m = (
+        a1.join(vecs, "vec_id")
+        .select("c", F.posexplode("xe").alias("pos0", "v"))
+        .groupBy("c", "pos0")
+        .agg(
+            F.round(F.sum("v").cast("double") / F.count(F.lit(1)), 0)
+            .cast("long")
+            .alias("cv")
+        )
+    )
+    c2 = m.groupBy("c").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos0", "cv"))),
+            lambda s: s["cv"],
+        ).alias("ce")
+    )
+    c2_rows = [(r["c"], r["ce"]) for r in c2.collect()]
+    return vecs, _km_assign_blas(vecs, c2_rows)
+
+
 def _km_assign(vecs, cents):
     """Nearest-centroid assignment: k-row broadcast x vector scan, argmin by
     (exact integer d2, centroid id)."""
@@ -1591,12 +1671,17 @@ def q_emb_kmeans(spark, sf_dir):
     )
 
 
-def _km_vectors_and_round2_centroids(spark, sf_dir):
+def _km_vectors_and_round2_centroids(spark, sf_dir, k=_KM_K):
     """Shared k-means front half: fixed-point vectors + round-2 centroids.
 
     Used by q_emb_kmeans (reports assignment/inertia) and q_emb_silhouette
     (reports separation quality of the same clustering) so both keys pin
-    the identical deterministic pipeline.
+    the identical deterministic pipeline at the fixed reporting k.
+    q_dedup_semantic passes k = max(8, 2·⌊√N⌋) instead (r15,
+    SCALING.json: with a FIXED k the within-cluster pair stage is
+    Σ|cluster|² ∝ N²/k — measured exp 2.1 at SF3; the E-KNN-IVF codebook
+    growth law caps expected cluster size at ~√N/2, the SemDeDup paper's
+    own regime of cluster count scaling with corpus size).
     """
     e = widen(table(spark, sf_dir, "embeddings"))
     vecs = e.select(
@@ -1606,7 +1691,7 @@ def _km_vectors_and_round2_centroids(spark, sf_dir):
             lambda x: F.round(x.cast("double") * _KM_SCALE, 0).cast("long"),
         ).alias("xe"),
     )
-    init = vecs.filter(F.col("vec_id") < _KM_K).select(
+    init = vecs.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("c"), F.col("xe").alias("ce")
     )
     a1 = _km_assign(vecs, init)
@@ -1754,7 +1839,7 @@ _SEM_TAU = 0.35  # same cosine bar as q_dedup_emb_cosine's all-pairs truth
 # round-2 centroids -> final assignment with distances). Kept textually in
 # lockstep with the q_emb_kmeans / q_emb_silhouette oracles — all three
 # keys pin the IDENTICAL deterministic clustering.
-_KM_A2_SQL = """
+_KM_A2_SQL_T = """
         ev AS (
             SELECT vec_id,
                    list_transform(embedding,
@@ -1796,9 +1881,37 @@ _KM_A2_SQL = """
                 FROM p2
             ) WHERE rn = 1
         )
-""".format(
+"""
+
+_KM_A2_SQL = _KM_A2_SQL_T.format(
     scale=_KM_SCALE,
     k=_KM_K,
+    d2_init=_KM_D2_SQL.format(a="e.xe", b="i.ce"),
+    d2_c2=_KM_D2_SQL.format(a="e.xe", b="k.ce"),
+)
+
+# q_dedup_semantic's codebook growth law (r15): below _SEM_BLAS_MIN_VECS
+# vectors the fixed reporting k (8, the r14 behavior — no collect
+# barriers, crossJoin assign is cheap at N·8) ; at or above it
+# k = 2·⌊√N⌋ with the Arrow-BLAS assignment (fixed k makes the
+# within-cluster stage Σ|cluster|² ∝ N²/k — SCALING.json measured exp
+# 2.1 at SF3; the √N codebook caps it at ~N^1.5 BLAS FLOPs, measured
+# flat 4.1 s). The k choice is computed IDENTICALLY in both engines —
+# Python floor(sqrt(float(n))) and SQL floor(sqrt(CAST(count AS
+# DOUBLE))) are the same correctly-rounded double ops, so the init
+# predicate `vec_id < k` selects the same centroid seeds. The oracle
+# stays a static SQL string; only the k VALUE is data-dependent, via a
+# scalar subquery — the same pattern as E-KNN-IVF's CTE-chain oracle.
+_SEM_BLAS_MIN_VECS = 20_000
+_SEM_K_SQL = (
+    f"(SELECT CASE WHEN count(*) < {_SEM_BLAS_MIN_VECS} THEN {_KM_K} "
+    "ELSE 2 * CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) "
+    "END FROM embeddings)"
+)
+
+_KM_A2_SQL_SEMK = _KM_A2_SQL_T.format(
+    scale=_KM_SCALE,
+    k=_SEM_K_SQL,
     d2_init=_KM_D2_SQL.format(a="e.xe", b="i.ce"),
     d2_c2=_KM_D2_SQL.format(a="e.xe", b="k.ce"),
 )
@@ -1807,7 +1920,7 @@ _KM_A2_SQL = """
 @register(
     "q_dedup_semantic",
     oracle=f"""
-        WITH {_KM_A2_SQL},
+        WITH {_KM_A2_SQL_SEMK},
         n2 AS (
             SELECT vec_id,
                    (SELECT SUM(x * x) FROM (SELECT unnest(xe) AS x)) AS nn
@@ -1864,9 +1977,18 @@ _KM_A2_SQL = """
         "d2; ties by vec_id) — the paper's keep-the-most-central rule "
         "made deterministic. Output: one row per removed vector with its "
         "cluster, dominating-twin count, min kept example and 6-dp max "
-        "similarity. Shares the exact fixed-point Lloyd pipeline with "
-        "q_emb_kmeans/q_emb_silhouette (identical clustering, pinned by "
-        "the shared oracle prefix). The within-cluster pair stage is ONE "
+        "similarity. Runs the same fixed-point Lloyd pipeline CODE as "
+        "q_emb_kmeans/q_emb_silhouette, with a cost-based codebook "
+        "cutover (r15, _SEM_K_SQL): the fixed reporting k below 20k "
+        "vectors, the E-KNN-IVF growth law k = 2*floor(sqrt(N)) with "
+        "Arrow-BLAS assignment above it — fixed k makes the "
+        "within-cluster stage Sigma |cluster|^2 ~ N^2/k (measured exp "
+        "2.1 at SF3 in SCALING.json; sqrt-N clusters cap it at ~N^1.5 "
+        "BLAS FLOPs, measured flat), and cluster count growing with "
+        "corpus size is the SemDeDup paper's own operating regime. The "
+        "oracle replays the identical clustering with the identical k "
+        "choice as a SQL scalar subquery. The "
+        "within-cluster pair stage is ONE "
         "Arrow-batched BLAS matmul per cluster (applyInPandas on the "
         "cluster key): G = X @ X^T in int64 is EXACT (|xe| <= ~5.8e5 at "
         "64 dims keeps every dot < 2^45), norms are G's diagonal, and "
@@ -1889,12 +2011,19 @@ _KM_A2_SQL = """
         "test sf). No all-pairs stage ever materializes across clusters.",
 )
 def q_dedup_semantic(spark, sf_dir):
+    import math
+
     import numpy as np
     import pandas as pd
 
-    vecs, c2 = _km_vectors_and_round2_centroids(spark, sf_dir)
-    c2 = c2.localCheckpoint(eager=True)
-    a2 = _km_assign(vecs, c2)
+    n = table(spark, sf_dir, "embeddings").count()
+    if n < _SEM_BLAS_MIN_VECS:
+        vecs, c2 = _km_vectors_and_round2_centroids(spark, sf_dir)
+        c2 = c2.localCheckpoint(eager=True)
+        a2 = _km_assign(vecs, c2)
+    else:
+        k_sem = 2 * int(math.floor(math.sqrt(float(n))))
+        vecs, a2 = _km_vectors_and_a2_blas(spark, sf_dir, k_sem)
     mem = a2.join(vecs, "vec_id").select("vec_id", "c", "d2", "xe")
 
     out_schema = (
