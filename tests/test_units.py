@@ -358,3 +358,33 @@ def test_pca_invariant_checker_accepts_correct_and_rejects_corrupt():
         "mean" in p
         for p in _pca_invariant_check(cols, as_rows(uncentered), con)
     )
+
+
+def test_row_count_matches_footer_and_handles_dir_layout(tmp_path):
+    """io.row_count must return the exact table cardinality the replaced
+    Spark count job returned (the r15 route-cutover decisions key on it),
+    for both the single-file testdata layout and a directory of part
+    files (fixture layout)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from xml_processor_spark.io import row_count
+
+    # Single-file layout: footer metadata is the ground truth the old
+    # count() job scanned for.
+    for sf_dir, name in (
+        ("/root/testdata/sf0.01", "documents"),
+        ("/root/testdata/sf0.01", "embeddings"),
+        ("/root/testdata/sf0.1", "documents"),
+    ):
+        meta = pq.read_metadata(f"{sf_dir}/{name}.parquet")
+        assert row_count(sf_dir, name) == meta.num_rows
+
+    # Directory-of-parts layout: counts must sum across part files and
+    # ignore non-parquet sidecars.
+    d = tmp_path / "documents.parquet"
+    d.mkdir()
+    pq.write_table(pa.table({"doc_id": list(range(7))}), d / "part-0.parquet")
+    pq.write_table(pa.table({"doc_id": list(range(5))}), d / "part-1.parquet")
+    (d / "_layout.json").write_text("{}")
+    assert row_count(str(tmp_path), "documents") == 12

@@ -18,7 +18,7 @@ import pandas as pd
 
 from pyspark.sql import functions as F
 
-from xml_processor_spark.io import table, widen
+from xml_processor_spark.io import row_count, table, widen
 from xml_processor_spark.registry import register
 
 
@@ -325,7 +325,7 @@ def q_dedup_incremental(spark, sf_dir):
         (F.col("id_p") != F.col("id_n"))
         & ((F.col("id_p") % 5 != 0) | (F.col("id_p") < F.col("id_n")))
     )
-    if table(spark, sf_dir, "documents").count() < _PAIR_BLOCK_MIN_DOCS:
+    if row_count(sf_dir, "documents") < _PAIR_BLOCK_MIN_DOCS:
         # Small corpus: posting block with the NEW batch on one side
         # (cutover rationale at _PAIR_BLOCK_MIN_DOCS).
         inter = (
@@ -912,7 +912,7 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     d = widen(table(spark, sf_dir, "documents"))
     sh = d.select("doc_id", F.explode(shingles(F.col("text"))).alias("s"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    if table(spark, sf_dir, "documents").count() < _PAIR_BLOCK_MIN_DOCS:
+    if row_count(sf_dir, "documents") < _PAIR_BLOCK_MIN_DOCS:
         # Small corpus: the posting block's one shuffle beats the pair
         # machinery's prelude (cutover rationale at _PAIR_BLOCK_MIN_DOCS).
         inter = _posting_intersections(sh, "id_a", "id_b", symmetric=True)
@@ -1914,7 +1914,7 @@ def q_dedup_containment(spark, sf_dir):
     d = widen(table(spark, sf_dir, "documents"))
     sh = d.select("doc_id", F.explode(shingles(F.col("text"))).alias("s"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    if table(spark, sf_dir, "documents").count() < _PAIR_BLOCK_MIN_DOCS:
+    if row_count(sf_dir, "documents") < _PAIR_BLOCK_MIN_DOCS:
         # Small corpus: posting block (cutover at _PAIR_BLOCK_MIN_DOCS).
         inter = _posting_intersections(sh, "id_a", "id_b", symmetric=False)
     else:

@@ -20,7 +20,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from xml_processor_spark.functions.deterministic import r6
-from xml_processor_spark.io import table, widen
+from xml_processor_spark.io import row_count, table, widen
 from xml_processor_spark.registry import register
 
 _N_PROBES = 5
@@ -275,9 +275,9 @@ def _ivf_index(spark, sf_dir):
     import numpy as np
 
     xq = _ivf_quantized(spark, sf_dir)
-    # Row count from the RAW scan (parquet metadata-only job, no
-    # transform evaluation), then one bounded collect for the codebook.
-    n = table(spark, sf_dir, "embeddings").count()
+    # Row count straight from the parquet footer (io.row_count — no Spark
+    # job at all, r15), then one bounded collect for the codebook.
+    n = row_count(sf_dir, "embeddings")
     stride = _ivf_stride(n)
     crows = (
         xq.filter(F.col("vec_id") % stride == 0).orderBy("vec_id").collect()
@@ -333,7 +333,7 @@ def _ivf_candidates(spark, sf_dir):
     import numpy as np
 
     xq = _ivf_quantized(spark, sf_dir)
-    n = table(spark, sf_dir, "embeddings").count()
+    n = row_count(sf_dir, "embeddings")
     stride = _ivf_stride(n)
     # One bounded collect for codebook + probes together (~2*sqrt(N)+5
     # rows), split driver-side.
@@ -2016,7 +2016,7 @@ def q_dedup_semantic(spark, sf_dir):
     import numpy as np
     import pandas as pd
 
-    n = table(spark, sf_dir, "embeddings").count()
+    n = row_count(sf_dir, "embeddings")
     if n < _SEM_BLAS_MIN_VECS:
         vecs, c2 = _km_vectors_and_round2_centroids(spark, sf_dir)
         c2 = c2.localCheckpoint(eager=True)
