@@ -671,40 +671,37 @@ def e_minhash_lsh(spark, sf_dir):
     w2 = F.conv(F.substring(md, 16, 15), 16, 10).cast("long") % _MH_P
     hashed = dt.select("doc_id", w1.alias("w1"), w2.alias("w2"))
 
+    # The 32 min-hash aggregates, band md5s, and band explode are built as
+    # SQL strings parsed JVM-side (guide §5 driver overhead): the
+    # equivalent Column-API loops cost ~5,700 py4j round-trips (~0.6 s of
+    # serial driver time per invocation) constructing the identical tree.
     mins = hashed.groupBy("doc_id").agg(
         *[
-            F.min(
-                (
-                    (F.lit(_MH_A[i]) * F.col("w1")) % _MH_P
-                    + (F.lit(_MH_B[i]) * F.col("w2")) % _MH_P
-                )
-                % _MH_P
-            ).alias(f"h{i}")
+            F.expr(
+                f"min((({_MH_A[i]} * w1) % {_MH_P}"
+                f" + ({_MH_B[i]} * w2) % {_MH_P}) % {_MH_P}) AS h{i}"
+            )
             for i in range(_N_HASHES)
         ]
     )
     band_cols = [
-        F.md5(
-            F.concat_ws(
-                ",",
-                *[
-                    F.col(f"h{b * _MH_ROWS + r}").cast("string")
-                    for r in range(_MH_ROWS)
-                ],
+        F.expr(
+            "md5(concat_ws(',', "
+            + ", ".join(
+                f"CAST(h{b * _MH_ROWS + r} AS STRING)"
+                for r in range(_MH_ROWS)
             )
-        ).alias(f"band{b}")
+            + f")) AS band{b}"
+        )
         for b in range(_N_BANDS)
     ]
     banded = mins.select("doc_id", *band_cols)
     # doc → (band_idx, band_hash) rows; bucket-join per band.
+    band_structs = ", ".join(
+        f"named_struct('band', {b}, 'sig', band{b})" for b in range(_N_BANDS)
+    )
     long_form = banded.select(
-        "doc_id",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("sig"))
-                for b in range(_N_BANDS)
-            ])
-        ).alias("bs"),
+        "doc_id", F.expr(f"explode(array({band_structs}))").alias("bs")
     ).select("doc_id", "bs.band", "bs.sig")
     l = long_form.select(F.col("doc_id").alias("id_a"), "band", "sig")
     r = long_form.select(F.col("doc_id").alias("id_b"), "band", "sig")
@@ -792,21 +789,23 @@ def q_dedup_simhash(spark, sf_dir):
     # faster here, and the per-shingle cost is what scales with corpus
     # size — same lesson as the MinHash HOF rejection in BASELINE.md).
     hashed = toks.select("doc_id", phash60("tok").alias("h"))
+    # The 32 bit-sum aggregates and the 32-term fingerprint fold are built
+    # as SQL strings parsed JVM-side (guide §5 driver overhead): the
+    # equivalent Column-API loops cost ~6,600 py4j round-trips (~0.7 s of
+    # serial driver time per invocation) constructing the identical
+    # expression tree.
     sums = hashed.groupBy("doc_id").agg(
         *[
-            F.sum(
-                (F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1)
-            ).alias(f"s{j}")
+            F.expr(f"sum((shiftright(h, {j}) & 1) * 2 - 1) AS s{j}")
             for j in range(_SIM_BITS)
         ]
     )
-    fp_col = None
-    for j in range(_SIM_BITS):
-        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        fp_col = term if fp_col is None else fp_col + term
-    fp = sums.select("doc_id", fp_col.alias("fp"))
+    fp_sql = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN CAST({1 << j} AS BIGINT)"
+        f" ELSE CAST(0 AS BIGINT) END)"
+        for j in range(_SIM_BITS)
+    )
+    fp = sums.select("doc_id", F.expr(fp_sql).alias("fp"))
     # Banded candidate generation (VERDICT r1 #3): any pair with hamming
     # <= _HAM_MAX differs in at most _HAM_MAX of the _HAM_MAX+1 bands, so
     # it agrees exactly on >= 1 band. An equi join on (band, bits) plus an
@@ -819,19 +818,14 @@ def q_dedup_simhash(spark, sf_dir):
     # band_w == 0 degenerates to a full cross join.
     assert _SIM_BITS % n_bands == 0, (_SIM_BITS, n_bands)
     band_w = _SIM_BITS // n_bands
+    band_structs = ", ".join(
+        f"named_struct('band', {bnd}, 'bits',"
+        f" shiftrightunsigned(fp, {bnd * band_w}) & {(1 << band_w) - 1})"
+        for bnd in range(n_bands)
+    )
     banded = fp.select(
         "doc_id", "fp",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(bnd).alias("band"),
-                    F.shiftrightunsigned(F.col("fp"), bnd * band_w)
-                    .bitwiseAND(F.lit((1 << band_w) - 1))
-                    .alias("bits"),
-                )
-                for bnd in range(n_bands)
-            ])
-        ).alias("bb"),
+        F.expr(f"explode(array({band_structs}))").alias("bb"),
     ).select("doc_id", "fp", "bb.band", "bb.bits")
     a = banded.select(
         F.col("doc_id").alias("id_a"), F.col("fp").alias("fp_a"), "band", "bits"

@@ -718,30 +718,31 @@ def q_agg_corr_matrix(spark, sf_dir):
         "tax": F.round(F.col("l_tax") * 100).cast("long"),
     }
     t = li.select(*[c.alias(n) for n, c in cols.items()])
-    aggs = [F.count(F.lit(1)).alias("n")]
+    # Moment aggregates and the correlation fold are built as SQL strings
+    # parsed JVM-side (guide §5 driver overhead): the equivalent
+    # Column-API loops cost ~3,300 py4j round-trips (~0.4 s of serial
+    # driver time per invocation) constructing the identical tree.
+    aggs = [F.expr("count(1) AS n")]
     for name in cols:
-        aggs.append(F.sum(name).alias(f"s_{name}"))
-        aggs.append(F.sum(F.col(name) * F.col(name)).alias(f"ss_{name}"))
+        aggs.append(F.expr(f"sum({name}) AS s_{name}"))
+        aggs.append(F.expr(f"sum({name} * {name}) AS ss_{name}"))
     for x, y in _CORR_PAIRS:
-        aggs.append(F.sum(F.col(x) * F.col(y)).alias(f"sp_{x}_{y}"))
+        aggs.append(F.expr(f"sum({x} * {y}) AS sp_{x}_{y}"))
     s = t.agg(*aggs)
 
     def _d(c):  # exact-integer sum -> DOUBLE, once, like the oracle
-        return F.col(c).cast("double")
+        return f"CAST({c} AS DOUBLE)"
 
-    n = _d("n")
-    pair_rows = []
+    pair_structs = []
     for x, y in _CORR_PAIRS:
-        num = n * _d(f"sp_{x}_{y}") - _d(f"s_{x}") * _d(f"s_{y}")
-        dx = n * _d(f"ss_{x}") - _d(f"s_{x}") * _d(f"s_{x}")
-        dy = n * _d(f"ss_{y}") - _d(f"s_{y}") * _d(f"s_{y}")
-        pair_rows.append(
-            F.struct(
-                F.lit(x).alias("col_x"),
-                F.lit(y).alias("col_y"),
-                F.round(num / F.sqrt(dx * dy), 6).alias("corr"),
-            )
+        num = f"{_d('n')} * {_d(f'sp_{x}_{y}')} - {_d(f's_{x}')} * {_d(f's_{y}')}"
+        dx = f"{_d('n')} * {_d(f'ss_{x}')} - {_d(f's_{x}')} * {_d(f's_{x}')}"
+        dy = f"{_d('n')} * {_d(f'ss_{y}')} - {_d(f's_{y}')} * {_d(f's_{y}')}"
+        pair_structs.append(
+            f"named_struct('col_x', '{x}', 'col_y', '{y}', 'corr',"
+            f" round(({num}) / sqrt(({dx}) * ({dy})), 6))"
         )
     return s.select(
-        F.col("n"), F.explode(F.array(*pair_rows)).alias("p")
+        F.col("n"),
+        F.expr(f"explode(array({', '.join(pair_structs)}))").alias("p"),
     ).select("p.col_x", "p.col_y", "n", "p.corr")
