@@ -14,7 +14,7 @@ def test_minhash_lsh_recall_vs_exact(spark, queries):
     from xml_processor_spark.io import table
 
     d = table(spark, SF_SMALL, "documents")
-    dt = d.select("doc_id", F.explode(shingles(F.col("text"))).alias("s"))
+    dt = d.select("doc_id", F.explode(shingles("text")).alias("s"))
     sizes = dt.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = dt.select(F.col("doc_id").alias("id_a"), "s")
     b = dt.select(F.col("doc_id").alias("id_b"), "s")

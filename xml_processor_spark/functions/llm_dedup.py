@@ -313,7 +313,7 @@ def q_dedup_near_jaccard(spark, sf_dir):
 )
 def q_dedup_incremental(spark, sf_dir):
     d = widen(table(spark, sf_dir, "documents"))
-    sh = d.select("doc_id", F.explode(shingles(F.col("text"))).alias("s"))
+    sh = d.select("doc_id", F.explode(shingles("text")).alias("s"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     # r15 k=2 rarity-prefix-pair block (see q_dedup_ngram_jaccard — same
     # J ≥ 0.8 lemma, both sides block on unordered PAIRS of their
@@ -410,25 +410,29 @@ def shingles(text_col):
     space, so band collisions mean real near-duplication, not shared
     vocabulary. This is the standard MinHash formulation for text.
     """
-    toks = F.split(text_col, " ")
     # Docs shorter than the shingle width yield NO shingles (empty array).
-    # The when() guard matters under ANSI mode (Spark 4 default):
+    # The CASE guard matters under ANSI mode (Spark 4 default):
     # element_at past the array end throws INVALID_ARRAY_INDEX, and
     # sequence(1, 0) counts DOWN to [1, 0] — so the bound must stay >= 1
     # and the empty case must be picked before the transform evaluates.
     # Oracles mirror this with generate_series(1, len - k + 1), which is
     # empty in DuckDB when the bound is < 1.
-    return F.when(
-        F.size(toks) >= _SHINGLE_K,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - _SHINGLE_K + 1),
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(toks, i + off) for off in range(_SHINGLE_K)]
-                ),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # Built as ONE JVM-parsed SQL string (guide §5 driver overhead): the
+    # Column-API formulation with a Python transform() lambda cost ~200
+    # py4j round-trips per call site, and this helper fronts every
+    # shingle-family key (~12 bench keys pay it). `text_col` is the
+    # column NAME; the expression tree is byte-for-byte the old one
+    # (i + 0 / - _SHINGLE_K + 1 shapes preserved).
+    toks = f"split({text_col}, ' ')"
+    grams = ", ".join(
+        f"element_at({toks}, i + {off})" for off in range(_SHINGLE_K)
+    )
+    return F.expr(
+        f"CASE WHEN size({toks}) >= {_SHINGLE_K} THEN array_distinct("
+        f"transform(sequence(1, size({toks}) - {_SHINGLE_K} + 1),"
+        f" i -> concat_ws(' ', {grams})))"
+        f" ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
 
 
 def _rarity_ranked(sh):
@@ -657,7 +661,7 @@ def e_minhash_lsh(spark, sf_dir):
     # widen(): shingling + md5 + 32 partial mins is CPU-bound, and the
     # local fixture parquet is a single row group (one scan task);
     # spreading the scan output first is a measured 3x on local[32].
-    dt = widen(d).select("doc_id", F.explode(shingles(F.col("text"))).alias("tok"))
+    dt = widen(d).select("doc_id", F.explode(shingles("text")).alias("tok"))
     # ONE md5 per shingle; the 32 functions are multiply-add-mod over the
     # two 60-bit words — whole-stage-codegen'd integer ops, so the
     # expensive string hashing happens once. Deliberately explode +
@@ -781,7 +785,7 @@ def _simhash_oracle() -> str:
 )
 def q_dedup_simhash(spark, sf_dir):
     d = widen(table(spark, sf_dir, "documents"))
-    toks = d.select("doc_id", F.explode(shingles(F.col("text"))).alias("tok"))
+    toks = d.select("doc_id", F.explode(shingles("text")).alias("tok"))
     # Materialize the shingle hash ONCE before the aggregation: referencing
     # phash60(tok) inside all 32 bit-sum aggregates lets Catalyst inline the
     # md5+conv expression into every partial agg (50 md5 nodes in the plan);
@@ -904,7 +908,7 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     # below re-shuffles on the shingle anyway, so this only parallelizes
     # the map side.
     d = widen(table(spark, sf_dir, "documents"))
-    sh = d.select("doc_id", F.explode(shingles(F.col("text"))).alias("s"))
+    sh = d.select("doc_id", F.explode(shingles("text")).alias("s"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     if row_count(sf_dir, "documents") < _PAIR_BLOCK_MIN_DOCS:
         # Small corpus: the posting block's one shuffle beats the pair
@@ -1858,10 +1862,12 @@ _SIG_SHINGLE_CTE = """
 )
 def q_minhash_sig(spark, sf_dir):
     d = widen(table(spark, sf_dir, "documents"))
-    sh = d.select("doc_id", F.explode(shingles(F.col("text"))).alias("s"))
+    sh = d.select("doc_id", F.explode(shingles("text")).alias("s"))
+    # JVM-parsed agg expressions (guide §5): same tree, ~10x fewer py4j
+    # round-trips than the Column-API loop.
     return sh.groupBy("doc_id").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"h{i}")
+            F.expr(f"min(md5(concat('{i}:', s))) AS h{i}")
             for i in range(_SIG_SEEDS)
         ]
     )
@@ -1906,7 +1912,7 @@ _CT_NUM, _CT_DEN = 9, 10
 )
 def q_dedup_containment(spark, sf_dir):
     d = widen(table(spark, sf_dir, "documents"))
-    sh = d.select("doc_id", F.explode(shingles(F.col("text"))).alias("s"))
+    sh = d.select("doc_id", F.explode(shingles("text")).alias("s"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     if row_count(sf_dir, "documents") < _PAIR_BLOCK_MIN_DOCS:
         # Small corpus: posting block (cutover at _PAIR_BLOCK_MIN_DOCS).
@@ -2021,10 +2027,16 @@ _EST_MATCH_SQL = " + ".join(
 )
 def q_minhash_est(spark, sf_dir):
     d = widen(table(spark, sf_dir, "documents"))
-    sh = d.select("doc_id", F.explode(shingles(F.col("text"))).alias("s"))
+    sh = d.select("doc_id", F.explode(shingles("text")).alias("s"))
+    # Construction via JVM-parsed SQL strings / selectExpr (guide §5
+    # driver overhead): the Column-API loops cost ~2,000 py4j round-trips
+    # per invocation building the identical tree. Note the D suffix on
+    # the divisor — a bare 8.0 parses as DECIMAL in Spark SQL, which
+    # would change the est_jaccard type (the Column API's float literal
+    # is DOUBLE).
     sig = sh.groupBy("doc_id").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"h{i}")
+            F.expr(f"min(md5(concat('{i}:', s))) AS h{i}")
             for i in range(_SIG_SEEDS)
         ]
     )
@@ -2035,35 +2047,36 @@ def q_minhash_est(spark, sf_dir):
     # builds it once per join side). At 100 TB the signature table would be
     # materialized once and reused — within one query, column-carrying is
     # the equivalent.
-    band_hashes = [
-        F.md5(F.concat(*[F.col(f"h{bi * _EST_ROWS + r}") for r in range(_EST_ROWS)]))
+    band_arr = "array(" + ", ".join(
+        "md5(concat("
+        + ", ".join(f"h{bi * _EST_ROWS + r}" for r in range(_EST_ROWS))
+        + "))"
         for bi in range(_EST_BANDS)
-    ]
+    ) + ")"
     banded = sig.select(
         "doc_id",
-        *[F.col(f"h{i}") for i in range(_SIG_SEEDS)],
-        F.posexplode(F.array(*band_hashes)).alias("bi", "bh"),
+        *[f"h{i}" for i in range(_SIG_SEEDS)],
+        F.posexplode(F.expr(band_arr)).alias("bi", "bh"),
     )
-    a = banded.select(
-        F.col("doc_id").alias("id_a"), "bi", "bh",
-        *[F.col(f"h{i}").alias(f"a{i}") for i in range(_SIG_SEEDS)],
+    a = banded.selectExpr(
+        "doc_id AS id_a", "bi", "bh",
+        *[f"h{i} AS a{i}" for i in range(_SIG_SEEDS)],
     )
-    b = banded.select(
-        F.col("doc_id").alias("id_b"), F.col("bi").alias("bi2"),
-        F.col("bh").alias("bh2"),
-        *[F.col(f"h{i}").alias(f"b{i}") for i in range(_SIG_SEEDS)],
+    b = banded.selectExpr(
+        "doc_id AS id_b", "bi AS bi2", "bh AS bh2",
+        *[f"h{i} AS b{i}" for i in range(_SIG_SEEDS)],
     )
-    n_match = None
-    for i in range(_SIG_SEEDS):
-        m = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
-        n_match = m if n_match is None else (n_match + m)
+    n_match_sql = " + ".join(
+        f"(CASE WHEN a{i} = b{i} THEN 1 ELSE 0 END)"
+        for i in range(_SIG_SEEDS)
+    )
     return (
         a.join(b, (a["bi"] == b["bi2"]) & (a["bh"] == b["bh2"])
                & (a["id_a"] < b["id_b"]))
-        .select(
+        .selectExpr(
             "id_a", "id_b",
-            n_match.cast("long").alias("n_match"),
-            F.round(n_match / float(_SIG_SEEDS), 6).alias("est_jaccard"),
+            f"CAST({n_match_sql} AS BIGINT) AS n_match",
+            f"round(({n_match_sql}) / {float(_SIG_SEEDS)}D, 6) AS est_jaccard",
         )
         .distinct()
     )
@@ -2111,22 +2124,24 @@ def q_minhash_est(spark, sf_dir):
 )
 def q_dedup_lsh_buckets(spark, sf_dir):
     d = widen(table(spark, sf_dir, "documents"))
-    sh = d.select("doc_id", F.explode(shingles(F.col("text"))).alias("s"))
+    sh = d.select("doc_id", F.explode(shingles("text")).alias("s"))
+    # JVM-parsed agg/band expressions (guide §5): same tree, ~10x fewer
+    # py4j round-trips than the Column-API loops.
     sig = sh.groupBy("doc_id").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"h{i}")
+            F.expr(f"min(md5(concat('{i}:', s))) AS h{i}")
             for i in range(_SIG_SEEDS)
         ]
     )
-    band_hashes = [
-        F.md5(
-            F.concat(*[F.col(f"h{bi * _EST_ROWS + r}") for r in range(_EST_ROWS)])
-        )
+    band_arr = "array(" + ", ".join(
+        "md5(concat("
+        + ", ".join(f"h{bi * _EST_ROWS + r}" for r in range(_EST_ROWS))
+        + "))"
         for bi in range(_EST_BANDS)
-    ]
+    ) + ")"
     buckets = (
         sig.select(
-            "doc_id", F.posexplode(F.array(*band_hashes)).alias("bi", "bh")
+            "doc_id", F.posexplode(F.expr(band_arr)).alias("bi", "bh")
         )
         .groupBy("bi", "bh")
         .agg(F.count(F.lit(1)).alias("s"))

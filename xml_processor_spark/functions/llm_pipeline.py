@@ -360,7 +360,7 @@ def q_decontaminate(spark, sf_dir):
     from xml_processor_spark.functions.llm_dedup import shingles
 
     d = widen(table(spark, sf_dir, "documents"))
-    sh = d.select("doc_id", F.explode(shingles(F.col("text"))).alias("s"))
+    sh = d.select("doc_id", F.explode(shingles("text")).alias("s"))
     bench = (
         sh.filter(F.col("doc_id") % _DECON_MOD == 0).select("s").distinct()
     )
@@ -635,7 +635,7 @@ def q_decontaminate_frac(spark, sf_dir):
     from xml_processor_spark.functions.llm_dedup import shingles
 
     d = widen(table(spark, sf_dir, "documents"))
-    sh = d.select("doc_id", F.explode(shingles(F.col("text"))).alias("s"))
+    sh = d.select("doc_id", F.explode(shingles("text")).alias("s"))
     train = sh.filter(F.col("doc_id") % _DECON_MOD != 0)
     bench = (
         sh.filter(F.col("doc_id") % _DECON_MOD == 0)

@@ -850,7 +850,7 @@ def q_text_boilerplate(spark, sf_dir):
     from xml_processor_spark.functions.llm_dedup import shingles
 
     d = widen(table(spark, sf_dir, "documents"))
-    sh = d.select("doc_id", F.explode(shingles(F.col("text"))).alias("ngram"))
+    sh = d.select("doc_id", F.explode(shingles("text")).alias("ngram"))
     return (
         sh.groupBy("ngram")
         .agg(
