@@ -35,6 +35,16 @@ _NORM2 = "(SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM (SELECT unnest
 
 
 def _dot(a, b):
+    # String args take the JVM-parsed SQL twin (guide §5 driver
+    # overhead: the Python-lambda HOF costs ~10x the py4j round-trips
+    # building the identical tree); computed-Column callers keep the
+    # Column path.
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(
+            f"aggregate(zip_with({a}, {b},"
+            " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+            " CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -43,6 +53,12 @@ def _dot(a, b):
 
 
 def _norm2(a):
+    if isinstance(a, str):
+        return F.expr(
+            f"aggregate(transform({a},"
+            " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+            " CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
     return F.aggregate(
         F.transform(a, lambda x: x.cast("double") * x.cast("double")),
         F.lit(0.0),
@@ -85,9 +101,9 @@ def q_knn_cosine(spark, sf_dir):
             "probe_id",
             "vec_id",
             r6(
-                _dot(F.col("pe"), F.col("embedding"))
-                / F.sqrt(_norm2(F.col("pe")))
-                / F.sqrt(_norm2(F.col("embedding")))
+                _dot("pe", "embedding")
+                / F.sqrt(_norm2("pe"))
+                / F.sqrt(_norm2("embedding"))
             ).alias("sim"),
         )
     )
@@ -198,7 +214,7 @@ def e_emb_pipe(spark, sf_dir):
     normed = e.select("vec_id", "label", l2_normalize("embedding").alias("unit"))
     return normed.select(
         "vec_id", "label",
-        r6(F.sqrt(_norm2(F.col("unit")))).alias("unit_norm"),
+        r6(F.sqrt(_norm2("unit"))).alias("unit_norm"),
         F.size("unit").alias("dim"),
     )
 
@@ -1273,9 +1289,9 @@ def q_emb_cosine_hist(spark, sf_dir):
     )
     cand = e.select("vec_id", "embedding")
     sim = r6(
-        _dot(F.col("pe"), F.col("embedding"))
-        / F.sqrt(_norm2(F.col("pe")))
-        / F.sqrt(_norm2(F.col("embedding")))
+        _dot("pe", "embedding")
+        / F.sqrt(_norm2("pe"))
+        / F.sqrt(_norm2("embedding"))
     )
     bucket = F.least(
         F.floor((F.col("sim") + 1.0) * 10.0), F.lit(_HIST_BUCKETS - 1)
@@ -1486,7 +1502,16 @@ _KM_SCALE = 1_000_000
 
 
 def _int_d2(a, b):
-    """Exact integer squared-euclidean distance of two BIGINT-array columns."""
+    """Exact integer squared-euclidean distance of two BIGINT-array columns.
+
+    String args take the JVM-parsed SQL twin (same tree, ~10x fewer py4j
+    round-trips — guide §5); computed-Column callers keep the Column path.
+    """
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(
+            f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
+            " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        )
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
         F.lit(0).cast("long"),
@@ -1550,10 +1575,10 @@ def _km_vectors_and_a2_blas(spark, sf_dir, k):
     e = widen(table(spark, sf_dir, "embeddings"))
     vecs = e.select(
         "vec_id",
-        F.transform(
-            "embedding",
-            lambda x: F.round(x.cast("double") * _KM_SCALE, 0).cast("long"),
-        ).alias("xe"),
+        F.expr(
+            "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)"
+            f" * {_KM_SCALE}, 0) AS BIGINT)) AS xe"
+        ),
     )
     init_rows = [
         (r["vec_id"], r["xe"])
@@ -1584,7 +1609,7 @@ def _km_assign(vecs, cents):
     """Nearest-centroid assignment: k-row broadcast x vector scan, argmin by
     (exact integer d2, centroid id)."""
     pairs = vecs.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "c", _int_d2(F.col("xe"), F.col("ce")).alias("d2")
+        "vec_id", "c", _int_d2("xe", "ce").alias("d2")
     )
     w = Window.partitionBy("vec_id").orderBy("d2", "c")
     return (
@@ -1686,10 +1711,10 @@ def _km_vectors_and_round2_centroids(spark, sf_dir, k=_KM_K):
     e = widen(table(spark, sf_dir, "embeddings"))
     vecs = e.select(
         "vec_id",
-        F.transform(
-            "embedding",
-            lambda x: F.round(x.cast("double") * _KM_SCALE, 0).cast("long"),
-        ).alias("xe"),
+        F.expr(
+            "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)"
+            f" * {_KM_SCALE}, 0) AS BIGINT)) AS xe"
+        ),
     )
     init = vecs.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("c"), F.col("xe").alias("ce")
@@ -1708,10 +1733,10 @@ def _km_vectors_and_round2_centroids(spark, sf_dir, k=_KM_K):
         )
     )
     c2 = m.groupBy("c").agg(
-        F.transform(
-            F.sort_array(F.collect_list(F.struct("pos0", "cv"))),
-            lambda s: s["cv"],
-        ).alias("ce")
+        F.expr(
+            "transform(sort_array(collect_list(struct(pos0, cv))),"
+            " s -> s.cv) AS ce"
+        )
     )
     return vecs, c2
 
@@ -1807,7 +1832,7 @@ def q_emb_silhouette(spark, sf_dir):
     # no rank self-join. Tie-break identical to the oracle's (d2, c).
     pairs = vecs.crossJoin(F.broadcast(c2)).select(
         "vec_id",
-        (_int_d2(F.col("xe"), F.col("ce")) * 16 + F.col("c")).alias("pk"),
+        (_int_d2("xe", "ce") * 16 + F.col("c")).alias("pk"),
     )
     per_vec = pairs.groupBy("vec_id").agg(
         F.sort_array(F.collect_list("pk")).alias("ks")
@@ -2158,10 +2183,10 @@ def q_emb_hard_negatives(spark, sf_dir):
     a2 = _km_assign(vecs, c2)
     nn = vecs.select(
         "vec_id",
-        F.aggregate(
-            F.transform("xe", lambda x: x * x), F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ).alias("nn"),
+        F.expr(
+            "aggregate(transform(xe, x -> x * x), CAST(0 AS BIGINT),"
+            " (acc, x) -> acc + x) AS nn"
+        ),
     )
     mem = a2.join(vecs, "vec_id").join(nn, "vec_id")
     probes = (
@@ -2173,10 +2198,9 @@ def q_emb_hard_negatives(spark, sf_dir):
             F.col("nn").alias("pn"),
         )
     )
-    dot = F.aggregate(
-        F.zip_with(F.col("pe"), F.col("xe"), lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    dot = F.expr(
+        "aggregate(zip_with(pe, xe, (x, y) -> x * y), CAST(0 AS BIGINT),"
+        " (acc, x) -> acc + x)"
     )
     scored = (
         F.broadcast(probes)
