@@ -16,6 +16,7 @@ from xml_processor_spark.functions.deterministic import (
     cents_sql,
     dsum,
     dsum_sql,
+    ha_sql,
     r6,
 )
 from xml_processor_spark.io import table, register_views
@@ -73,42 +74,51 @@ def q_agg_group(spark, sf_dir):
     # keeps the hot path integer and makes the total overflow-proof at
     # 100 TB (a partition sums ~1e6 rows x <=1e11/row << 2^63; the decimal
     # final sum is unbounded).
-    qty_t = F.round(F.col("l_quantity") * 10000, 0).cast("long")  # 1e-4 units
-    price_t = F.round(F.col("l_extendedprice") * 10000, 0).cast("long")
-    price_c = cents("l_extendedprice")
-    disc_c = 100 - cents("l_discount")
-    tax_c = 100 + cents("l_tax")
+    # Aggregate expressions as JVM-parsed SQL strings (guide §5 driver
+    # overhead: the Column-API formulation cost ~1,200 py4j round-trips
+    # per invocation). cents() == CAST(ha_sql(v*100) AS BIGINT) — the
+    # identical half-away codegen arithmetic, exact on any sign.
+    def _cents_s(c):
+        return f"CAST({ha_sql(f'({c}) * 100')} AS BIGINT)"
+
+    pc = _cents_s("l_extendedprice")
+    dc = f"(100 - {_cents_s('l_discount')})"
+    tc = f"(100 + {_cents_s('l_tax')})"
     part = li.groupBy(
         "l_returnflag", "l_linestatus", F.spark_partition_id().alias("_pid")
     ).agg(
-        F.sum(qty_t).alias("p_qty"),
-        F.sum(price_t).alias("p_price"),
-        # price_c carries 1e2 scale, disc_c/tax_c 1e2 each → product is 1e4
+        F.expr("sum(CAST(round(l_quantity * 10000, 0) AS BIGINT)) AS p_qty"),
+        F.expr(
+            "sum(CAST(round(l_extendedprice * 10000, 0) AS BIGINT)) AS p_price"
+        ),
+        # pc carries 1e2 scale, dc/tc 1e2 each → product is 1e4
         # (disc_price) / 1e6 (charge) above true value.
-        F.sum(price_c * disc_c).alias("p_disc"),
-        F.sum(price_c * disc_c * tax_c).alias("p_charge"),
-        F.sum(cents("l_discount")).alias("p_disc_c"),
-        F.count(F.lit(1)).alias("p_n"),
+        F.expr(f"sum({pc} * {dc}) AS p_disc"),
+        F.expr(f"sum({pc} * {dc} * {tc}) AS p_charge"),
+        F.expr(f"sum({_cents_s('l_discount')}) AS p_disc_c"),
+        F.expr("count(1) AS p_n"),
     )
-    dec = "decimal(38,0)"
-    n = F.sum("p_n")
-    sum_qty = F.sum(F.col("p_qty").cast(dec)).cast("double") / 1e4
-    sum_price = F.sum(F.col("p_price").cast(dec)).cast("double") / 1e4
+    dec = "DECIMAL(38,0)"
+    sum_qty = f"CAST(sum(CAST(p_qty AS {dec})) AS DOUBLE) / 1e4"
+    sum_price = f"CAST(sum(CAST(p_price AS {dec})) AS DOUBLE) / 1e4"
     return part.groupBy("l_returnflag", "l_linestatus").agg(
-        sum_qty.alias("sum_qty"),
-        sum_price.alias("sum_base_price"),
-        (F.sum(F.col("p_disc").cast(dec)).cast("double") / 1e4).alias(
-            "sum_disc_price"
+        F.expr(f"{sum_qty} AS sum_qty"),
+        F.expr(f"{sum_price} AS sum_base_price"),
+        F.expr(
+            f"CAST(sum(CAST(p_disc AS {dec})) AS DOUBLE) / 1e4"
+            " AS sum_disc_price"
         ),
-        (F.sum(F.col("p_charge").cast(dec)).cast("double") / 1e6).alias(
-            "sum_charge"
+        F.expr(
+            f"CAST(sum(CAST(p_charge AS {dec})) AS DOUBLE) / 1e6"
+            " AS sum_charge"
         ),
-        r6(sum_qty / n).alias("avg_qty"),
-        r6(sum_price / n).alias("avg_price"),
-        r6(F.sum(F.col("p_disc_c").cast(dec)).cast("double") / 100 / n).alias(
-            "avg_disc"
+        F.expr(f"round({sum_qty} / sum(p_n), 6) AS avg_qty"),
+        F.expr(f"round({sum_price} / sum(p_n), 6) AS avg_price"),
+        F.expr(
+            f"round(CAST(sum(CAST(p_disc_c AS {dec})) AS DOUBLE) / 100"
+            " / sum(p_n), 6) AS avg_disc"
         ),
-        n.alias("count_order"),
+        F.expr("sum(p_n) AS count_order"),
     )
 
 

@@ -1047,16 +1047,18 @@ def q_fk_orphans(spark, sf_dir):
         c = table(spark, sf_dir, child)
         p = table(spark, sf_dir, parent).select(pk)
         joined = c.select(fk).join(p, c[fk] == p[pk], "left")
+        # Per-edge agg/select as JVM-parsed strings (guide §5): the
+        # Column-API loop cost ~1,800 py4j round-trips over the edges.
         row = joined.agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.count(F.when(F.col(pk).isNull(), 1)).alias("n_orphans"),
-        ).select(
-            F.lit(label).alias("edge"),
+            F.expr("count(1) AS n_rows"),
+            F.expr(
+                f"count(CASE WHEN {pk} IS NULL THEN 1 END) AS n_orphans"
+            ),
+        ).selectExpr(
+            f"'{label}' AS edge",
             "n_rows", "n_orphans",
-            r6(
-                F.col("n_orphans").cast("double")
-                / F.col("n_rows").cast("double")
-            ).alias("orphan_rate"),
+            "round(CAST(n_orphans AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)"
+            " AS orphan_rate",
         )
         out = row if out is None else out.unionByName(row)
     return out

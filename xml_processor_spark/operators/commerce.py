@@ -2055,26 +2055,31 @@ def q_part_price_elasticity(spark, sf_dir):
     #      join part (hint-free — AQE decides), level 2 folds by brand.
     # nn variants for the provably non-negative quantity/price rounds;
     # x keeps the SIGNED form — the log ratio goes negative below 1.
-    q = half_away_long_nn(F.col("l_quantity"))
-    pc = half_away_long_nn(F.col("l_extendedprice") * 100)
-    x = half_away_long(
-        F.log(pc.cast("double") / (100 * q).cast("double")) * _ELA_E6
+    # Per-row expressions as ONE JVM-parsed SQL string per output column
+    # (guide §5 driver overhead: the Column-API formulation — 50-entry
+    # literal lookup array plus three half-away trees — cost ~2,300 py4j
+    # round-trips per invocation). Same arithmetic: ha_sql/ha_sql_nn are
+    # the string twins of half_away_long/_nn (bit-equal, pinned in
+    # tests/test_units.py).
+    q = f"CAST({ha_sql_nn('l_quantity')} AS BIGINT)"
+    pc = f"CAST({ha_sql_nn('l_extendedprice * 100')} AS BIGINT)"
+    x_log = (
+        f"ln(CAST({pc} AS DOUBLE) / CAST(100 * {q} AS DOUBLE)) * {_ELA_E6}"
     )
+    x = f"CAST({ha_sql(x_log)} AS BIGINT)"
     # Exact fractional-part test (ADVICE r13): floor(|v|+0.5)'s inexact
     # +0.5 can round up across a binade; py_half_away matches the
     # oracle's value-based round() on every double.
-    ylut = F.array(
-        *[
-            F.lit(py_half_away(math.log(i) * _ELA_E6)).cast("long")
-            for i in range(1, 51)
-        ]
+    ylut = "array(" + ", ".join(
+        f"{py_half_away(math.log(i) * _ELA_E6)}L" for i in range(1, 51)
+    ) + ")"
+    y = (
+        f"CASE WHEN {q} >= 1 AND {q} <= 50"
+        f" THEN element_at({ylut}, CAST({q} AS INT))"
+        f" ELSE CAST({ha_sql(f'ln(CAST({q} AS DOUBLE)) * {_ELA_E6}')}"
+        f" AS BIGINT) END"
     )
-    y = F.when(
-        (q >= 1) & (q <= 50), F.element_at(ylut, q.cast("int"))
-    ).otherwise(
-        half_away_long(F.log(q.cast("double")) * _ELA_E6)
-    )
-    t = li.select("l_partkey", x.alias("x"), y.alias("y"))
+    t = li.selectExpr("l_partkey", f"{x} AS x", f"{y} AS y")
     # Two-level moment rollup (r12): decimal(38,0) accumulation is
     # BigDecimal-per-row (no codegen) and was 2/3 of the SF1 runtime.
     # Level 1 sums in exact int64 per partkey — rows per part are
@@ -2085,42 +2090,32 @@ def q_part_price_elasticity(spark, sf_dir):
     # to the single-level join-first formulation (the oracle keeps that
     # form — independent derivation).
     p1 = t.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.expr("count(1) AS n"),
+        F.expr("sum(x) AS sx"),
+        F.expr("sum(y) AS sy"),
+        F.expr("sum(x * x) AS sxx"),
+        F.expr("sum(x * y) AS sxy"),
+        F.expr("sum(y * y) AS syy"),
     )
     dec = "decimal(38,0)"
     # No broadcast hint: both sides are |part|-sized and scale with sf
     # (ADVICE r13) — AQE picks broadcast at bench scales, shuffle at 100 TB.
     j2 = p1.join(pt, p1["l_partkey"] == pt["p_partkey"])
     m = j2.groupBy("p_brand").agg(
-        F.sum("n").alias("n"),
-        F.sum(F.col("sx").cast(dec)).alias("sx"),
-        F.sum(F.col("sy").cast(dec)).alias("sy"),
-        F.sum(F.col("sxx").cast(dec)).alias("sxx"),
-        F.sum(F.col("sxy").cast(dec)).alias("sxy"),
-        F.sum(F.col("syy").cast(dec)).alias("syy"),
+        F.expr("sum(n) AS n"),
+        *[
+            F.expr(f"sum(CAST({c} AS {dec})) AS {c}")
+            for c in ("sx", "sy", "sxx", "sxy", "syy")
+        ],
     )
-    num = (
-        F.col("n") * F.col("sxy").cast("double")
-        - F.col("sx").cast("double") * F.col("sy").cast("double")
-    )
-    den_x = (
-        F.col("n") * F.col("sxx").cast("double")
-        - F.col("sx").cast("double") * F.col("sx").cast("double")
-    )
-    den_y = (
-        F.col("n") * F.col("syy").cast("double")
-        - F.col("sy").cast("double") * F.col("sy").cast("double")
-    )
-    return m.select(
+    num = "(n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    den_x = "(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    den_y = "(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+    return m.selectExpr(
         "p_brand",
-        F.col("n").alias("n_obs"),
-        r6(num / den_x).alias("elasticity"),
-        r6(num * num / (den_x * den_y)).alias("r2"),
+        "n AS n_obs",
+        f"round({num} / {den_x}, 6) AS elasticity",
+        f"round({num} * {num} / ({den_x} * {den_y}), 6) AS r2",
     )
 
 
