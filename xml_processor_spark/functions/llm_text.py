@@ -722,40 +722,62 @@ _BM25_B = 0.75
     origin="LLM",
     doc="BM25 relevance scoring (Lucene-style positive idf, k1=1.2, "
         "b=0.75) of every document against a fixed term set — the ranking "
-        "function RAG retrieval and search re-ranking run. Scale shape: "
-        "the term filter prunes the posting explode BEFORE the per-doc "
-        "groupBy (shuffle carries only matching (doc, term) cells); df "
-        "and the (N, avgdl) corpus stats are tiny aggregates broadcast "
-        "back (3 rows + 1 row); the score sum is per-doc with map-side "
-        "partials. Everything is JVM builtins — no Python in the plan.",
+        "function RAG retrieval and search re-ranking run. Scale shape "
+        "(r15 rewrite, guide §2.3/§2.4): the fixed query-term set means "
+        "per-doc term frequencies are scan-side array expressions "
+        "(size(filter(ws, ...)) per term), so the whole operator is TWO "
+        "linear scans and ZERO fact shuffles — pass 1 folds every corpus "
+        "statistic the score needs (N, avgdl, and per-term document "
+        "frequencies as count_if(tf>0)) into ONE 1-row broadcast; pass 2 "
+        "computes each doc's score per row against that broadcast. The "
+        "prior shape exploded every token into a (doc, term) posting "
+        "shuffle, joined df/dl/stats back in 3 jobs, and re-aggregated "
+        "per doc — all of that is now per-row arithmetic. Grain note: "
+        "one output row per input documents row (doc_id is the fixture "
+        "PK at every scale point, oracle-checked); the oracle states the "
+        "posting-join truth. Everything is JVM builtins — no Python in "
+        "the plan.",
 )
 def q_text_bm25(spark, sf_dir):
     d = widen(table(spark, sf_dir, "documents"))
-    toks = d.select("doc_id", F.split("text", " ").alias("ws"))
-    dl = toks.select("doc_id", F.size("ws").alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    tf_cols = [
+        f"size(filter(ws, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    ]
+    perdoc = d.selectExpr("doc_id", "split(text, ' ') AS ws").selectExpr(
+        "doc_id", "size(ws) AS dl", *tf_cols
     )
-    tf = (
-        toks.select("doc_id", F.explode("ws").alias("w"))
-        .where(F.col("w").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "w")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    stats = perdoc.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
     )
-    df = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log(
-        (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
-    )
-    score_term = idf * F.col("tf") * (_BM25_K1 + 1) / (
-        F.col("tf")
-        + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
-    )
+
+    def _score(i: int):
+        idf = F.log(
+            (F.col("n") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5)
+            + 1
+        )
+        s = idf * F.col(f"tf{i}") * (_BM25_K1 + 1) / (
+            F.col(f"tf{i}")
+            + _BM25_K1
+            * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+        return F.when(F.col(f"tf{i}") > 0, s).otherwise(F.lit(0.0))
+
+    total = _score(0)
+    for i in range(1, len(_BM25_TERMS)):
+        total = total + _score(i)
+    any_term = F.col("tf0") > 0
+    for i in range(1, len(_BM25_TERMS)):
+        any_term = any_term | (F.col(f"tf{i}") > 0)
     return (
-        tf.join(F.broadcast(df), "w")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .groupBy("doc_id")
-        .agg(F.round(F.sum(score_term), 6).alias("bm25"))
+        perdoc.crossJoin(F.broadcast(stats))
+        .where(any_term)
+        .select("doc_id", F.round(total, 6).alias("bm25"))
     )
 
 

@@ -784,9 +784,18 @@ def q_events_pmi(spark, sf_dir):
     ).distinct()
     grouped = sess.groupBy("user_id", "d").agg(
         F.sort_array(F.collect_set("event_type")).alias("types")
-    ).localCheckpoint(eager=True)  # |user-days| rows; feeds N and pairs
+    ).localCheckpoint(eager=True)  # |user-days| rows; feeds N, ta and pairs
     n = grouped.agg(F.count(F.lit(1)).alias("nn"))
-    ta = sess.groupBy("event_type").agg(F.count(F.lit(1)).alias("na"))
+    # Per-type counts from the checkpointed session sets, not from a second
+    # scan+distinct pass over events (r15, guide §2.4): exploding `types`
+    # yields exactly one row per distinct (user, d, event_type) — the same
+    # rows `sess` holds — so na is identical, and the ta broadcast job reads
+    # the stored |user-days| rows instead of re-running the fact distinct.
+    ta = (
+        grouped.select(F.explode("types").alias("event_type"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("na"))
+    )
     pair_expr = F.expr(
         "flatten(transform(types, (x, i) -> "
         "transform(slice(types, i + 2, size(types)), "

@@ -181,6 +181,47 @@ _Q18_SQL = """
     LIMIT 100
 """
 
+# Engine-side algebraic rewrite of Q18 (r15, guide §2.4 — remove shuffles
+# outright; the q_tpch_q21 split-dialect precedent). The canonical form
+# scans lineitem TWICE: once inside the IN-subquery's HAVING aggregate and
+# once in the outer join, whose 3-table join output is then re-aggregated
+# per (c_custkey, o_orderkey). But the outer GROUP BY contains o_orderkey,
+# so the outer SUM(round(l_quantity)) over a group is exactly
+# (join multiplicity of that (custkey, orderkey) customer x orders pair)
+# x (the per-orderkey lineitem sum q) — the SAME q the HAVING already
+# computed. Aggregating lineitem ONCE per l_orderkey, HAVING-filtering
+# (highly selective), and joining the surviving (orderkey, q) rows
+# reproduces every group bit-identically on ANY data, duplicates included:
+# a group with m customer x orders row-pairs gets SUM(q) = m*q either way,
+# and the inner join to the grouped lq is exactly the IN-filter (lq is
+# distinct on l_orderkey by construction). No FK/PK assumption anywhere.
+# Plan effect: lineitem scanned once instead of twice, the 600k-row
+# fact-side join + re-aggregation is replaced by a broadcast of the
+# handful of >200-quantity orderkeys — 2 fewer Exchanges, 1 fewer scan.
+# Join order matters without CBO stats: lq must anchor the FROM clause so
+# the selective survivors reduce orders BEFORE customer attaches
+# ((customer ⋈ orders) ⋈ lq measured 3x slower at SF1 — it shuffles the
+# two big tables together first; inner joins commute, result unchanged).
+_Q18_ENGINE_SQL = """
+    WITH lq AS (
+        SELECT l_orderkey,
+               CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(round(l_quantity) AS BIGINT)) > 200
+    )
+    SELECT c_custkey, min(c_name) AS c_name, o_orderkey,
+           min(o_orderdate) AS orderdate,
+           min(o_totalprice) AS totalprice,
+           CAST(SUM(q) AS BIGINT) AS total_qty
+    FROM lq
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_custkey, o_orderkey
+    ORDER BY totalprice DESC, o_orderkey
+    LIMIT 100
+"""
+
 _Q19_SQL = f"""
     SELECT {_REV_SQL} AS revenue,
            CAST(count(*) AS BIGINT) AS n_lines
@@ -325,12 +366,16 @@ _sql_query(
 
 _sql_query(
     "q_tpch_q18",
-    _Q18_SQL,
-    "TPC-H Q18 shape (large-volume customers): IN-subquery over a "
-    "groupBy-HAVING on lineitem (rewritten to a semi join against the "
-    "aggregated key set), then customer ⋈ orders ⋈ lineitem re-aggregated "
-    "per (custkey, orderkey) with a total-ordered top-100. Quantity sums "
+    _Q18_ENGINE_SQL,
+    "TPC-H Q18 shape (large-volume customers): the oracle keeps the "
+    "canonical IN-subquery form (groupBy-HAVING on lineitem, then "
+    "customer ⋈ orders ⋈ lineitem re-aggregated per (custkey, orderkey) "
+    "with a total-ordered top-100); the engine runs the single-scan "
+    "algebraic rewrite (see _Q18_ENGINE_SQL — the per-orderkey HAVING "
+    "aggregate IS the outer group's quantity sum, so lineitem is "
+    "aggregated once and only the >200 survivors join). Quantity sums "
     "ride BIGINT (exact; DuckDB HUGEINT cast down).",
+    oracle=_Q18_SQL,
 )
 
 _sql_query(
