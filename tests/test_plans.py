@@ -1289,14 +1289,20 @@ def test_winnowing_window_is_per_doc_and_no_join(spark, queries):
     )
 
 
-def test_dedup_scrub_join_is_equi_on_segment_hash(spark, queries):
-    """The scrub's only join is the segment-frequency equi join on the
-    md5 hash — never a nested loop; reconstruction must not add a second
-    fact-sized join."""
+def test_dedup_scrub_shared_mark_is_single_pass_window(spark, queries):
+    """r15: the shared-segment mark is min(doc)==max(doc) over the
+    md5-hash window — ONE pass over the segment stream, no
+    countDistinct aggregate and no join back (the old equi-join shape
+    recomputed the scan→explode→md5 subtree on both sides and sorted
+    both on h at volume)."""
     plan = explain(queries["q_dedup_scrub"](spark, SF_MID))
-    assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
-    assert "HashJoin" in plan or "SortMergeJoin" in plan
+    assert "Join" not in plan
+    # Catalyst pre-projects the partition key as _w0 = md5(seg); pin that
+    # a Window node runs over that md5 projection.
+    assert "windowspecdefinition" in plan, f"no Window in plan:\n{plan}"
+    assert "md5(cast(seg" in plan, f"window key is not md5(seg):\n{plan}"
+    # one fact scan only — the join shape read documents twice
+    assert plan.count("Scan parquet") <= 2  # tree line + detail block
 
 
 # --- r8: plan pins for the 8 operators added in the final r7 commits

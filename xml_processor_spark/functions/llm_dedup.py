@@ -1806,16 +1806,23 @@ def q_dedup_segment(spark, sf_dir):
             )
         ).alias("h"),
     )
-    freq = segs.groupBy("h").agg(
-        F.countDistinct("doc_id").alias("nd")
+    # nd >= 2 per instance == "the hash partition spans >= 2 distinct
+    # docs" == min(doc_id) != max(doc_id) over the hash window: one pass,
+    # no countDistinct aggregate, no join back (the q_dedup_scrub r15
+    # rewrite — guide §2.3/§3; the join recomputed the segment subtree on
+    # both sides and sorted both on h at volume).
+    from pyspark.sql import Window
+
+    wh = Window.partitionBy("h")
+    marked = segs.select(
+        "doc_id",
+        (F.min("doc_id").over(wh) != F.max("doc_id").over(wh)).alias(
+            "shared"
+        ),
     )
-    return (
-        segs.join(freq, "h")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_segments"),
-            F.sum((F.col("nd") >= 2).cast("long")).alias("n_shared_segments"),
-        )
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(F.col("shared").cast("long")).alias("n_shared_segments"),
     )
 
 
@@ -2808,13 +2815,26 @@ def q_dedup_scrub(spark, sf_dir):
             ),
         ).alias("seg"),
     )
-    freq = segs.groupBy(F.md5("seg").alias("h")).agg(
-        F.countDistinct("doc_id").alias("nd")
+    # nd < 2 ("no OTHER distinct document holds this segment") is exactly
+    # "every instance of this hash lives in one distinct doc", i.e.
+    # min(doc_id) == max(doc_id) over the hash partition. A window states
+    # that with ONE pass over the segments: the former groupBy(h) +
+    # join-back recomputed the whole scan→explode→slice→md5 subtree on
+    # both sides of the join (2 parquet scans, SMJ at volume — both sides
+    # sorted on h) where the window sorts the segment stream on h once
+    # (guide §2.3: shuffle once, §3: no join at all beats picking one).
+    from pyspark.sql import Window
+
+    wh = Window.partitionBy(F.md5("seg"))
+    marked = segs.select(
+        "doc_id",
+        "i",
+        "seg",
+        (F.min("doc_id").over(wh) == F.max("doc_id").over(wh)).alias("kept"),
     )
-    joined = segs.join(freq, F.md5(segs["seg"]) == freq["h"])
-    kept = F.col("nd") < 2
+    kept = F.col("kept")
     kept_struct = F.when(kept, F.struct("i", "seg"))  # nulls skip collect_list
-    return joined.groupBy("doc_id").agg(
+    return marked.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_segments"),
         F.sum(kept.cast("long")).alias("n_kept"),
         F.coalesce(

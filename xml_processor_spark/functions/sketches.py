@@ -42,24 +42,34 @@ _TOP_K = 20
 
 
 def _mg_summaries(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Misra–Gries over one partition's token stream; emits the surviving
-    (term, lower_bound) counters once, after the last Arrow batch."""
-    counters: dict[str, int] = {}
+    """Weighted Misra–Gries over one partition's token stream; emits the
+    surviving (term, lower_bound) counters once, after the last Arrow batch.
+
+    Batch-weighted formulation (Berinde et al. weighted-MG family): each
+    Arrow batch is collapsed to (term, weight) via vectorized
+    ``value_counts`` and folded into the counters, then ONE trim evicts
+    down to the cap — subtract delta = the ``overflow``-th smallest value
+    from every counter and drop the non-positives. Each trim removes
+    >= (cap+1) * delta total weight (all >= cap+1 counters with value >=
+    delta lose a full delta), so the cumulative undercount of any term is
+    <= n_p/(cap+1) — strictly tighter than the classic per-token
+    decrement-all, which this replaces because that inner loop was
+    O(tokens * cap) Python work per partition (guide §4.1: vectorize the
+    Python boundary; the per-token dict churn was the partition's whole
+    cost). Persistent state stays O(cap); the transient per-batch dict is
+    bounded by the Arrow batch size, not the partition.
+    """
+    from collections import Counter
+
+    counters: Counter = Counter()
     for pdf in batches:
-        for term in pdf["term"]:
-            if term in counters:
-                counters[term] += 1
-            elif len(counters) < _MG_CAP:
-                counters[term] = 1
-            else:
-                # decrement-all; drop zeros (the classic MG step)
-                dead = []
-                for t in counters:
-                    counters[t] -= 1
-                    if counters[t] == 0:
-                        dead.append(t)
-                for t in dead:
-                    del counters[t]
+        counters.update(pdf["term"].value_counts().to_dict())
+        overflow = len(counters) - _MG_CAP
+        if overflow > 0:
+            delta = sorted(counters.values())[overflow - 1]
+            counters = Counter(
+                {t: v - delta for t, v in counters.items() if v > delta}
+            )
     yield pd.DataFrame(
         {"term": list(counters), "lb": list(counters.values())}
     )
@@ -175,9 +185,17 @@ def q_sketch_cms(spark, sf_dir):
     d = widen(table(spark, sf_dir, "documents"))
     toks = d.select(F.explode(F.split("text", " ")).alias("term"))
     rows = F.sequence(F.lit(0), F.lit(_CMS_D - 1))
+    # Per-cell counts are additive over term groups (sum_t count_t * 1[h_r(t)=c]
+    # == count of token instances landing in the cell), so aggregate to the
+    # distinct-term counts FIRST: md5 runs once per (vocab term, row) instead
+    # of once per (token instance, row) — D x corpus-size fewer hashes — and
+    # the exact-count probe branch reuses the same aggregate instead of
+    # re-scanning documents (one parquet scan, ReusedExchange, guide §2.3).
+    term_counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
     cell = (
-        toks.select("term", F.explode(rows).alias("r"))
+        term_counts.select("term", "cnt", F.explode(rows).alias("r"))
         .select(
+            "cnt",
             "r",
             (
                 F.conv(
@@ -197,7 +215,7 @@ def q_sketch_cms(spark, sf_dir):
             ).alias("c"),
         )
         .groupBy("r", "c")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum("cnt").alias("n"))
     )
     probes = spark.createDataFrame(
         [(t,) for t in _CMS_PROBES], ["term"]
@@ -227,10 +245,8 @@ def q_sketch_cms(spark, sf_dir):
         .groupBy("term")
         .agg(F.min("n").alias("cms_est"))
     )
-    exact = (
-        toks.filter(F.col("term").isin(*_CMS_PROBES))
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("n_exact"))
+    exact = term_counts.filter(F.col("term").isin(*_CMS_PROBES)).select(
+        "term", F.col("cnt").alias("n_exact")
     )
     return exact.join(est, "term").select("term", "n_exact", "cms_est")
 
