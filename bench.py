@@ -299,12 +299,22 @@ def main() -> None:
             }
         )
     )
-    # The full line above is ~2.7 kB (92 per-query timings) and the driver
+    # The full line above is ~4.3 kB (168 per-query timings) and the driver
     # captures only a 2,000-char stdout tail, so its head — and the JSON
-    # opening brace — is lost and the parse fails (BENCH_r05/r06
-    # "parsed": null). This final line is < 200 chars, complete inside any
-    # tail capture, and is the LAST line, so a last-line JSON parse
-    # succeeds regardless of truncation (VERDICT r6 #5).
+    # opening brace — is lost and the per-query parse fails (PERF r14/r15
+    # "n_common": 0). Observability addition (VERDICT r15 #2, output
+    # additions only — the full line above and the compact summary line
+    # below are unchanged): re-emit each timing as its own complete
+    # ~40-char JSON line {"q": key, "s": sec}, sorted ascending so the
+    # SLOWEST keys sit last — the region any tail capture keeps intact.
+    # These lines carry no "queries" field, so a parser hunting for the
+    # full map can never mistake a truncated subset for it.
+    for key in sorted(timings, key=timings.get):
+        print(json.dumps({"q": key, "s": timings[key]},
+                         separators=(",", ":")))
+    # This final line is < 200 chars, complete inside any tail capture,
+    # and is the LAST line, so a last-line JSON parse succeeds regardless
+    # of truncation (VERDICT r6 #5).
     print(
         json.dumps(
             {

@@ -586,9 +586,16 @@ def test_prefix_pair_block_routes_cover_hostile_shapes(spark, tmp_path):
     import xml_processor_spark.functions.llm_dedup as LD
 
     saved = LD._PAIR_BLOCK_MIN_DOCS
+    saved_semi = LD._RECOUNT_SEMI_MIN_DOCS
     try:
-        for forced_min_docs in (saved, 0):
-            LD._PAIR_BLOCK_MIN_DOCS = forced_min_docs
+        # (pair_min, semi_min): default posting route; prefix-pair route
+        # with the plain recount; prefix-pair route with the r16
+        # semi-join-prefiltered recount (guide §3.2 — its own cost-based
+        # cutover, output-identical by construction and pinned here).
+        for pair_min, semi_min in ((saved, saved_semi), (0, saved_semi),
+                                   (0, 0)):
+            LD._PAIR_BLOCK_MIN_DOCS = pair_min
+            LD._RECOUNT_SEMI_MIN_DOCS = semi_min
             got_c = {
                 (r["id_a"], r["id_b"]): r["containment"]
                 for r in q_dedup_containment(spark, str(tmp_path)).collect()
@@ -597,7 +604,8 @@ def test_prefix_pair_block_routes_cover_hostile_shapes(spark, tmp_path):
                 (r["id_a"], r["id_b"]): r["jaccard"]
                 for r in q_dedup_ngram_jaccard(spark, str(tmp_path)).collect()
             }
-            assert got_c == exp_cont, f"min_docs={forced_min_docs}"
-            assert got_j == exp_jac, f"min_docs={forced_min_docs}"
+            assert got_c == exp_cont, f"routes=({pair_min}, {semi_min})"
+            assert got_j == exp_jac, f"routes=({pair_min}, {semi_min})"
     finally:
         LD._PAIR_BLOCK_MIN_DOCS = saved
+        LD._RECOUNT_SEMI_MIN_DOCS = saved_semi

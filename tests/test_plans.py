@@ -84,11 +84,15 @@ def test_ngram_jaccard_blocked_join_is_equi(spark, queries):
     assert "CartesianProduct" not in plan
 
 
-def test_langid_profile_join_is_broadcast(spark, queries):
-    """The per-language bigram profile (|langs| x 20 rows) must broadcast;
-    shuffling the document bigrams against it would be a scale bug."""
+def test_langid_scoring_is_joinless_mapside(spark, queries):
+    """The per-language bigram profile (|langs| x 20 rows) folds into the
+    scoring expression as literals (r16 — the bounded-codebook pattern),
+    so the scored plan carries NO join and NO shuffle at all: shuffling
+    or even broadcast-joining the document bigrams against a 100-row
+    profile was pure overhead. A join reappearing here is a regression."""
     plan = explain(queries["q_text_langid"](spark, SF_MID))
-    assert "BroadcastHashJoin" in plan
+    assert "Join" not in plan
+    assert "Exchange" not in plan
 
 
 def n_exchanges(plan: str) -> int:
@@ -1816,15 +1820,17 @@ def test_unimax_windows_stay_on_domain_table(spark, queries):
 
 
 def test_dedup_incremental_blocks_on_token_key(spark, queries):
-    """Incremental dedup: the pair join is token-blocked with the NEW
-    batch on one side — an equi join, never a doc-level cross join; the
-    new-side filter is pushed into the scan side of the join (no
-    post-join modulo filtering of the corpus against itself)."""
+    """Incremental dedup, posting route (r16 posting-LIST form): the
+    candidate pairs come from ONE groupBy(shingle) + per-list combo
+    explode (a Generate node) with the new-batch restriction pushed into
+    the combo lambda — no doc-level cross join, no candidate self-join
+    at all; the only joins left are the two per-doc size lookups."""
     plan = explain(queries["q_dedup_incremental"](spark, SF_MID))
     n = node_counts(plan)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert n["SortMergeJoin"] + n["ShuffledHashJoin"] + n["BroadcastHashJoin"] >= 3
+    assert "Generate" in plan  # the posting-list combo explode
+    assert n["SortMergeJoin"] + n["ShuffledHashJoin"] + n["BroadcastHashJoin"] == 2
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 

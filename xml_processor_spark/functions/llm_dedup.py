@@ -314,7 +314,6 @@ def q_dedup_near_jaccard(spark, sf_dir):
 def q_dedup_incremental(spark, sf_dir):
     d = widen(table(spark, sf_dir, "documents"))
     sh = d.select("doc_id", F.explode(shingles("text")).alias("s"))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     # r15 k=2 rarity-prefix-pair block (see q_dedup_ngram_jaccard — same
     # J ≥ 0.8 lemma, both sides block on unordered PAIRS of their
     # ⌊n/5⌋+2 rarest shingles; singleton docs via the k=1 route): the
@@ -327,17 +326,40 @@ def q_dedup_incremental(spark, sf_dir):
     )
     if row_count(sf_dir, "documents") < _PAIR_BLOCK_MIN_DOCS:
         # Small corpus: posting block with the NEW batch on one side
-        # (cutover rationale at _PAIR_BLOCK_MIN_DOCS).
+        # (cutover rationale at _PAIR_BLOCK_MIN_DOCS). r16: posting-LIST
+        # form (see _posting_intersections) — one groupBy(s) instead of
+        # the two-sided self-join, with the new-batch restriction and
+        # the orientation filter pushed into the per-shingle combo
+        # lambda, so exactly the rows the old join+filter kept are ever
+        # emitted.
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+        arr = sh.groupBy("s").agg(
+            F.sort_array(F.collect_list("doc_id")).alias("ds")
+        )
+        combos = F.expr(
+            "flatten(transform(sequence(0, size(ds) - 1), i -> "
+            "filter(transform(sequence(0, size(ds) - 1), j -> "
+            "struct(element_at(ds, i + 1) AS n, "
+            "element_at(ds, j + 1) AS p)), c -> "
+            "c.n % 5 = 0 AND c.p <> c.n "
+            "AND (c.p % 5 <> 0 OR c.p < c.n))))"
+        )
         inter = (
-            sh.filter(F.col("doc_id") % 5 == 0)
-            .select(F.col("doc_id").alias("id_n"), "s")
-            .join(sh.select(F.col("doc_id").alias("id_p"), "s"), "s")
-            .filter(_inc_filter())
-            .groupBy("id_n", "id_p")
+            arr.filter(F.size("ds") >= 2)
+            .select(F.explode(combos).alias("c"))
+            .groupBy(
+                F.col("c.n").alias("id_n"), F.col("c.p").alias("id_p")
+            )
             .agg(F.count(F.lit(1)).alias("i"))
         )
         return _inc_threshold(inter, sizes)
-    ranked = _rarity_ranked(sh)
+    # One materialization each for the shingle explode and the rarity
+    # ranking (guide §2.4/§5.4 — see q_dedup_ngram_jaccard).
+    sh = sh.localCheckpoint(eager=True, storageLevel=_SH_CKPT_LEVEL)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ranked = _rarity_ranked(sh).localCheckpoint(
+        eager=True, storageLevel=_SH_CKPT_LEVEL
+    )
     pref = ranked.filter(5 * F.col("r") <= F.col("n") + 10)
     cand2 = (
         _pair_combos(pref.filter(F.col("doc_id") % 5 == 0), "id_n")
@@ -370,7 +392,10 @@ def q_dedup_incremental(spark, sf_dir):
         )
         .select("id_n", "id_p")
     )
-    inter = _prefix_pairs_exact(sh, cand, left_id="id_n", right_id="id_p")
+    inter = _prefix_pairs_exact(
+        sh, cand, left_id="id_n", right_id="id_p",
+        n_docs=row_count(sf_dir, "documents"),
+    )
     return _inc_threshold(inter, sizes)
 
 
@@ -472,7 +497,12 @@ def _rarity_ranked(sh):
     df = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     w_rank = Window.partitionBy("doc_id").orderBy("df", "s")
     w_doc = Window.partitionBy("doc_id")
-    return sh.join(df, "s").select(
+    # shuffle_hash, pinned (guide §3.1): df is VOCABULARY-sized — it must
+    # never broadcast (r16: AQE flipped it to a multi-million-row
+    # broadcast build off the checkpointed sh's stats and OOM'd the SF3
+    # sweep); both sides are already hash-partitionable on s and the
+    # join needs no sort.
+    return sh.join(df.hint("shuffle_hash"), "s").select(
         "doc_id",
         "s",
         F.row_number().over(w_rank).alias("r"),
@@ -511,14 +541,63 @@ def _pair_combos(rows, id_alias):
     )
 
 
-def _prefix_pairs_exact(sh, cand, left_id="id_a", right_id="id_b"):
+# Second cost-based cutover (r16), same CBO pattern as
+# _PAIR_BLOCK_MIN_DOCS and output-identical on both sides: the recount
+# semi-join prefilter (guide §3.2) pays ~4 fixed extra stages (two
+# distinct-id builds + two semi joins) to shrink the shingle legs before
+# the (id, s) shuffle. Same-window A/B at the fixtures: SF1 (50k docs)
+# LOSES ~4 s (10.7 → 14.8 s on ngram — the saved shuffle is ~1 s there),
+# SF3 (150k docs) WINS ~10-17 s (ngram 45.8 → 36.3, containment
+# 58.4 → 41.1 — the full-table (id, s) shuffle it removes is 22M rows).
+# The fixed cost is scale-invariant while the savings grow linearly, so
+# the cutover sits between the two measured points.
+_RECOUNT_SEMI_MIN_DOCS = 100_000
+
+
+def _prefix_pairs_exact(sh, cand, left_id="id_a", right_id="id_b",
+                        n_docs=0):
     """Exact |A∩B| for the candidate pairs: two pair-bounded joins back
     to the full shingle lists (cand ⋈ sh_A on the left id expands each
     pair to A's shingles — Σ_pairs |A| rows — and the inner join on
     (right id, s) keeps exactly the shared ones). Returns
-    (left_id, right_id, i)."""
-    sha = sh.select(F.col("doc_id").alias(left_id), "s")
-    shb = sh.select(F.col("doc_id").alias(right_id), "s")
+    (left_id, right_id, i).
+
+    r16 (guide §3.2 — reduce the big side before shuffling it): at or
+    above _RECOUNT_SEMI_MIN_DOCS documents, both shingle legs are
+    semi-join-restricted to the doc ids that actually appear in ``cand``
+    BEFORE the equi joins. Only ~2·|cand| of the corpus's documents
+    participate in any recount, so the (right id, s) join — which
+    otherwise shuffles the FULL shingle table (22M rows at SF3) — now
+    shuffles just the candidate docs' shingles. Output is unchanged on
+    either route (the equi joins discarded every non-candidate row
+    anyway, and a semi join never drops a matching one). On the semi
+    route the candidate list — read by three branches — is materialized
+    once (bounded by the block's support)."""
+    if n_docs >= _RECOUNT_SEMI_MIN_DOCS:
+        cand = cand.localCheckpoint(eager=True)
+        ids_a = cand.select(F.col(left_id).alias("doc_id")).distinct()
+        ids_b = cand.select(F.col(right_id).alias("doc_id")).distinct()
+        # hint("shuffle_hash") on the filtered legs (guide §3.1 — pick
+        # the strategy deliberately): post-semi-join, AQE's size
+        # estimate for a leg drops enough to flip it to a BROADCAST
+        # build of ~10⁶ shingle rows — measured "Not enough memory to
+        # build and broadcast" at SF3 with three invocations' builds
+        # resident. Shuffle-hash keeps the legs partitioned (they are
+        # small post-filter, no sort needed) and bounds memory to one
+        # partition's build side.
+        sha = (
+            sh.join(ids_a, "doc_id", "left_semi")
+            .select(F.col("doc_id").alias(left_id), "s")
+            .hint("shuffle_hash")
+        )
+        shb = (
+            sh.join(ids_b, "doc_id", "left_semi")
+            .select(F.col("doc_id").alias(right_id), "s")
+            .hint("shuffle_hash")
+        )
+    else:
+        sha = sh.select(F.col("doc_id").alias(left_id), "s")
+        shb = sh.select(F.col("doc_id").alias(right_id), "s")
     return (
         cand.join(sha, left_id)
         .join(shb, [right_id, "s"])
@@ -548,24 +627,65 @@ def _prefix_pairs_exact(sh, cand, left_id="id_a", right_id="id_b"):
 # SF1/SF3 exercise prefix-pair).
 _PAIR_BLOCK_MIN_DOCS = 20_000
 
+# Storage level for the pair route's corpus-sized materializations (the
+# per-invocation shingle table and its rarity ranking — r16). DISK_ONLY,
+# not the MEMORY_AND_DISK default: these blocks are read back a handful
+# of times sequentially, while keeping tens of millions of shingle rows
+# in the unified memory region starves broadcast/join execution memory —
+# the r16 SF3 sweep hit "Not enough memory to build and broadcast" with
+# three invocations' MEMORY_AND_DISK blocks resident (guide §5: cached
+# data competes with execution memory). Local disk re-read is linear IO,
+# still ~an order cheaper than re-running the shingle explode per branch.
+from pyspark import StorageLevel as _SL  # noqa: E402
+
+_SH_CKPT_LEVEL = _SL.DISK_ONLY
+
 
 def _posting_intersections(sh, left_id, right_id, *, symmetric):
-    """Exact |A∩B| for every co-shingled doc pair via the every-shingle
-    posting join — the small-corpus candidate route (see
-    _PAIR_BLOCK_MIN_DOCS). ``symmetric=True`` keeps each unordered pair
-    once (id_a < id_b); ``False`` keeps both orientations for
-    directional scores."""
-    sha = sh.select(F.col("doc_id").alias(left_id), "s")
-    shb = sh.select(F.col("doc_id").alias(right_id), "s")
-    cond = (
-        F.col(left_id) < F.col(right_id)
-        if symmetric
-        else F.col(left_id) != F.col(right_id)
+    """Exact |A∩B| for every co-shingled doc pair via per-shingle posting
+    LISTS — the small-corpus candidate route (see _PAIR_BLOCK_MIN_DOCS).
+    ``symmetric=True`` keeps each unordered pair once (id_a < id_b);
+    ``False`` keeps both orientations for directional scores.
+
+    r16 (guide §2.4): formerly a posting self-JOIN — shuffle sh by s
+    TWICE (both join sides), equi-join, then shuffle the joined stream a
+    third time for the pair groupBy, and each join side re-ran the
+    shingle explode upstream. The posting-list form groups by s ONCE
+    (one shuffle, one explode), collects the sorted per-shingle doc
+    list, and emits the ordered 2-subsets with a nested transform (the
+    _pair_combos shape) straight into the pair aggregate: identical
+    (pair, count-of-shared-shingles) output — per shingle the emitted
+    pairs ARE the join's matches — with one Exchange and zero joins
+    removed. Per-shingle list size is document frequency, bounded here
+    by construction: this route only runs below _PAIR_BLOCK_MIN_DOCS
+    docs (the prefix-pair route owns volume)."""
+    arr = sh.groupBy("s").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ds")
     )
+    if symmetric:
+        combos = F.expr(
+            "flatten(transform(sequence(0, size(ds) - 2), i -> "
+            "transform(sequence(i + 1, size(ds) - 1), j -> "
+            "struct(element_at(ds, i + 1) AS a, "
+            "element_at(ds, j + 1) AS b))))"
+        )
+    else:
+        # Both orientations of each distinct pair; equal ids (duplicate
+        # doc_id rows cannot occur: sh carries distinct shingles per doc)
+        # are excluded by construction since i <> j over the sorted list
+        # of distinct ids.
+        combos = F.expr(
+            "flatten(transform(sequence(0, size(ds) - 1), i -> "
+            "filter(transform(sequence(0, size(ds) - 1), j -> "
+            "struct(element_at(ds, i + 1) AS a, "
+            "element_at(ds, j + 1) AS b)), p -> p.a <> p.b)))"
+        )
     return (
-        sha.join(shb, "s")
-        .filter(cond)
-        .groupBy(left_id, right_id)
+        arr.filter(F.size("ds") >= 2)
+        .select(F.explode(combos).alias("p"))
+        .groupBy(
+            F.col("p.a").alias(left_id), F.col("p.b").alias(right_id)
+        )
         .agg(F.count(F.lit(1)).alias("i"))
     )
 
@@ -909,13 +1029,26 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     # the map side.
     d = widen(table(spark, sf_dir, "documents"))
     sh = d.select("doc_id", F.explode(shingles("text")).alias("s"))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     if row_count(sf_dir, "documents") < _PAIR_BLOCK_MIN_DOCS:
         # Small corpus: the posting block's one shuffle beats the pair
         # machinery's prelude (cutover rationale at _PAIR_BLOCK_MIN_DOCS).
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
         inter = _posting_intersections(sh, "id_a", "id_b", symmetric=True)
     else:
-        ranked = _rarity_ranked(sh)
+        # Materialize the shingle explode and the rarity ranking exactly
+        # ONCE per invocation (guide §2.4/§5.4 — the _ngram_pairs_pinned
+        # rationale one level down): lazily, `sh` feeds FIVE non-aligned
+        # plan branches (df aggregate, rank join, sizes, both recount
+        # legs) and `ranked` four (two _pair_combos sides, the singleton
+        # route's two legs), so the SF1 pair-route plan re-ran the
+        # corpus-wide shingle explode 14 times (plans/r16/
+        # q_dedup_ngram_jaccard_sf1_before.txt: 14 documents scans).
+        # Same pattern as the pagerank/pair-list pins; output unchanged.
+        sh = sh.localCheckpoint(eager=True, storageLevel=_SH_CKPT_LEVEL)
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+        ranked = _rarity_ranked(sh).localCheckpoint(
+        eager=True, storageLevel=_SH_CKPT_LEVEL
+    )
         # k=2 prefix lemma, symmetric: J ≥ 4/5 ⟹ i ≥ ⌈0.8·max(na, nb)⌉
         # and (for max ≥ 2, i.e. any pair that is not singleton-singleton)
         # the two (n − ⌈0.8n⌉ + 2 = ⌊n/5⌋+2)-prefixes share TWO elements
@@ -957,7 +1090,9 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
             )
             .select("id_a", "id_b")
         )
-        inter = _prefix_pairs_exact(sh, cand)
+        inter = _prefix_pairs_exact(
+            sh, cand, n_docs=row_count(sf_dir, "documents")
+        )
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
     union_sz = F.col("na") + F.col("nb") - F.col("i")
@@ -1920,12 +2055,20 @@ _CT_NUM, _CT_DEN = 9, 10
 def q_dedup_containment(spark, sf_dir):
     d = widen(table(spark, sf_dir, "documents"))
     sh = d.select("doc_id", F.explode(shingles("text")).alias("s"))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     if row_count(sf_dir, "documents") < _PAIR_BLOCK_MIN_DOCS:
         # Small corpus: posting block (cutover at _PAIR_BLOCK_MIN_DOCS).
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
         inter = _posting_intersections(sh, "id_a", "id_b", symmetric=False)
     else:
-        ranked = _rarity_ranked(sh)
+        # One materialization each for the shingle explode and the
+        # rarity ranking (guide §2.4/§5.4 — see q_dedup_ngram_jaccard):
+        # lazily the containment shape re-ran the corpus explode 13
+        # times (plans/r16/q_dedup_containment_sf1_before.txt).
+        sh = sh.localCheckpoint(eager=True, storageLevel=_SH_CKPT_LEVEL)
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+        ranked = _rarity_ranked(sh).localCheckpoint(
+        eager=True, storageLevel=_SH_CKPT_LEVEL
+    )
         # k=2 prefix lemma, directional: i ≥ ⌈0.9·na⌉ ≥ 2 ⟹ B contains
         # TWO of A's first ⌊na/10⌋+2 rarity-ordered shingles
         # (r ≤ ⌊na/10⌋+2 ⇔ 10·r ≤ na+20) — so block A's prefix-PAIRS
@@ -1968,7 +2111,9 @@ def q_dedup_containment(spark, sf_dir):
             .filter(10 * F.col("nb") >= 9 * F.col("na"))
             .select("id_a", "id_b")
         )
-        inter = _prefix_pairs_exact(sh, cand)
+        inter = _prefix_pairs_exact(
+            sh, cand, n_docs=row_count(sf_dir, "documents")
+        )
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
     # No broadcast hint on the corpus-sized per-doc size table (see
     # q_dedup_near_jaccard) — AQE picks broadcast at test SFs only.

@@ -237,26 +237,64 @@ def q_text_langid(spark, sf_dir):
             lambda i: F.col("text").substr(i, F.lit(2)),
         )
     )
-    bg = d.select("doc_id", "lang", F.explode(bigrams).alias("b"))
-    prof_counts = bg.groupBy(F.col("lang").alias("plang"), "b").agg(
+    # r16 (guide §2.3/§2.4): the per-doc distinct-bigram ARRAY is
+    # materialized once (the profile-build branch and the scoring branch
+    # both read it — lazily each re-ran the interpreted extraction over
+    # the whole corpus), and scoring happens map-side against the
+    # collected profile. The profile is bounded — |langs| × top-20
+    # bigrams, the same bounded-codebook-in-closure pattern as
+    # _km_assign_blas — so the old explode → broadcast-join →
+    # groupBy(doc, lang, plang) → per-doc window pipeline (3 corpus-sized
+    # Exchanges) collapses to one array_intersect + argmax per document:
+    # score = |doc_bigrams ∩ profile(plang)| is exactly the join-count,
+    # the Python fold keeps the FIRST maximum over plang-ascending
+    # candidates (= ORDER BY score DESC, plang tie-break), and zero-score
+    # languages never won under join semantics, hence score >= 1.
+    docs = d.select("doc_id", "lang", bigrams.alias("bg")).localCheckpoint(
+        eager=True
+    )
+    bgx = docs.select("lang", F.explode("bg").alias("b"))
+    prof_counts = bgx.groupBy(F.col("lang").alias("plang"), "b").agg(
         F.count(F.lit(1)).alias("c")
     )
     w_prof = Window.partitionBy("plang").orderBy(F.col("c").desc(), "b")
     prof = (
         prof_counts.withColumn("rn", F.row_number().over(w_prof))
         .filter(F.col("rn") <= _PROFILE_TOP)
-        .select("plang", "b")
+        .groupBy("plang")
+        .agg(F.collect_list("b").alias("pbs"))
     )
-    scores = (
-        bg.join(F.broadcast(prof), "b")
-        .groupBy("doc_id", "lang", "plang")
-        .agg(F.count(F.lit(1)).alias("score"))
-    )
-    w_doc = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "plang")
+    prows = sorted(prof.collect(), key=lambda r: r["plang"])
+    if not prows:
+        return docs.select(
+            "doc_id",
+            "lang",
+            F.lit(None).cast("string").alias("pred_lang"),
+            F.lit(None).cast("long").alias("score"),
+        ).filter(F.lit(False))
+    cands = [
+        F.struct(
+            F.size(
+                F.array_intersect("bg", F.array(*[F.lit(b) for b in r["pbs"]]))
+            )
+            .cast("long")
+            .alias("score"),
+            F.lit(r["plang"]).alias("plang"),
+        )
+        for r in prows
+    ]
+    best = cands[0]
+    for nxt in cands[1:]:
+        best = F.when(nxt["score"] > best["score"], nxt).otherwise(best)
     return (
-        scores.withColumn("rn", F.row_number().over(w_doc))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "lang", F.col("plang").alias("pred_lang"), "score")
+        docs.select("doc_id", "lang", best.alias("b"))
+        .filter(F.col("b.score") >= 1)
+        .select(
+            "doc_id",
+            "lang",
+            F.col("b.plang").alias("pred_lang"),
+            F.col("b.score").alias("score"),
+        )
     )
 
 
@@ -1026,10 +1064,15 @@ _ZIPF_TOP = 1000  # fit over the top-N terms by frequency
 )
 def q_text_zipf(spark, sf_dir):
     d = widen(table(spark, sf_dir, "documents"))
+    # r16 (guide §2.4): the vocabulary table feeds TWO actions-worth of
+    # branches (global term count + TakeOrdered top) — lazily each re-ran
+    # the corpus token explode + groupBy. Materialize the vocab-sized
+    # aggregate once; both branches read stored rows.
     tf = (
         d.select(F.explode(F.split("text", " ")).alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
     )
     n_terms = tf.agg(F.count(F.lit(1)).alias("n_terms"))
     top = tf.orderBy(F.col("n").desc(), "term").limit(_ZIPF_TOP)

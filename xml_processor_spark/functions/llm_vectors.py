@@ -2181,14 +2181,17 @@ def q_emb_hard_negatives(spark, sf_dir):
     vecs, c2 = _km_vectors_and_round2_centroids(spark, sf_dir)
     c2 = c2.localCheckpoint(eager=True)
     a2 = _km_assign(vecs, c2)
-    nn = vecs.select(
-        "vec_id",
+    # r16 (guide §2.4): nn is a ROW-WISE function of xe — it was built
+    # as a separate DataFrame and equi-joined back on vec_id, adding a
+    # whole join (and a third scan of the embeddings) for a column the
+    # projection can carry. Same exact int64 aggregate, zero joins.
+    mem = a2.join(vecs, "vec_id").withColumn(
+        "nn",
         F.expr(
             "aggregate(transform(xe, x -> x * x), CAST(0 AS BIGINT),"
-            " (acc, x) -> acc + x) AS nn"
+            " (acc, x) -> acc + x)"
         ),
     )
-    mem = a2.join(vecs, "vec_id").join(nn, "vec_id")
     probes = (
         mem.filter(F.col("vec_id") < _N_PROBES)
         .select(
