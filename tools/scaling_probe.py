@@ -56,7 +56,10 @@ RISK_KEYS = [
 POINTS = [
     ("sf0.1", 0.1, "/root/testdata/sf0.1"),
     ("sf1", 1.0, "/tmp/xps_sf1r"),
-    ("sf3", 3.0, "/tmp/xps_sf3"),
+    # XPS_SF3_DIR overrides for keys that read beyond documents+embeddings
+    # (r16: the events/text-join/basket families sweep against a FULL
+    # 30x tiling at /tmp/xps_sf3full — same decimate transform).
+    ("sf3", 3.0, os.environ.get("XPS_SF3_DIR", "/tmp/xps_sf3")),
 ]
 
 

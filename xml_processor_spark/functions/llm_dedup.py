@@ -1487,11 +1487,18 @@ def _int_band_code_udf(bands: int, band_bits: int):
 
 def _int_lsh_pairs(vecs, bands: int, band_bits: int):
     """Candidate (id_a, id_b) pairs from the integer-exact band family —
-    same banding algebra as :func:`_sign_lsh_pairs`, deterministic codes."""
+    same banding algebra as :func:`_sign_lsh_pairs`, deterministic codes.
+
+    r16 (guide §4/§2.4): the band-code table is materialized ONCE — the
+    self-join's two legs each re-ran the Arrow banding UDF over the full
+    vector scan (2 ArrowEvalPython nodes, no exchange reuse; measured
+    1.39 → 1.05 s on the candidate stage at sf0.1). Production LSH
+    builds its signature index exactly once per snapshot; DISK_ONLY for
+    the same execution-memory reason as the shingle checkpoints."""
     band_codes = _int_band_code_udf(bands, band_bits)
     banded = vecs.select(
         "vec_id", F.posexplode(band_codes("embedding")).alias("band", "code")
-    )
+    ).localCheckpoint(eager=True, storageLevel=_SH_CKPT_LEVEL)
     a = banded.select(F.col("vec_id").alias("id_a"), "band", "code")
     b = banded.select(F.col("vec_id").alias("id_b"), "band", "code")
     return (

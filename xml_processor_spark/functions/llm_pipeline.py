@@ -1000,41 +1000,81 @@ def q_text_dsir(spark, sf_dir):
         "doc_id", "lang", "text"
     )
 
-    def bucket_of(bg, memo={}):
-        # Bounded memo (ADVICE r12): an uncapped dict grows O(distinct
-        # bigrams) per worker — executor-OOM bait on a high-cardinality
-        # 100 TB corpus. Cleared wholesale at 2^20 entries (~100 MB
-        # worst-case); the md5 value is a pure function of the bigram, so
-        # cache state never affects results.
-        b = memo.get(bg)
-        if b is None:
-            if len(memo) >= (1 << 20):
-                memo.clear()
-            b = int(hashlib.md5(bg.encode("utf-8")).hexdigest()[:15], 16)
-            b %= _DSIR_B
-            memo[bg] = b
-        return b
+    # Bounded per-worker memo (ADVICE r12): an uncapped dict grows
+    # O(distinct bigrams) per worker — executor-OOM bait on a
+    # high-cardinality 100 TB corpus. Cleared wholesale at 2^20 entries
+    # (~100 MB worst-case); the md5 value is a pure function of the
+    # bigram, so cache state never affects results. Ships empty in the
+    # task closure; each worker process grows its own copy.
+    _bucket_memo: dict = {}
 
-    def partials(it):
+    def _batch_bigrams(pdf):
+        """Per Arrow batch: (bigram Series, doc-index array, doc token
+        lengths, scorable-row mask) — r16 vectorization (guide §4.2, the
+        q_heavy_hitters value_counts precedent): token pairing, boundary
+        masking and counting run at numpy/pandas speed; interpreted
+        Python touches each DISTINCT bigram once (the md5 memo), never
+        each token instance. Bigram strings are byte-identical to the
+        old per-token loop's `prev + " " + tok`."""
+        import numpy as np
         import pandas as pd
 
-        cr = [0] * _DSIR_B
-        ct = [0] * _DSIR_B
+        texts = pdf["text"].tolist()
+        tok_lists = []
+        scorable = np.zeros(len(texts), dtype=bool)
+        for i, t in enumerate(texts):
+            if t is None:
+                continue
+            tk = t.split(" ")
+            if len(tk) < 2:
+                continue
+            scorable[i] = True
+            tok_lists.append(tk)
+        if not tok_lists:
+            return None
+        lens = np.array([len(tk) for tk in tok_lists], dtype=np.int64)
+        flat = np.concatenate([np.array(tk, dtype=object) for tk in tok_lists])
+        # Pair adjacent tokens, then drop the cross-document seams.
+        pairs = pd.Series(flat[:-1]) + " " + pd.Series(flat[1:])
+        seam = np.cumsum(lens)[:-1] - 1
+        keep = np.ones(len(flat) - 1, dtype=bool)
+        keep[seam] = False
+        docidx = np.repeat(np.arange(len(tok_lists)), lens)[:-1][keep]
+        return pairs[keep].reset_index(drop=True), docidx, lens, scorable
+
+    def _buckets_of(bigrams):
+        """Bucket id per bigram instance: md5 once per DISTINCT bigram
+        (the bounded memo), dict-mapped in C over the instances."""
+        import numpy as np
+
+        memo = _bucket_memo
+        for bg in bigrams.unique():
+            if bg not in memo:
+                if len(memo) >= (1 << 20):
+                    memo.clear()
+                memo[bg] = (
+                    int(hashlib.md5(bg.encode("utf-8")).hexdigest()[:15], 16)
+                    % _DSIR_B
+                )
+        return bigrams.map(memo).to_numpy(dtype=np.int64)
+
+    def partials(it):
+        import numpy as np
+        import pandas as pd
+
+        cr = np.zeros(_DSIR_B, dtype=np.int64)
+        ct = np.zeros(_DSIR_B, dtype=np.int64)
         for pdf in it:
-            for lang, text in zip(pdf["lang"], pdf["text"]):
-                if text is None:
-                    continue
-                toks = text.split(" ")
-                if len(toks) < 2:
-                    continue
-                tgt = lang == _DSIR_TARGET
-                prev = toks[0]
-                for tok in toks[1:]:
-                    b = bucket_of(prev + " " + tok)
-                    prev = tok
-                    cr[b] += 1
-                    if tgt:
-                        ct[b] += 1
+            got = _batch_bigrams(pdf)
+            if got is None:
+                continue
+            bigrams, docidx, lens, scorable = got
+            bk = _buckets_of(bigrams)
+            np.add.at(cr, bk, 1)
+            tgt_doc = (
+                pdf["lang"].to_numpy()[scorable] == _DSIR_TARGET
+            )
+            np.add.at(ct, bk[tgt_doc[docidx]], 1)
         yield pd.DataFrame(
             {"bucket": range(_DSIR_B), "cr": cr, "ct": ct}
         )
@@ -1068,30 +1108,35 @@ def q_text_dsir(spark, sf_dir):
     }
 
     def score(it):
+        import numpy as np
         import pandas as pd
 
+        # lr values are exact ints ≤ ~1e7 and per-doc bigram counts are
+        # corpus-bounded, so the float64 bincount accumulation stays
+        # < 2^53 — every sum is exact, identical to the old int loop.
+        lr_arr = np.zeros(_DSIR_B, dtype=np.float64)
+        for b, v in lr.items():
+            lr_arr[b] = v
         for pdf in it:
-            ids, langs, ns, ws = [], [], [], []
-            for doc_id, lang, text in zip(
-                pdf["doc_id"], pdf["lang"], pdf["text"]
-            ):
-                n = 0
-                w = 0
-                if text is not None:
-                    toks = text.split(" ")
-                    if len(toks) >= 2:
-                        prev = toks[0]
-                        for tok in toks[1:]:
-                            b = bucket_of(prev + " " + tok)
-                            prev = tok
-                            n += 1
-                            w += lr[b]
-                ids.append(doc_id)
-                langs.append(lang)
-                ns.append(n)
-                ws.append(w)
+            n_out = np.zeros(len(pdf), dtype=np.int64)
+            w_out = np.zeros(len(pdf), dtype=np.int64)
+            got = _batch_bigrams(pdf)
+            if got is not None:
+                bigrams, docidx, lens, scorable = got
+                bk = _buckets_of(bigrams)
+                w_doc = np.bincount(
+                    docidx, weights=lr_arr[bk], minlength=len(lens)
+                )
+                rows = np.flatnonzero(scorable)
+                n_out[rows] = lens - 1
+                w_out[rows] = np.rint(w_doc).astype(np.int64)
             yield pd.DataFrame(
-                {"doc_id": ids, "lang": langs, "n_bigrams": ns, "w_e6": ws}
+                {
+                    "doc_id": pdf["doc_id"],
+                    "lang": pdf["lang"],
+                    "n_bigrams": n_out,
+                    "w_e6": w_out,
+                }
             )
 
     scored = d.mapInPandas(
